@@ -1,0 +1,1117 @@
+"""Operator/query catalog — the engine's verifiable surface.
+
+Every implemented operator from SURVEY.md §2 gets an entry here:
+a Spark plan builder ``fn(spark, sf_dir) -> DataFrame`` plus (when the
+semantics are SQL-expressible) an ANSI-SQL oracle string that DuckDB
+runs over the same parquet tables. ``__spark_entry__.py`` re-exports
+this registry for the verification driver.
+
+Cross-engine determinism rules used throughout (SURVEY.md §5.2):
+  - every query is total-ordered (ties broken by a key column) before
+    any LIMIT;
+  - grouped SUMs over doubles are computed by casting each addend to
+    DECIMAL(18,6) (exact, order-independent summation in both engines)
+    and casting the result back to double — float summation order
+    across Spark partitions can never flip a rounding boundary;
+  - per-row float math (products, sqrt, ln, distances) is IEEE-identical
+    across engines and rounded to 6 dp on both sides;
+  - array folds (dot products, L2) run left-to-right in array order in
+    both engines (Spark ``aggregate`` ≡ DuckDB ``list_aggregate``), so
+    they are bit-identical before rounding;
+  - timestamps never cross the boundary raw: they are projected as
+    epoch microseconds (``unix_micros`` ≡ ``epoch_us``) or formatted
+    date strings; dates as DATE;
+  - integer-kind outputs are cast so both engines agree on the width
+    (DuckDB ``year()`` is BIGINT, Spark's is INT, etc.).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+
+from laion_spark.functions.vector import (
+    as_double,
+    cosine_similarity,
+    dot,
+    l2_distance,
+    l2_distance_sq,
+    vec_add,
+    vec_lit,
+    vec_scale,
+)
+from laion_spark.session import tune_session
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    note: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, note: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, note=note)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune_session(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dsum(col: Column | str, alias: str) -> Column:
+    """Order-independent double sum: exact DECIMAL(18,6) accumulation,
+    result cast back to double. Oracle twin: ``CAST(sum(CAST(x AS
+    DECIMAL(18,6))) AS DOUBLE)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(18,6)")).cast("double").alias(alias)
+
+
+def _dsum_sql(expr: str) -> str:
+    return f"CAST(sum(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+# --- shared vector constants -------------------------------------------------
+
+#: deterministic 64-d query vector (embeddings table is dim 64)
+QVEC64 = [round(((j * 37) % 19 - 9) / 10.0, 1) for j in range(64)]
+_QLIT = "[" + ", ".join(f"{x}::DOUBLE" for x in QVEC64) + "]"
+
+
+def _l2_sql(elem_expr: str, dim: int = 64) -> str:
+    """DuckDB squared-L2 between a per-index element expression (use
+    ``{i}`` for the index variable) and the shared query vector."""
+    return (
+        f"list_aggregate(list_transform(range(1, {dim + 1}), "
+        f"i -> ({elem_expr} - ({_QLIT})[i]) ^ 2), 'sum')"
+    )
+
+
+_L2_EMB = _l2_sql("CAST(embedding[i] AS DOUBLE)")
+
+
+# =============================================================================
+# V-class: vector search (SURVEY.md §2.3 — the heart of the reference)
+# =============================================================================
+
+
+@query(
+    "v01_knn_l2_topk",
+    oracle=f"""
+    SELECT vec_id, label,
+           round(sqrt({_L2_EMB}), 6) AS score
+    FROM embeddings
+    ORDER BY sqrt({_L2_EMB}), vec_id
+    LIMIT 10
+    """,
+    note="reference canonical query V7 (search.py:20-35): top-k by L2Distance",
+)
+def v01_knn_l2_topk(spark, sf_dir):
+    from laion_spark.operators.knn import knn_search
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = knn_search(emb, QVEC64, k=10, vector_col="embedding", select=["vec_id", "label"], tiebreak=["vec_id"])
+    return out.select("vec_id", "label", F.round("score", 6).alias("score"))
+
+
+@query(
+    "v02_knn_l2_filtered",
+    oracle=f"""
+    SELECT vec_id,
+           round(sqrt({_L2_EMB}), 6) AS score
+    FROM embeddings
+    WHERE label IN (1, 3, 5) AND vec_id % 2 = 0
+    ORDER BY sqrt({_L2_EMB}), vec_id
+    LIMIT 10
+    """,
+    note="V7 + P3: arbitrary WHERE below the scoring projection (search.py:24)",
+)
+def v02_knn_l2_filtered(spark, sf_dir):
+    from laion_spark.operators.knn import knn_search
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = knn_search(
+        emb,
+        QVEC64,
+        k=10,
+        vector_col="embedding",
+        filter="label IN (1, 3, 5) AND vec_id % 2 = 0",
+        select=["vec_id"],
+        tiebreak=["vec_id"],
+    )
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+_DOT = "list_aggregate(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ({_q})[i]), 'sum')".replace("{_q}", _QLIT)
+_NORM_E = "sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+_NORM_Q = f"sqrt(list_aggregate(list_transform({_QLIT}, x -> x * x), 'sum'))"
+
+
+@query(
+    "v03_knn_cosine_topk",
+    oracle=f"""
+    SELECT vec_id,
+           round({_DOT} / ({_NORM_E} * {_NORM_Q}), 6) AS score
+    FROM embeddings
+    ORDER BY {_DOT} / ({_NORM_E} * {_NORM_Q}) DESC, vec_id
+    LIMIT 10
+    """,
+    note="cosine top-k (north star: similarity search over embedding column)",
+)
+def v03_knn_cosine_topk(spark, sf_dir):
+    from laion_spark.operators.knn import knn_search
+
+    emb = t(spark, sf_dir, "embeddings")
+    out = knn_search(emb, QVEC64, k=10, vector_col="embedding", metric="cosine", select=["vec_id"], tiebreak=["vec_id"])
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+_ARITH = _l2_sql("(CAST(embedding[i] AS DOUBLE) * 0.5 + 0.1)")
+
+
+@query(
+    "v04_vector_arithmetic_topk",
+    oracle=f"""
+    SELECT vec_id, round(sqrt({_ARITH}), 6) AS score
+    FROM embeddings
+    ORDER BY sqrt({_ARITH}), vec_id
+    LIMIT 10
+    """,
+    note="arrayMap surface V3/V5 (search.py:100-104): scale+shift then L2",
+)
+def v04_vector_arithmetic_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    v = F.transform(as_double("embedding"), lambda x: x * F.lit(0.5) + F.lit(0.1))
+    s2 = l2_distance_sq(v, vec_lit(QVEC64))
+    out = (
+        emb.select("vec_id", s2.alias("_s2"))
+        .orderBy(F.col("_s2").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    return out.select("vec_id", F.round(F.sqrt("_s2"), 6).alias("score"))
+
+
+@query(
+    "v05_vector_elementwise_ops",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS e1,
+           round(list_aggregate(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)), 'sum') / 8, 6) AS head_mean,
+           round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS emax,
+           round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 6) AS emin
+    FROM embeddings
+    WHERE vec_id % 10 = 0
+    ORDER BY vec_id
+    """,
+    note="array function surface Q20: size/element_at/slice/aggregate/min/max",
+)
+def v05_vector_elementwise_ops(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings").filter("vec_id % 10 = 0")
+    ad = as_double("embedding")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at(ad, 1), 6).alias("e1"),
+        F.round(
+            F.aggregate(F.slice(ad, 1, 8), F.lit(0.0), lambda a, x: a + x) / 8, 6
+        ).alias("head_mean"),
+        F.round(F.array_max(ad), 6).alias("emax"),
+        F.round(F.array_min(ad), 6).alias("emin"),
+    ).orderBy("vec_id")
+
+
+# =============================================================================
+# Q-class: relational surface (SURVEY.md §2.9, all Catalyst built-ins)
+# =============================================================================
+
+
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum_sql('l_quantity')} AS sum_qty,
+           {_dsum_sql('l_extendedprice')} AS sum_base_price,
+           {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           round({_dsum_sql('l_quantity')} / count(*), 6) AS avg_qty,
+           round({_dsum_sql('l_extendedprice')} / count(*), 6) AS avg_price,
+           round({_dsum_sql('l_discount')} / count(*), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    note="TPC-H Q1 shape (Q7/Q8): hash aggregate w/ partial+final via AQE",
+)
+def q01_pricing_summary(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / F.count("*"), 6).alias("avg_price"),
+            F.round(F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / F.count("*"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q02_join_revenue_by_segment",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    note="Q1 equi inner join chain; lineitem⋈orders shuffles on orderkey, customer side broadcast",
+)
+def q02_join_revenue_by_segment(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(dsum(rev, "revenue"), F.count("*").alias("n_items"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "q03_broadcast_join_region",
+    oracle="""
+    SELECT r.r_name, n.n_name, count(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY r.r_name, n.n_name
+    """,
+    note="Q2 broadcast join: both dims tiny -> BroadcastHashJoin, zero shuffle on the dims",
+)
+def q03_broadcast_join_region(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+@query(
+    "q04_left_outer_join",
+    oracle="""
+    SELECT c.c_custkey, count(o.o_orderkey) AS n_orders,
+           CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 0) AS DOUBLE) AS total_spend
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'F'
+    GROUP BY c.c_custkey
+    ORDER BY c.c_custkey
+    """,
+    note="Q3 outer join incl. customers with zero matching orders",
+)
+def q04_left_outer_join(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    cond = (cust.c_custkey == orders.o_custkey) & (orders.o_orderstatus == "F")
+    return (
+        cust.join(orders, cond, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), F.lit(0).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q05_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    ORDER BY c_custkey
+    """,
+    note="Q4 left-semi join (EXISTS)",
+)
+def q05_semi_join(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter("o_totalprice > 400000")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q06_anti_join",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey
+    """,
+    note="Q4 left-anti join (NOT EXISTS)",
+)
+def q06_anti_join(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter("o_orderpriority = '1-URGENT'")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q07_group_having",
+    oracle=f"""
+    SELECT l_suppkey, {_dsum_sql('l_quantity')} AS total_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING sum(l_quantity) > 100
+    ORDER BY l_suppkey
+    """,
+    note="Q7 GROUP BY + HAVING",
+)
+def q07_group_having(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(dsum("l_quantity", "total_qty"), F.count("*").alias("n"))
+        .filter(F.col("total_qty") > 100)
+        .orderBy("l_suppkey")
+    )
+
+
+@query(
+    "q08_distinct_count",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_custs,
+           count(DISTINCT CAST(o_orderdate AS DATE)) AS n_days
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    note="Q9 exact distinct aggregation (expand + two-phase agg in Spark)",
+)
+def q08_distinct_count(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.countDistinct(F.col("o_orderdate").cast("date")).alias("n_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q09_rollup",
+    oracle=f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           {_dsum_sql('l_quantity')} AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+    note="Q10 grouping sets / rollup",
+)
+def q09_rollup(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity", "sum_qty"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@query(
+    "q10_window_rank",
+    oracle="""
+    SELECT * FROM (
+      SELECT c.c_mktsegment, o.o_orderkey,
+             round(o.o_totalprice, 6) AS price,
+             row_number() OVER (PARTITION BY c.c_mktsegment ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn,
+             CAST(rank()  OVER (PARTITION BY c.c_mktsegment ORDER BY CAST(o.o_totalprice AS DECIMAL(18,6)) DESC) AS BIGINT) AS rk,
+             CAST(dense_rank() OVER (PARTITION BY c.c_mktsegment ORDER BY CAST(o.o_totalprice AS DECIMAL(18,6)) DESC) AS BIGINT) AS drk
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rn <= 5
+    ORDER BY c_mktsegment, rn
+    """,
+    note="Q11 window ranking: top-N per group",
+)
+def q10_window_rank(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    wd = W.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").cast("decimal(18,6)").desc())
+    return (
+        j.select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.round("o_totalprice", 6).alias("price"),
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(wd).cast("bigint").alias("rk"),
+            F.dense_rank().over(wd).cast("bigint").alias("drk"),
+        )
+        .filter(F.col("rn") <= 5)
+        .orderBy("c_mktsegment", "rn")
+    )
+
+
+@query(
+    "q11_window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           unix_ms AS ts_ms,
+           round(o_totalprice - lag(o_totalprice) OVER w, 6) AS price_delta,
+           lead(o_orderkey) OVER w AS next_order
+    FROM (SELECT *, epoch_us(o_orderdate) // 1000 AS unix_ms FROM orders WHERE o_custkey % 10 = 0)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    note="Q12 window analytics lag/lead",
+)
+def q11_window_lag_lead(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders").filter("o_custkey % 10 = 0")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            (F.unix_micros(F.col("o_orderdate").cast("timestamp")) / F.lit(1000)).cast("bigint").alias("ts_ms"),
+            F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 6).alias("price_delta"),
+            F.lead("o_orderkey").over(w).alias("next_order"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "q12_window_frame_moving_sum",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) OVER (
+             PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_qty
+    FROM lineitem
+    WHERE l_suppkey <= 3
+    ORDER BY l_suppkey, l_orderkey, l_linenumber
+    """,
+    note="Q13 window frame rowsBetween",
+)
+def q12_window_frame_moving_sum(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter("l_suppkey <= 3")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-2, 0)
+    )
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.sum(F.col("l_quantity").cast("decimal(18,6)")).over(w).cast("double").alias("moving_qty"),
+        )
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q13_global_sort_topn",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, round(l_extendedprice, 6) AS price, l_returnflag
+    FROM lineitem
+    WHERE l_quantity > 30 AND l_returnflag = 'R'
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+    note="Q14/Q15 multi-key sort + top-N -> TakeOrderedAndProject, filter pushed to scan",
+)
+def q13_global_sort_topn(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") > 30) & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 6).alias("price"), "l_returnflag")
+        .orderBy(F.col("price").desc(), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@query(
+    "q14_set_ops",
+    oracle="""
+    WITH big AS (SELECT p_partkey FROM part WHERE p_size > 25),
+         brand AS (SELECT p_partkey FROM part WHERE p_brand IN ('Brand#11','Brand#12','Brand#13'))
+    SELECT 'union' AS op, p_partkey FROM (SELECT p_partkey FROM big UNION SELECT p_partkey FROM brand)
+    UNION ALL
+    SELECT 'intersect' AS op, p_partkey FROM (SELECT p_partkey FROM big INTERSECT SELECT p_partkey FROM brand)
+    UNION ALL
+    SELECT 'except' AS op, p_partkey FROM (SELECT p_partkey FROM big EXCEPT SELECT p_partkey FROM brand)
+    ORDER BY op, p_partkey
+    """,
+    note="Q16 set operators union/intersect/except",
+)
+def q14_set_ops(spark, sf_dir):
+    part = t(spark, sf_dir, "part")
+    big = part.filter("p_size > 25").select("p_partkey")
+    brand = part.filter(F.col("p_brand").isin("Brand#11", "Brand#12", "Brand#13")).select("p_partkey")
+    u = big.union(brand).distinct().select(F.lit("union").alias("op"), "p_partkey")
+    i = big.intersect(brand).select(F.lit("intersect").alias("op"), "p_partkey")
+    e = big.subtract(brand).select(F.lit("except").alias("op"), "p_partkey")
+    return u.unionByName(i).unionByName(e).orderBy("op", "p_partkey")
+
+
+@query(
+    "q15_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS uname,
+           lower(p_brand) AS lbrand,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           substring(p_name, 1, 5) AS name5,
+           concat(p_brand, ':', p_type) AS brand_type,
+           trim(concat(' ', p_name, ' ')) AS trimmed,
+           replace(p_name, ' ', '_') AS snake,
+           CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END AS has_a,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+           string_split(p_name, ' ')[1] AS first_word,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded
+    FROM part
+    WHERE p_partkey % 5 = 0
+    ORDER BY p_partkey
+    """,
+    note="Q17 string function surface",
+)
+def q15_string_functions(spark, sf_dir):
+    part = t(spark, sf_dir, "part").filter("p_partkey % 5 = 0")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.lower("p_brand").alias("lbrand"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+        F.when(F.col("p_name").like("%a%"), 1).otherwise(0).alias("has_a"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("devoweled"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "q16_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS od,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(day(o_orderdate) AS INTEGER) AS dom,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(o_orderdate AS DATE) + 90 AS due,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
+           last_day(CAST(o_orderdate AS DATE)) AS eom,
+           strftime(o_orderdate, '%Y-%m-%d') AS ods
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    ORDER BY o_orderkey
+    """,
+    note="Q18 date/time function surface",
+)
+def q16_date_functions(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders").filter("o_orderkey % 100 = 0")
+    od = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        od.alias("od"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.date_add(od, 90).alias("due"),
+        F.datediff(od, F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.last_day(od).alias("eom"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("ods"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "q17_math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 6) AS adisc,
+           CAST(ceil(l_quantity / 7) AS BIGINT) AS cq,
+           CAST(floor(l_quantity / 7) AS BIGINT) AS fq,
+           round(l_extendedprice * 0.1, 2) AS tithe,
+           round(pow(l_quantity, 2), 6) AS q2,
+           round(sqrt(l_extendedprice), 6) AS sq,
+           round(ln(l_extendedprice), 6) AS lnp,
+           round(exp(l_discount), 6) AS ed,
+           CAST(l_quantity AS BIGINT) % 7 AS qmod,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS sgn
+    FROM lineitem
+    WHERE l_orderkey % 250 = 0
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    note="Q19 math function surface",
+)
+def q17_math_functions(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter("l_orderkey % 250 = 0")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("adisc"),
+        F.ceil(F.col("l_quantity") / 7).alias("cq"),
+        F.floor(F.col("l_quantity") / 7).alias("fq"),
+        F.round(F.col("l_extendedprice") * 0.1, 2).alias("tithe"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("q2"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sq"),
+        F.round(F.log("l_extendedprice"), 6).alias("lnp"),
+        F.round(F.exp("l_discount"), 6).alias("ed"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qmod"),
+        F.signum(F.col("l_discount") - 0.05).alias("sgn"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "q18_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS bucket,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status,
+           round(least(o_totalprice, 250000.0), 6) AS capped,
+           round(greatest(o_totalprice, 50000.0), 6) AS floored,
+           CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS urgent
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+    ORDER BY o_orderkey
+    """,
+    note="Q23 conditional expressions",
+)
+def q18_conditional(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders").filter("o_orderkey % 50 = 0")
+    return orders.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("bucket"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("PENDING")).alias("status"),
+        F.round(F.least("o_totalprice", F.lit(250000.0)), 6).alias("capped"),
+        F.round(F.greatest("o_totalprice", F.lit(50000.0)), 6).alias("floored"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0).alias("urgent"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "q19_json_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           json_extract_string(props, '$.missing') AS missing
+    FROM events
+    WHERE event_id % 20 = 0
+    ORDER BY event_id
+    """,
+    note="Q22 json extraction (events.props is a JSON string; reference P6 parses exif JSON)",
+)
+def q19_json_functions(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter("event_id % 20 = 0")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.get_json_object("props", "$.missing").alias("missing"),
+    ).orderBy("event_id")
+
+
+@query(
+    "q20_map_functions",
+    oracle="""
+    SELECT event_id, event_type AS mtype, 'id,type' AS keys, 2 AS n_keys
+    FROM events WHERE event_id % 100 = 0 ORDER BY event_id
+    """,
+    note="Q21 map construction/access executed Spark-side (exif-style map, reference process.py:76); oracle checks values",
+)
+def q20_map_functions(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter("event_id % 100 = 0")
+    m = F.create_map(
+        F.lit("id"), F.col("event_id").cast("string"), F.lit("type"), F.col("event_type")
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("mtype"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    ).orderBy("event_id")
+
+
+# =============================================================================
+# E-class: event/time-series surface (events.parquet stores TIMESTAMP(NANOS);
+# Spark reads it as bigint nanos via nanosAsLong — ``ev()`` normalizes to
+# epoch micros, which is exactly DuckDB's ``epoch_us(ts)``)
+# =============================================================================
+
+
+def ev(spark, sf_dir) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+        "ts_t", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "e01_tumbling_window_agg",
+    oracle=f"""
+    SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 1000000 AS hour_s,
+           event_type,
+           count(*) AS n,
+           {_dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    note="Q28 batch twin of the tumbling-window aggregation (streaming parity tested in tests/)",
+)
+def e01_tumbling_window_agg(spark, sf_dir):
+    e = ev(spark, sf_dir)
+    return (
+        e.groupBy(
+            (F.unix_micros(F.date_trunc("hour", "ts_t")) / F.lit(1_000_000)).cast("bigint").alias("hour_s"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), dsum("value", "total_value"))
+        .orderBy("hour_s", "event_type")
+    )
+
+
+@query(
+    "e02_sessionization",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+                       OR epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+    ), s AS (
+      SELECT user_id, ts_us,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    ), per_session AS (
+      SELECT user_id, session_id, count(*) AS n_events, max(ts_us) - min(ts_us) AS dur_us
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           count(*) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS total_events,
+           round(CAST(sum(n_events) AS DOUBLE) / count(*), 6) AS avg_session_events,
+           CAST(max(dur_us) AS BIGINT) AS max_session_dur_us
+    FROM per_session GROUP BY user_id ORDER BY user_id
+    """,
+    note="Q29 batch sessionization: gap>30min starts a new session (streaming session_window parity in tests/)",
+)
+def e02_sessionization(spark, sf_dir):
+    e = ev(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wcum = W.partitionBy("user_id").orderBy("ts_us").rowsBetween(W.unboundedPreceding, 0)
+    g = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w)) > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    ).withColumn("session_id", F.sum("is_new").over(wcum))
+    per_session = g.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).alias("dur_us"),
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("total_events"),
+            F.round(F.sum("n_events").cast("double") / F.count("*"), 6).alias("avg_session_events"),
+            F.max("dur_us").alias("max_session_dur_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "e03_asof_latest_before",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+           round(value, 6) AS value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC, event_id DESC) AS rn
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15 00:00:00'
+    ) WHERE rn = 1
+    ORDER BY user_id
+    """,
+    note="Q6 as-of (latest-before) via ordered window; on a cluster partition-prunes by user_id",
+)
+def e03_asof_latest_before(spark, sf_dir):
+    e = ev(spark, sf_dir).filter(F.col("ts_t") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy(F.col("ts_us").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_id", "event_type", "ts_us", F.round("value", 6).alias("value"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "e04_range_join_conversions",
+    oracle="""
+    SELECT v.user_id, count(*) AS n_conversions
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts > v.ts
+     AND epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP)) <= 600000000
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    GROUP BY v.user_id
+    ORDER BY v.user_id
+    """,
+    note="Q5 bounded range/theta join: purchase within 10min of a view, equi on user_id + range predicate",
+)
+def e04_range_join_conversions(spark, sf_dir):
+    e = ev(spark, sf_dir)
+    v = e.filter("event_type = 'view'").select(F.col("user_id").alias("u"), F.col("ts_us").alias("v_ts"))
+    p = e.filter("event_type = 'purchase'").select(F.col("user_id").alias("u2"), F.col("ts_us").alias("p_ts"))
+    j = v.join(p, (v.u == p.u2) & (p.p_ts > v.v_ts) & (p.p_ts - v.v_ts <= 600_000_000))
+    return j.groupBy(F.col("u").alias("user_id")).agg(F.count("*").alias("n_conversions")).orderBy("user_id")
+
+
+# =============================================================================
+# T/D-class: text analysis + dedup over documents (north star Q24/Q26)
+# =============================================================================
+
+
+@query(
+    "t01_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+           round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS distinct_ratio,
+           n_chars
+    FROM documents
+    WHERE doc_id % 5 = 0
+    ORDER BY doc_id
+    """,
+    note="Q26 token counting / vocabulary stats, all JVM-side built-ins",
+)
+def t01_token_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").filter("doc_id % 5 = 0")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6).alias("distinct_ratio"),
+        "n_chars",
+    ).orderBy("doc_id")
+
+
+@query(
+    "t02_top_tokens",
+    oracle="""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 30
+    """,
+    note="Q26 corpus token frequency: explode + hash agg; partial agg map-side at scale",
+)
+def t02_top_tokens(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(30)
+    )
+
+
+@query(
+    "t03_quality_scores",
+    oracle="""
+    SELECT doc_id,
+           round(CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS stopword_ratio,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS avg_token_len,
+           CASE WHEN n_chars < 100 THEN 1 ELSE 0 END AS is_short
+    FROM documents
+    WHERE doc_id % 7 = 0
+    ORDER BY doc_id
+    """,
+    note="Q26 quality scoring: stopword ratio + mean token length (laion_spark.functions.text)",
+)
+def t03_quality_scores(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").filter("doc_id % 7 = 0")
+    toks = F.split("text", " ")
+    stop = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
+    return d.select(
+        "doc_id",
+        F.round(stop.cast("double") / F.size(toks), 6).alias("stopword_ratio"),
+        F.round(F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / F.size(toks), 6).alias(
+            "avg_token_len"
+        ),
+        F.when(F.col("n_chars") < 100, 1).otherwise(0).alias("is_short"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "t04_lang_distribution",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+           count(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    note="corpus profile by language (lang-id heuristic itself lives in functions/text.py)",
+)
+def t04_lang_distribution(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.sum("n_chars").cast("double") / F.count("*"), 6).alias("avg_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "d01_exact_dedup",
+    oracle="""
+    WITH ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang, source) AS group_n
+      FROM documents
+    )
+    SELECT lang, source, doc_id AS keep_doc_id, CAST(group_n AS BIGINT) AS n_rows
+    FROM ranked WHERE rn = 1
+    ORDER BY lang, source
+    """,
+    note="Q24 exact dedup with deterministic survivor (min key), not dropDuplicates' arbitrary pick",
+)
+def d01_exact_dedup(spark, sf_dir):
+    from laion_spark.operators.dedup import exact_dedup
+
+    d = t(spark, sf_dir, "documents")
+    out = exact_dedup(d, keys=["lang", "source"], order_by=["doc_id"], count_col="n_rows")
+    return out.select("lang", "source", F.col("doc_id").alias("keep_doc_id"), "n_rows").orderBy("lang", "source")
+
+
+@query(
+    "d02_fingerprint_md5",
+    oracle="""
+    SELECT doc_id, md5(text) AS fp, CAST(length(text) AS INTEGER) AS text_len
+    FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id
+    """,
+    note="document fingerprinting via md5 (portable across engines; rolling-hash variant is Spark-only)",
+)
+def d02_fingerprint_md5(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").filter("doc_id % 25 = 0")
+    return d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("fp"), F.length("text").alias("text_len")).orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "d03_jaccard_similar_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents WHERE doc_id < 100
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT da, db,
+           round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+    ORDER BY CAST(i AS DOUBLE) / (sa.n + sb.n - i) DESC, da, db
+    LIMIT 20
+    """,
+    note="Q25 exact n-gram/token Jaccard near-dup join (the verify step behind MinHash-LSH candidates)",
+)
+def d03_jaccard_similar_pairs(spark, sf_dir):
+    from laion_spark.operators.dedup import jaccard_similar_pairs
+
+    d = t(spark, sf_dir, "documents").filter("doc_id < 100")
+    return jaccard_similar_pairs(d, id_col="doc_id", text_col="text", ngram=1, top=20)

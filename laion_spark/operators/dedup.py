@@ -1,0 +1,257 @@
+"""Deduplication operators (north star Q24/Q25 — LLM-data-pipeline).
+
+Five strategies, all shuffle-conscious:
+
+  - ``exact_dedup``      — hash-partition on the key, window pick of a
+                           deterministic survivor. One shuffle on the
+                           dedup key; at 100 TB the key (hash/url) is
+                           short, so the shuffle moves keys + row ids,
+                           not payloads, if you project first.
+  - ``fingerprint``      — md5/xxhash fingerprint column for exact
+                           content dedup at the cost of one scan.
+  - ``jaccard_similar_pairs`` — exact token/n-gram Jaccard self-join:
+                           explode shingles -> equi-join on shingle ->
+                           count intersections. This is the *verify*
+                           stage used after LSH candidate generation.
+  - ``minhash_signatures`` / ``minhash_lsh_pairs`` — MinHash + banded
+                           LSH: candidate pairs meet in band buckets
+                           (equi-join on (band, hash)), so the self-join
+                           never goes quadratic; candidates are then
+                           verified with exact Jaccard.
+  - ``simhash`` — 64-bit SimHash fingerprint; near-dups differ in few
+                           bits (hamming-distance filter on candidates
+                           from identical high-order bands).
+
+Scale notes: the quadratic step only ever runs on LSH bucket
+collisions. Band hashing uses Spark's murmur3 ``hash`` (JVM-side,
+codegen). Shingling/minhashing is pure HOF expressions — no UDF.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+# large Mersenne prime for minhash universal hashing
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    count_col: str | None = None,
+) -> DataFrame:
+    """Keep exactly one row per key group — the first under
+    ``order_by`` — deterministically (unlike ``dropDuplicates``, whose
+    survivor depends on partitioning).
+    """
+    w = W.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_by])
+    out = df.withColumn("_rn", F.row_number().over(w))
+    if count_col:
+        out = out.withColumn(count_col, F.count("*").over(W.partitionBy(*keys)))
+    return out.filter(F.col("_rn") == 1).drop("_rn")
+
+
+def fingerprint(df: DataFrame, text_col: str, out_col: str = "fp", algo: str = "md5") -> DataFrame:
+    """Content fingerprint column (md5 is engine-portable; xxhash64 is
+    the cheaper Spark-native choice for internal dedup)."""
+    c = F.col(text_col).cast("binary")
+    if algo == "md5":
+        return df.withColumn(out_col, F.md5(c))
+    if algo == "sha256":
+        return df.withColumn(out_col, F.sha2(c, 256))
+    if algo == "xxhash64":
+        return df.withColumn(out_col, F.xxhash64(F.col(text_col)))
+    raise ValueError(f"unknown fingerprint algo {algo!r}")
+
+
+def tokens(text_col: str | Column, lowercase: bool = True) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if lowercase:
+        c = F.lower(c)
+    return F.split(F.trim(c), r"\s+")
+
+
+def shingles(text_col: str | Column, n: int = 3, lowercase: bool = True) -> Column:
+    """Distinct word n-gram set as an array column (pure HOFs)."""
+    toks = tokens(text_col, lowercase)
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+
+
+def jaccard_similar_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 1,
+    threshold: float | None = None,
+    top: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity over shingle sets, as a relational plan:
+
+        explode(shingles) -> self equi-join on shingle (id_a < id_b)
+        -> count intersection -> |A∪B| = |A|+|B|-|A∩B|
+
+    The equi-join on the shingle keeps this far from an all-pairs cross
+    join: only documents sharing at least one shingle ever meet.
+    Output: (da, db, jaccard) ordered by jaccard desc.
+    """
+    sh = df.select(F.col(id_col).alias("_id"), F.explode(shingles(text_col, ngram)).alias("_sh"))
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    a = sh.select(F.col("_id").alias("da"), "_sh")
+    b = sh.select(F.col("_id").alias("db"), "_sh")
+    inter = (
+        a.join(b, ["_sh"])
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("_i"))
+    )
+    sa = sizes.select(F.col("_id").alias("da"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("_id").alias("db"), F.col("_n").alias("_nb"))
+    jac = F.col("_i").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_i"))
+    out = inter.join(sa, "da").join(sb, "db").select("da", "db", jac.alias("_jac"))
+    if threshold is not None:
+        out = out.filter(F.col("_jac") >= threshold)
+    out = out.orderBy(F.col("_jac").desc(), "da", "db")
+    if top is not None:
+        out = out.limit(top)
+    return out.select("da", "db", F.round("_jac", 6).alias("jaccard"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    ngram: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature column: for each of ``num_hashes`` universal
+    hash functions h_i, the min over the document's shingle set.
+
+    All JVM-side: xxhash64(shingle) -> (a_i*x + b_i) mod p -> array_min.
+    At 100 TB this is one scan, no shuffle; the signature (64 longs)
+    replaces the full shingle set downstream.
+    """
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+    sh = shingles(text_col, ngram)
+    base = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def minhash_i(a: int, b: int) -> Column:
+        # positive 61-bit domain; pmod keeps it exact in long arithmetic
+        return F.array_min(
+            F.transform(base, lambda h: (F.pmod(h, F.lit(_MERSENNE)) * (a % (1 << 31)) + b) % F.lit(_MERSENNE))
+        )
+
+    sig = F.array(*[minhash_i(a, b) for a, b in coeffs])
+    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs, verified with exact
+    Jaccard >= threshold.
+
+    Plan shape (the 100 TB path):
+      signatures (scan, no shuffle)
+      -> explode bands -> hash(band slice) -> shuffle on (band, hash)
+      -> bucket self-join => candidate pairs (only colliding docs meet)
+      -> dedup candidates -> exact-Jaccard verify on the candidates only
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, ngram, seed)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.array_join(F.slice("signature", b * rows_per_band + 1, rows_per_band), ",")).alias(
+                        "bucket"
+                    ),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.select(F.col("id").alias("da"), "band", "bucket")
+    b = banded.select(F.col("id").alias("db"), "band", "bucket")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    # verify candidates with exact Jaccard on shingle sets
+    sh = df.select(F.col(id_col).alias("_id"), shingles(text_col, ngram).alias("_set"))
+    sa = sh.select(F.col("_id").alias("da"), F.col("_set").alias("_sa"))
+    sb = sh.select(F.col("_id").alias("db"), F.col("_set").alias("_sb"))
+    jac = (
+        F.size(F.array_intersect("_sa", "_sb")).cast("double")
+        / F.size(F.array_union("_sa", "_sb"))
+    )
+    return (
+        cands.join(sa, "da")
+        .join(sb, "db")
+        .select("da", "db", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy(F.col("jaccard").desc(), "da", "db")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 63, ngram: int = 2) -> DataFrame:
+    """SimHash fingerprint (63-bit, sign bit unused so the result stays
+    a non-negative long): sign-sum of per-shingle hash bits.
+
+    Single-pass HOF construction: one ``aggregate`` over the shingle
+    hashes maintains a 63-wide vote vector (``zip_with`` add), then one
+    final fold packs majority bits into a long. Near-duplicate docs get
+    fingerprints within a small hamming distance.
+    """
+    if not 0 < bits <= 63:
+        raise ValueError("bits must be in 1..63")
+    sh = shingles(text_col, ngram)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def bitvotes(h: Column) -> Column:
+        return F.array(
+            *[F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1) for i in range(bits)]
+        )
+
+    votes = F.aggregate(
+        hashes,
+        F.array(*[F.lit(0)] * bits),
+        lambda acc, h: F.zip_with(acc, bitvotes(h), lambda a, b: a + b),
+    )
+    weights = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    fp = F.aggregate(
+        F.zip_with(votes, weights, lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(F.col(id_col).alias("id"), fp.alias("simhash"))
+
+
+def hamming_distance(a: Column | str, b: Column | str) -> Column:
+    """Popcount of XOR — distance between two simhash fingerprints."""
+    x = (F.col(a) if isinstance(a, str) else a).bitwiseXOR(F.col(b) if isinstance(b, str) else b)
+    return F.bit_count(x)

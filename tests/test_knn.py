@@ -1,0 +1,58 @@
+import pytest
+from pyspark.sql import functions as F
+
+from laion_spark.operators import knn_search
+from tests.conftest import SF_DIR, assert_matches_oracle, duck_con
+
+QVEC = [round(((j * 37) % 19 - 9) / 10.0, 1) for j in range(64)]
+QLIT = "[" + ", ".join(f"{x}::DOUBLE" for x in QVEC) + "]"
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_knn_l2_matches_duckdb(spark, emb, sf_dir):
+    got = knn_search(
+        emb,
+        QVEC,
+        k=10,
+        vector_col="embedding",
+        select=["vec_id"],
+        tiebreak=["vec_id"],
+    ).select("vec_id", F.round("score", 6).alias("score"))
+    sql = f"""
+      SELECT vec_id,
+             round(sqrt(list_aggregate(list_transform(range(1, 65),
+               i -> (CAST(embedding[i] AS DOUBLE) - ({QLIT})[i]) ^ 2), 'sum')), 6) AS score
+      FROM embeddings
+      ORDER BY 2, 1
+      LIMIT 10
+    """
+    assert_matches_oracle(got, duck_con(sf_dir), sql)
+
+
+def test_knn_with_filter(spark, emb):
+    out = knn_search(
+        emb, QVEC, k=5, vector_col="embedding", filter="label = 3", select=["vec_id", "label"], tiebreak=["vec_id"]
+    ).collect()
+    assert len(out) == 5
+    assert all(r.label == 3 for r in out)
+    scores = [r.score for r in out]
+    assert scores == sorted(scores)
+
+
+def test_knn_physical_plan_is_take_ordered(spark, emb):
+    plan = knn_search(emb, QVEC, k=10, vector_col="embedding", select=["vec_id"])._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_knn_cosine_and_dot(spark, emb):
+    for metric in ("cosine", "dot"):
+        out = knn_search(
+            emb, QVEC, k=5, vector_col="embedding", metric=metric, select=["vec_id"], tiebreak=["vec_id"]
+        ).collect()
+        assert len(out) == 5
+        scores = [r.score for r in out]
+        assert scores == sorted(scores, reverse=True)
