@@ -1115,3 +1115,69 @@ def d03_jaccard_similar_pairs(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents").filter("doc_id < 100")
     return jaccard_similar_pairs(d, id_col="doc_id", text_col="text", ngram=1, top=20)
+
+
+# =============================================================================
+# E-class (expression compiler): concept math (SURVEY.md §2.4) — the
+# Spark side constant-folds the expression driver-side (HashEncoder
+# leaves); the oracle recomputes the SAME arithmetic independently in
+# SQL from the leaf vectors, so the fold itself is what's verified.
+# =============================================================================
+
+
+def _leaf_lit(word: str) -> str:
+    from laion_spark.functions.encoder import hash_embed
+
+    return "[" + ", ".join(f"{x!r}::DOUBLE" for x in hash_embed(word, 64)) + "]"
+
+
+def _concept_query(expr_text: str, qexpr_sql_fn):
+    """Build the Spark fn + oracle for one concept expression; the
+    oracle's per-index query element is produced by ``qexpr_sql_fn``
+    from the leaf literals."""
+
+    def fn(spark, sf_dir):
+        from laion_spark.functions.encoder import HashEncoder
+        from laion_spark.operators.knn import knn_search
+
+        emb = t(spark, sf_dir, "embeddings")
+        qvec = __import__("laion_spark.plans.concept", fromlist=["eval_concept"]).eval_concept(
+            expr_text, HashEncoder(64)
+        )
+        out = knn_search(emb, qvec, k=10, vector_col="embedding", select=["vec_id"], tiebreak=["vec_id"])
+        return out.select("vec_id", F.round("score", 6).alias("score"))
+
+    l2 = _l2_sql(f"CAST(embedding[i] AS DOUBLE)").replace(f"({_QLIT})[i]", qexpr_sql_fn("i"))
+    oracle = f"""
+    SELECT vec_id, round(sqrt({l2}), 6) AS score
+    FROM embeddings
+    ORDER BY sqrt({l2}), vec_id
+    LIMIT 10
+    """
+    return fn, oracle
+
+
+_fn_v06, _oracle_v06 = _concept_query(
+    "(Cubism + Surrealism) / 2",
+    lambda i: f"(({_leaf_lit('Cubism')})[{i}] + ({_leaf_lit('Surrealism')})[{i}]) / 2",
+)
+query(
+    "v06_concept_math_avg",
+    oracle=_oracle_v06,
+    note="concept math '(Cubism + Surrealism) / 2' (published example, "
+    "images/results_cubism_surealism.png): parse -> constant-fold -> kNN",
+)(_fn_v06)
+
+_fn_v07, _oracle_v07 = _concept_query(
+    "(berlin - germany) + ('united kingdom' + bridge)",
+    lambda i: (
+        f"((({_leaf_lit('berlin')})[{i}] - ({_leaf_lit('germany')})[{i}]) + "
+        f"(({_leaf_lit('united kingdom')})[{i}] + ({_leaf_lit('bridge')})[{i}]))"
+    ),
+)
+query(
+    "v07_concept_math_nested",
+    oracle=_oracle_v07,
+    note="concept math deep nesting + quoted phrase (published example, "
+    "images/results_london_bridge.png); scalar-on-left also fixed (V4)",
+)(_fn_v07)
