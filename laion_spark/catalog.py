@@ -1181,3 +1181,150 @@ query(
     note="concept math deep nesting + quoted phrase (published example, "
     "images/results_london_bridge.png); scalar-on-left also fixed (V4)",
 )(_fn_v07)
+
+
+# =============================================================================
+# Similarity / dedup / text extensions (north star Q24-Q26) — approximate
+# operators are declared WITHOUT oracle (rows-only driver check +
+# recall-tested in tests/test_similarity.py), exact ones get oracles.
+# =============================================================================
+
+
+@query(
+    "v08_knn_join",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    d AS (
+      SELECT q.qid, c.vec_id AS cid,
+             sqrt(list_aggregate(list_transform(range(1, 65),
+               i -> (CAST(c.embedding[i] AS DOUBLE) - CAST(q.qe[i] AS DOUBLE)) ^ 2), 'sum')) AS s
+      FROM embeddings c CROSS JOIN q
+    )
+    SELECT qid AS vec_id_q, cid AS vec_id_c, round(s, 6) AS score
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY s, cid) AS rn FROM d)
+    WHERE rn <= 3
+    ORDER BY vec_id_q, s, vec_id_c
+    """,
+    note="k-NN join: each query row's top-k corpus neighbors (Arrow-batched "
+    "BLAS distance matrix per partition; corpus never shuffles)",
+)
+def v08_knn_join(spark, sf_dir):
+    from laion_spark.operators.similarity import knn_join
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 5")
+    return knn_join(emb, queries, k=3, corpus_id="vec_id", query_id="vec_id")
+
+
+@query(
+    "a01_ann_lsh_topk",
+    oracle=None,  # approximate by construction (SURVEY.md hard part #4):
+    # recall >= 0.9 vs brute force asserted in tests/test_similarity.py
+    note="ANN via multi-table sign-LSH (the engine's Annoy-table analog, "
+    "V9): bucket-pruned candidates, exact rescore; rows-only check",
+)
+def a01_ann_lsh_topk(spark, sf_dir):
+    from laion_spark.operators.similarity import RandomHyperplaneIndex
+
+    emb = t(spark, sf_dir, "embeddings")
+    idx = RandomHyperplaneIndex(dim=64, n_planes=6, n_tables=8)
+    indexed = idx.build(emb, "embedding")
+    qvec = QVEC64
+    out = idx.search(indexed, qvec, k=10, select=["vec_id"], multiprobe=1, tiebreak=["vec_id"])
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@query(
+    "d04_minhash_lsh_pairs",
+    oracle=None,  # engine-specific hashing (xxhash64 banding); the exact-
+    # Jaccard verify step is the oracle-checked d03
+    note="MinHash+banded-LSH near-dup candidates verified by exact Jaccard "
+    "(Q25); deterministic but not SQL-portable, rows-only check",
+)
+def d04_minhash_lsh_pairs(spark, sf_dir):
+    from laion_spark.operators.dedup import minhash_lsh_pairs
+
+    d = t(spark, sf_dir, "documents").filter("doc_id < 200")
+    return minhash_lsh_pairs(d, "doc_id", "text", num_hashes=32, bands=16, ngram=1, threshold=0.5)
+
+
+@query(
+    "d05_simhash_fingerprints",
+    oracle=None,  # xxhash64-based; deterministic, engine-specific
+    note="SimHash 63-bit fingerprints (single-pass HOF vote fold); "
+    "hamming-distance near-dup tested in tests/test_similarity.py",
+)
+def d05_simhash_fingerprints(spark, sf_dir):
+    from laion_spark.operators.dedup import simhash
+
+    d = t(spark, sf_dir, "documents").filter("doc_id % 20 = 0")
+    return simhash(d, "doc_id", "text", ngram=2).orderBy("id")
+
+
+@query(
+    "t05_lang_id_quality",
+    oracle=None,  # heuristic outputs; pinned by unit tests instead
+    note="language-id heuristic + composite quality score + rolling-hash "
+    "count (Q26) — all pure Catalyst expressions, no UDF",
+)
+def t05_lang_id_quality(spark, sf_dir):
+    from laion_spark.functions import text as TX
+
+    d = t(spark, sf_dir, "documents").filter("doc_id % 10 = 0")
+    return d.select(
+        "doc_id",
+        TX.lang_id("text").alias("lang_guess"),
+        F.round(TX.quality_score("text"), 6).alias("quality"),
+        F.size(TX.rolling_hashes("text", 5)).alias("n_window_hashes"),
+        TX.doc_fingerprint("text").alias("fp"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "s01_streaming_tumbling",
+    oracle=None,  # no SQL oracle for streaming (FIXTURES.md §7): parity
+    # with the batch twin is asserted in tests/test_streaming.py
+    note="Q28 structured streaming: events replayed as a file stream, "
+    "watermarked tumbling-window agg run to completion via memory sink",
+)
+def s01_streaming_tumbling(spark, sf_dir):
+    from laion_spark.streaming.windows import (
+        replay_as_stream,
+        run_to_completion,
+        tumbling_counts,
+    )
+
+    tune_session(spark)
+    stream = replay_as_stream(spark, f"{sf_dir}/events.parquet", n_splits=4)
+    out = run_to_completion(tumbling_counts(stream), "cat_s01_tumbling")
+    return out.select(
+        (F.unix_micros("w_start") / 1_000_000).cast("bigint").alias("w_start_s"),
+        "event_type",
+        "n",
+        "total",
+    ).orderBy("w_start_s", "event_type")
+
+
+@query(
+    "m01_multimodal_decode",
+    oracle=None,  # decode backend is a deterministic stub (no codec libs
+    # in this environment); plumbing is pinned by tests/test_multimodal.py
+    note="Q27 multimodal: binaryFile ingest -> magic-byte sniff (JVM) -> "
+    "Arrow-batched decode (stubbed deterministic backend)",
+)
+def m01_multimodal_decode(spark, sf_dir):
+    import os
+
+    from laion_spark.sources.multimodal import decode_images, read_binary
+
+    tune_session(spark)
+    d = "/tmp/laion_multimodal_fixture"
+    if not os.path.exists(f"{d}/_DONE"):
+        os.makedirs(d, exist_ok=True)
+        for i in range(8):
+            magic = [b"\xff\xd8\xff", b"\x89PNG", b"GIF8"][i % 3]
+            with open(f"{d}/img_{i}.bin", "wb") as f:
+                f.write(magic + bytes([i]) * (100 + i * 37))
+        open(f"{d}/_DONE", "w").write("ok")
+    meta = decode_images(read_binary(spark, d, glob="img_*.bin"), decode_backend="fake")
+    return meta.withColumn("path", F.element_at(F.split("path", "/"), -1)).orderBy("path")

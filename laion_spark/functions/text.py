@@ -1,0 +1,129 @@
+"""Text-analysis column functions (north star Q26) — all pure Catalyst
+expressions (JVM-side); nothing here touches Python at runtime.
+
+Surface: token statistics, quality scoring, language identification
+(stopword + script heuristic), document fingerprints. Each returns a
+Column usable in any select/filter — composable with the rest of the
+engine, and cheap at 100 TB (single scan, no shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+ColumnOrName = Column | str
+
+
+def _c(col: ColumnOrName) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: ColumnOrName, lowercase: bool = True) -> Column:
+    c = _c(col)
+    if lowercase:
+        c = F.lower(c)
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: ColumnOrName) -> Column:
+    return F.size(tokens(col, lowercase=False))
+
+
+def distinct_token_ratio(col: ColumnOrName) -> Column:
+    t = tokens(col)
+    return F.size(F.array_distinct(t)).cast("double") / F.size(t)
+
+
+def avg_token_length(col: ColumnOrName) -> Column:
+    t = tokens(col, lowercase=False)
+    return F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x)).cast("double") / F.size(t)
+
+
+def punct_ratio(col: ColumnOrName) -> Column:
+    """Fraction of characters that are not alnum/space/CJK."""
+    c = _c(col)
+    stripped = F.regexp_replace(c, r"[\p{L}\p{N}\s]", "")
+    return F.length(stripped).cast("double") / F.greatest(F.length(c), F.lit(1))
+
+
+def uppercase_ratio(col: ColumnOrName) -> Column:
+    c = _c(col)
+    uppers = F.length(F.regexp_replace(c, r"[^\p{Lu}]", ""))
+    letters = F.length(F.regexp_replace(c, r"[^\p{L}]", ""))
+    return uppers.cast("double") / F.greatest(letters, F.lit(1))
+
+
+#: minimal per-language stopword lists for the heuristic lang-id
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "en", "por"],
+}
+
+
+def stopword_ratio(col: ColumnOrName, lang: str = "en") -> Column:
+    t = tokens(col)
+    hits = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS[lang])))
+    return hits.cast("double") / F.greatest(F.size(t), F.lit(1))
+
+
+def cjk_ratio(col: ColumnOrName) -> Column:
+    c = _c(col)
+    cjk = F.length(F.regexp_replace(c, r"[^一-鿿぀-ヿ가-힯]", ""))
+    return cjk.cast("double") / F.greatest(F.length(F.regexp_replace(c, r"\s", "")), F.lit(1))
+
+
+def lang_id(col: ColumnOrName) -> Column:
+    """Heuristic language id over {en,de,fr,es,zh,unknown}: CJK script
+    ratio first, else argmax stopword-hit count; 'unknown' when no list
+    scores. One pass, pure expressions (a real model would be a
+    pandas_udf — deliberately avoided in the default path)."""
+    def _hits(lang: str) -> Column:
+        words = STOPWORDS[lang]
+        # NOTE: the lambda must be unary — F.filter treats a 2-arg
+        # lambda as (element, index)
+        return F.size(F.filter(tokens(col), lambda x: x.isin(*words)))
+
+    scores = {lang: _hits(lang) for lang in STOPWORDS}
+    best_lang = F.lit("unknown")
+    best_score = F.lit(0)
+    for lang, s in scores.items():
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return F.when(cjk_ratio(col) > 0.3, F.lit("zh")).otherwise(best_lang)
+
+
+def quality_score(col: ColumnOrName, lang: str = "en") -> Column:
+    """Composite [0,1] quality heuristic: length sweet-spot, stopword
+    presence, moderate punctuation, vocabulary diversity. The weights
+    are a starting point, not a law — each term is exposed above for
+    custom scoring."""
+    c = _c(col)
+    n = token_count(c)
+    length_term = F.when((n >= 10) & (n <= 2000), 1.0).otherwise(
+        F.least(n.cast("double") / 10.0, F.lit(1.0))
+    )
+    stop_term = F.least(stopword_ratio(c, lang) * 5.0, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(c) * 4.0, F.lit(1.0))
+    diversity_term = F.least(distinct_token_ratio(c) * 2.0, F.lit(1.0))
+    return (
+        length_term * 0.3 + stop_term * 0.25 + punct_term * 0.2 + diversity_term * 0.25
+    )
+
+
+def doc_fingerprint(col: ColumnOrName) -> Column:
+    """Portable content fingerprint (md5 hex)."""
+    return F.md5(_c(col).cast("binary"))
+
+
+def rolling_hashes(col: ColumnOrName, window: int = 5) -> Column:
+    """Winnowing-style token-window rolling hashes (Spark-only; xxhash64
+    over joined token windows). Used for substring-level fingerprinting:
+    two documents sharing any window hash share a 5-token run."""
+    t = tokens(col)
+    idx = F.sequence(F.lit(1), F.size(t) - (window - 1))
+    hashes = F.transform(idx, lambda i: F.xxhash64(F.array_join(F.slice(t, i, window), " ")))
+    # sequence(1, m<1) counts DOWN; short docs get an empty hash list
+    return F.when(F.size(t) >= window, hashes).otherwise(F.array().cast("array<bigint>"))

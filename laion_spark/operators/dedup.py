@@ -33,8 +33,10 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
-# large Mersenne prime for minhash universal hashing
-_MERSENNE = (1 << 61) - 1
+# Mersenne prime 2^31-1 for minhash universal hashing: with x,a,b < 2^31
+# every intermediate product stays under 2^62, inside int64 even with
+# ANSI overflow checking on (Spark 4 default)
+_MERSENNE = (1 << 31) - 1
 
 
 def exact_dedup(
@@ -79,10 +81,11 @@ def shingles(text_col: str | Column, n: int = 3, lowercase: bool = True) -> Colu
     toks = tokens(text_col, lowercase)
     if n == 1:
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    )
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.array_distinct(F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")))
+    # shorter-than-n documents have no shingles (sequence(1, m<1) would
+    # count DOWN and slice(.., 0, ..) errors)
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
 def jaccard_similar_pairs(
@@ -147,9 +150,8 @@ def minhash_signatures(
     base = F.transform(sh, lambda s: F.xxhash64(s))
 
     def minhash_i(a: int, b: int) -> Column:
-        # positive 61-bit domain; pmod keeps it exact in long arithmetic
         return F.array_min(
-            F.transform(base, lambda h: (F.pmod(h, F.lit(_MERSENNE)) * (a % (1 << 31)) + b) % F.lit(_MERSENNE))
+            F.transform(base, lambda h: (F.pmod(h, F.lit(_MERSENNE)) * a + b) % F.lit(_MERSENNE))
         )
 
     sig = F.array(*[minhash_i(a, b) for a, b in coeffs])

@@ -1,0 +1,265 @@
+"""Similarity search over embedding columns (north star Q25/V9).
+
+Three access paths, in increasing scale-awareness:
+
+  - ``knn_search`` (operators.knn) — single-query brute force; the
+    exact baseline.
+  - ``knn_join`` — many queries x huge corpus: queries are collected
+    (they are the SMALL side by contract) and broadcast inside an
+    Arrow scorer that computes a per-batch distance matrix with BLAS
+    and emits only each query's per-batch top-k; a final window takes
+    the global top-k. Corpus never shuffles; traffic is
+    O(n_queries * k * n_partitions) candidate rows.
+  - ``RandomHyperplaneIndex`` — LSH-bucketed approximate search
+    (the engine's answer to the reference's Annoy table,
+    images/results_ridgeback_annoy_100m.png): sign-bit signatures on R
+    random hyperplanes; queries probe their own bucket plus
+    ``multiprobe`` single-bit flips, exact-rescoring only candidates.
+    Recall-tested (>= 0.9 @ 10 on fixtures), never claimed exact
+    (SURVEY.md hard part #4).
+
+At 100 TB: bucket ids are computed at ingest and the table is
+written partitioned/bucketed by signature band, so a probe reads only
+matching partitions (partition pruning does the Annoy tree's job).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from laion_spark.functions.vector import vec_lit
+from laion_spark.operators.knn import knn_search  # noqa: F401  (re-export)
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_vec: str = "embedding",
+    query_vec: str = "embedding",
+    corpus_id: str = "id",
+    query_id: str = "id",
+    metric: str = "l2",
+) -> DataFrame:
+    """Exact k nearest corpus rows for EACH query row.
+
+    Output: (query_id, corpus_id, score) — ``k`` rows per query,
+    total-ordered by (query_id, score, corpus_id).
+    """
+    if metric not in ("l2", "cosine"):
+        raise ValueError("metric must be l2|cosine")
+    q_rows = queries.select(query_id, query_vec).collect()
+    if not q_rows:
+        raise ValueError("queries DataFrame is empty")
+    q_ids = [r[0] for r in q_rows]
+    q_mat = [list(map(float, r[1])) for r in q_rows]
+    dim = len(q_mat[0])
+
+    pruned = corpus.select(corpus_id, corpus_vec)
+
+    def score(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        Q = np.asarray(q_mat, dtype=np.float64)  # (m, dim)
+        qn = np.linalg.norm(Q, axis=1)
+        m = Q.shape[0]
+        kk = k
+        for rb in batches:
+            vcol = rb.column(1)
+            n = len(vcol)
+            if n == 0:
+                continue
+            X = vcol.flatten().to_numpy(zero_copy_only=False).reshape(n, dim).astype(np.float64, copy=False)
+            if metric == "l2":
+                # (n, m) squared distances via ||x||^2 - 2XQ^T + ||q||^2
+                d2 = (
+                    np.einsum("ij,ij->i", X, X)[:, None]
+                    - 2.0 * (X @ Q.T)
+                    + np.einsum("ij,ij->i", Q, Q)[None, :]
+                )
+                np.maximum(d2, 0.0, out=d2)
+                scores = np.sqrt(d2)
+                order_best_first = True
+            else:
+                xn = np.linalg.norm(X, axis=1)
+                denom = np.outer(xn, qn)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    scores = np.where(denom > 0, (X @ Q.T) / denom, -np.inf)
+                order_best_first = False
+            top = min(kk, n)
+            ids = rb.column(0)
+            out_q, out_c, out_s = [], [], []
+            for j in range(m):
+                col = scores[:, j]
+                idx = (
+                    np.argpartition(col, top - 1)[:top]
+                    if order_best_first
+                    else np.argpartition(-col, top - 1)[:top]
+                )
+                out_q.extend([q_ids[j]] * top)
+                out_c.extend(ids.take(pa.array(idx)).to_pylist())
+                out_s.extend(col[idx].tolist())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_q), pa.array(out_c), pa.array(out_s, type=pa.float64())],
+                ["qid", "cid", "score"],
+            )
+
+    qid_t = queries.schema[query_id].dataType.simpleString()
+    cid_t = corpus.schema[corpus_id].dataType.simpleString()
+    partial = pruned.mapInArrow(score, f"qid {qid_t}, cid {cid_t}, score double")
+    asc = metric == "l2"
+    w = W.partitionBy("qid").orderBy(
+        F.col("score").asc() if asc else F.col("score").desc(), F.col("cid").asc()
+    )
+    return (
+        partial.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col("qid").alias(query_id + "_q"),
+            F.col("cid").alias(corpus_id + "_c"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(query_id + "_q", "score", corpus_id + "_c")
+    )
+
+
+class RandomHyperplaneIndex:
+    """Multi-table sign-LSH index (OR-construction): table t assigns
+    bucket_t = packed sign bits of <v, plane_{t,r}>; a query's
+    candidates are the union over tables of its own bucket (plus
+    optional single-bit multiprobe flips). More tables -> higher
+    recall; more planes per table -> harder pruning. The standard
+    angular-LSH trade (AND within a table, OR across tables).
+
+    ``build`` adds one int column per table from deterministic seeded
+    planes; ``search`` prunes with an OR-of-IN filter (pushdown-able;
+    at scale, partition by ``lsh_b0`` so table 0's probe prunes
+    partitions) and exact-rescoring only the candidates.
+    """
+
+    def __init__(self, dim: int, n_planes: int = 8, n_tables: int = 8, seed: int = 42):
+        import numpy as np
+
+        if not 0 < n_planes <= 30:
+            raise ValueError("n_planes must be in 1..30")
+        self.dim = dim
+        self.n_planes = n_planes
+        self.n_tables = n_tables
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_tables, n_planes, dim))
+
+    def bucket_col(self, vector_col: str, table: int) -> F.Column:
+        """Bucket id for one table as a Catalyst expression (JVM-side)."""
+        from laion_spark.functions.vector import dot
+
+        out = None
+        for r in range(self.n_planes):
+            d = dot(F.col(vector_col), vec_lit([float(x) for x in self.planes[table, r]]))
+            bit = F.when(d >= 0, F.lit(1 << r)).otherwise(F.lit(0))
+            out = bit if out is None else out + bit
+        return out.cast("int")
+
+    def build(self, df: DataFrame, vector_col: str = "embedding", prefix: str = "lsh_b") -> DataFrame:
+        for t in range(self.n_tables):
+            df = df.withColumn(f"{prefix}{t}", self.bucket_col(vector_col, t))
+        return df
+
+    def query_buckets(self, qvec: Sequence[float], table: int, multiprobe: int = 0) -> list[int]:
+        import numpy as np
+
+        q = np.asarray(list(qvec), dtype=np.float64)
+        base = 0
+        for r in range(self.n_planes):
+            if float(self.planes[table, r] @ q) >= 0:
+                base |= 1 << r
+        buckets = [base]
+        if multiprobe >= 1:
+            buckets += [base ^ (1 << r) for r in range(self.n_planes)]
+        return buckets
+
+    def candidate_filter(self, qvec: Sequence[float], multiprobe: int = 0, prefix: str = "lsh_b"):
+        cond = None
+        for t in range(self.n_tables):
+            c = F.col(f"{prefix}{t}").isin(self.query_buckets(qvec, t, multiprobe))
+            cond = c if cond is None else cond | c
+        return cond
+
+    def search(
+        self,
+        indexed: DataFrame,
+        qvec: Sequence[float],
+        k: int = 10,
+        vector_col: str = "embedding",
+        select: Sequence[str] | None = None,
+        multiprobe: int = 0,
+        tiebreak: Sequence[str] = (),
+        metric: str = "l2",
+        prefix: str = "lsh_b",
+    ) -> DataFrame:
+        """Approximate top-k: prune to candidate buckets, exact-rescore."""
+        cands = indexed.filter(self.candidate_filter(qvec, multiprobe, prefix))
+        return knn_search(
+            cands, list(qvec), k=k, vector_col=vector_col, select=select, metric=metric, tiebreak=tiebreak
+        )
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame, id_col: str) -> float:
+    """|approx ∩ exact| / |exact| on the id column (driver-side; both
+    inputs are k-row results)."""
+    a = {r[0] for r in approx.select(id_col).collect()}
+    e = {r[0] for r in exact.select(id_col).collect()}
+    return len(a & e) / max(len(e), 1)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    vector_col: str = "embedding",
+    threshold: float = 0.9,
+    index: RandomHyperplaneIndex | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (north star Q25): LSH
+    bucket join for candidates, exact cosine verify.
+
+    Plan: build per-table buckets -> explode to (table, bucket) ->
+    self equi-join on (table, bucket) -> distinct candidate pairs ->
+    exact cosine >= threshold. Only bucket collisions ever meet, so the
+    pair stage is far from quadratic; at cos >= 0.9 the per-table
+    collision probability is high (OR across tables catches the rest).
+    Output: (ida, idb, cosine), ida < idb, ordered by cosine desc.
+    """
+    import numpy as np  # noqa: F401  (index construction)
+
+    if index is None:
+        if dim is None:
+            raise ValueError("pass either index or dim")
+        index = RandomHyperplaneIndex(dim=dim, n_planes=6, n_tables=6)
+    built = index.build(df.select(id_col, vector_col), vector_col)
+    bucket_cols = [f"lsh_b{t}" for t in range(index.n_tables)]
+    banded = built.select(
+        F.col(id_col).alias("_id"),
+        F.col(vector_col).alias("_v"),
+        F.explode(
+            F.array(*[F.struct(F.lit(t).alias("t"), F.col(b).alias("b")) for t, b in enumerate(bucket_cols)])
+        ).alias("tb"),
+    ).select("_id", "_v", "tb.t", "tb.b")
+    a = banded.select(F.col("_id").alias("ida"), F.col("_v").alias("_va"), "t", "b")
+    bb = banded.select(F.col("_id").alias("idb"), F.col("_v").alias("_vb"), "t", "b")
+    cands = (
+        a.join(bb, ["t", "b"])
+        .filter(F.col("ida") < F.col("idb"))
+        .select("ida", "idb", "_va", "_vb")
+        .dropDuplicates(["ida", "idb"])
+    )
+    from laion_spark.functions.vector import cosine_similarity
+
+    cos = cosine_similarity(F.col("_va"), F.col("_vb"))
+    return (
+        cands.select("ida", "idb", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy(F.col("cosine").desc(), "ida", "idb")
+    )

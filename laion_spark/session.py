@@ -39,6 +39,38 @@ def default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Ship laion_spark to executor Python workers via addPyFile.
+
+    Worker-side closures (mapInPandas/mapInArrow) reference functions
+    from this package; workers unpickle them by module reference, so the
+    package must be importable there. Locally that only holds when the
+    driver's cwd is the repo; on a real cluster it never holds. Zipping
+    the package and addPyFile-ing it is the standard, cluster-correct
+    fix (and is idempotent per session)."""
+    if getattr(spark, "_laion_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    import laion_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(laion_spark.__file__))
+    zpath = os.path.join(tempfile.gettempdir(), f"laion_spark_pkg_{os.getpid()}.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    arc = os.path.join("laion_spark", os.path.relpath(full, pkg_dir))
+                    z.write(full, arc)
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # e.g. Spark Connect — closures are shipped differently there
+    spark._laion_pkg_shipped = True
+
+
 def tune_session(spark: SparkSession, shuffle_partitions: int | None = None) -> SparkSession:
     """Apply runtime confs to an existing session (idempotent)."""
     for k, v in _RUNTIME_CONF.items():
@@ -51,6 +83,7 @@ def tune_session(spark: SparkSession, shuffle_partitions: int | None = None) -> 
         spark.conf.set("spark.sql.shuffle.partitions", str(n))
     except Exception:
         pass
+    _ship_package(spark)
     return spark
 
 

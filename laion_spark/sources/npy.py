@@ -1,0 +1,175 @@
+"""Bulk ETL: LAION shard layout -> the engine's fact table
+(SURVEY.md §2.1 S1-S5, §3.3; reference /root/reference/process.py).
+
+Input layout per shard id (process.py:109-114):
+    metadata/metadata_{id}.parquet       # row metadata
+    img_emb/img_emb_{id}.npy             # row-aligned float32 matrix
+    text_emb/text_emb_{id}.npy           # row-aligned float32 matrix
+
+The join between metadata and the .npy matrices is POSITIONAL (row i of
+the parquet matches row i of the matrix — process.py:58-72 advances a
+running offset). That is the one genuinely non-relational operation in
+the reference; the distributed answer is file-granular parallelism:
+one shard is processed inside one task, where order is preserved by
+construction. No global row_number, no shuffle of embedding payloads.
+
+Per-shard pipeline (mirrors process.py:53-78):
+    iterate metadata in 65536-row batches (S1)  ->
+    slice the mmap'd matrices by running offset (S2/S3) ->
+    zero-fill a missing matrix (S4, process.py:26-34) ->
+    clean curly quotes from captions (P5, process.py:75) ->
+    parse exif JSON -> map (P6, process.py:76) ->
+    project to the declared schema (P2, process.py:74)
+
+Scale posture: laion2B-en is ~2314 shards — natural task granularity
+for a 1000-executor cluster, uniform sizes (no skew), linear scan I/O,
+and the output lands via the ordinary schema-enforced zstd parquet sink
+(S5, process.py:49-50).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from laion_spark.schema import LAION_SCHEMA
+
+#: reference batch size (process.py:22)
+BATCH_ROWS = 65536
+
+_SHARD_RE = re.compile(r"metadata_(\d+)\.parquet$")
+
+
+@dataclass(frozen=True)
+class Shard:
+    shard_id: int
+    metadata_path: str
+    img_emb_path: str | None
+    text_emb_path: str | None
+
+
+def discover_shards(input_dir: str) -> list[Shard]:
+    """Glob + numeric-sort shard ids (process.py:109-114). Missing
+    .npy files are recorded as None -> zero-fill downstream (S4)."""
+    shards = []
+    for p in sorted(glob.glob(os.path.join(input_dir, "metadata", "metadata_*.parquet"))):
+        m = _SHARD_RE.search(p)
+        if not m:
+            continue
+        sid = int(m.group(1))
+        img = os.path.join(input_dir, "img_emb", f"img_emb_{sid}.npy")
+        txt = os.path.join(input_dir, "text_emb", f"text_emb_{sid}.npy")
+        shards.append(
+            Shard(
+                shard_id=sid,
+                metadata_path=p,
+                img_emb_path=img if os.path.exists(img) else None,
+                text_emb_path=txt if os.path.exists(txt) else None,
+            )
+        )
+    return sorted(shards, key=lambda s: s.shard_id)
+
+
+_JOBS_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.IntegerType(), False),
+        T.StructField("metadata_path", T.StringType(), False),
+        T.StructField("img_emb_path", T.StringType(), True),
+        T.StructField("text_emb_path", T.StringType(), True),
+    ]
+)
+
+_CURLY = {ord("’"): " ", ord("‘"): " "}
+
+
+def _process_shard_pdfs(job, dim: int):
+    """Yield pandas DataFrames for one shard — the reference's
+    per-shard loop (process.py:14-92) minus the writer."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    img = np.load(job.img_emb_path, mmap_mode="r") if job.img_emb_path else None
+    txt = np.load(job.text_emb_path, mmap_mode="r") if job.text_emb_path else None
+    offset = 0
+    pf = pq.ParquetFile(job.metadata_path)
+    for batch in pf.iter_batches(batch_size=BATCH_ROWS):
+        pdf = batch.to_pandas()
+        n = len(pdf)
+        if img is not None:
+            img_rows = [np.asarray(r, dtype=np.float32) for r in img[offset : offset + n]]
+        else:
+            img_rows = [np.zeros(dim, dtype=np.float32)] * n  # S4 zero-fill
+        if txt is not None:
+            txt_rows = [np.asarray(r, dtype=np.float32) for r in txt[offset : offset + n]]
+        else:
+            txt_rows = [np.zeros(dim, dtype=np.float32)] * n
+        offset += n
+
+        pdf["caption"] = pdf["caption"].map(
+            lambda s: s.translate(_CURLY) if isinstance(s, str) else s
+        )
+        exif_src = "exif_json" if "exif_json" in pdf.columns else "exif"
+        pdf["exif"] = pdf[exif_src].map(lambda s: json.loads(s) if isinstance(s, str) else {})
+        pdf["text_embedding"] = txt_rows
+        pdf["image_embedding"] = img_rows
+        yield pdf[[f.name for f in LAION_SCHEMA.fields]]  # P2 projection
+
+
+def etl_shards(spark: SparkSession, input_dir: str, dim: int = 768) -> DataFrame:
+    """The distributed ETL: a tiny jobs DataFrame (one row per shard)
+    fanned out so each task assembles whole shards (X1 parity with
+    mp.Pool one-shard-per-task, process.py:115-118)."""
+    shards = discover_shards(input_dir)
+    if not shards:
+        raise FileNotFoundError(f"no metadata_*.parquet under {input_dir}/metadata")
+    jobs = spark.createDataFrame(
+        [(s.shard_id, s.metadata_path, s.img_emb_path, s.text_emb_path) for s in shards],
+        _JOBS_SCHEMA,
+    ).repartition(len(shards), "shard_id")
+
+    def run(batches):
+        for jobs_pdf in batches:
+            for job in jobs_pdf.itertuples(index=False):
+                yield from _process_shard_pdfs(job, dim)
+
+    return jobs.mapInPandas(run, LAION_SCHEMA)
+
+
+def write_fact_table(df: DataFrame, path: str, compression: str = "zstd") -> None:
+    """Schema-enforced compressed sink (S5, process.py:49-50)."""
+    df.write.mode("overwrite").option("compression", compression).parquet(path)
+
+
+def shard_report(spark: SparkSession, input_dir: str, dim: int = 768) -> DataFrame:
+    """Per-shard error ledger (X3, process.py:87-92, 119-121): runs the
+    same per-shard pipeline under try/except, one result row per shard
+    {shard_id, success, rows, error}."""
+    shards = discover_shards(input_dir)
+    jobs = spark.createDataFrame(
+        [(s.shard_id, s.metadata_path, s.img_emb_path, s.text_emb_path) for s in shards],
+        _JOBS_SCHEMA,
+    ).repartition(max(len(shards), 1), "shard_id")
+
+    def run(batches):
+        import pandas as pd
+
+        for jobs_pdf in batches:
+            for job in jobs_pdf.itertuples(index=False):
+                try:
+                    rows = sum(len(p) for p in _process_shard_pdfs(job, dim))
+                    yield pd.DataFrame(
+                        [{"shard_id": job.shard_id, "success": True, "rows": rows, "error": None}]
+                    )
+                except Exception as e:  # ledger, not fail-fast (X3)
+                    yield pd.DataFrame(
+                        [{"shard_id": job.shard_id, "success": False, "rows": 0, "error": str(e)}]
+                    )
+
+    return jobs.mapInPandas(run, "shard_id int, success boolean, rows long, error string")

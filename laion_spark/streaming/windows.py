@@ -1,0 +1,128 @@
+"""Structured Streaming operators (SURVEY.md §2.9 Q28-Q31).
+
+The reference has no streams; the north star adds them. Correctness
+story (FIXTURES.md §7): no external oracle exists for streaming, so
+every operator here is a *window spec shared with a batch twin* —
+replay the events table as a file stream, run the streaming query to
+completion, and the result must equal the identical computation on the
+batch DataFrame (Structured Streaming's batch-equivalence promise).
+That parity is asserted in tests/test_streaming.py.
+
+Watermarks bound state: at 100 TB/day of events the tumbling/sliding
+aggregations keep only open windows in the state store, and
+``dropDuplicatesWithinWatermark`` keeps only keys younger than the
+delay — both size state by time, not by stream length.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+
+def replay_as_stream(
+    spark: SparkSession,
+    parquet_path: str,
+    files_per_trigger: int = 1,
+    n_splits: int = 4,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Replay a batch parquet table as a file-source stream.
+
+    The table is re-written as ``n_splits`` files ordered by event time
+    (one file per micro-batch -> realistic late/ordered arrival), into
+    a temp dir the file source watches. Timestamps stored as raw nanos
+    (bigint) are normalized to a TIMESTAMP column ``ts_t``.
+    """
+    src = spark.read.parquet(parquet_path)
+    if dict(src.dtypes).get(ts_col) == "bigint":  # nanos (see session.py)
+        src = src.withColumn("ts_t", F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
+    else:
+        src = src.withColumn("ts_t", F.col(ts_col).cast("timestamp"))
+    stream_dir = tempfile.mkdtemp(prefix="laion_stream_")
+    src.orderBy("ts_t").coalesce(1).write.mode("overwrite").parquet(stream_dir + "/_sorted")
+    # split the single sorted file into n ordered files
+    sorted_df = spark.read.parquet(stream_dir + "/_sorted")
+    total = sorted_df.count()
+    per = (total + n_splits - 1) // n_splits
+    rows = sorted_df.withColumn("_rn", F.row_number().over(W.orderBy("ts_t"))).withColumn(
+        "_split", ((F.col("_rn") - 1) / per).cast("int")
+    ).drop("_rn")
+    data_dir = stream_dir + "/data"
+    os.makedirs(data_dir, exist_ok=True)
+    for s in range(n_splits + 1):
+        part = rows.filter(F.col("_split") == s).drop("_split")
+        if part.count() > 0:
+            part.coalesce(1).write.mode("overwrite").parquet(stream_dir + f"/_tmp{s}")
+            f = glob.glob(stream_dir + f"/_tmp{s}/part-*.parquet")[0]
+            shutil.move(f, os.path.join(data_dir, f"{s:05d}.parquet"))
+    schema = spark.read.parquet(data_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(data_dir)
+    )
+
+
+def run_to_completion(stream_df: DataFrame, query_name: str, output_mode: str = "complete") -> DataFrame:
+    """Drive a streaming aggregation through all available input via a
+    memory sink; returns the final result as a batch DataFrame."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+# --- window specs shared by stream and batch twins ---------------------------
+
+
+def tumbling_counts(df: DataFrame, window: str = "1 hour", watermark: str = "30 minutes") -> DataFrame:
+    """Q28 tumbling-window count/sum per event_type."""
+    src = df.withWatermark("ts_t", watermark) if df.isStreaming else df
+    return (
+        src.groupBy(F.window("ts_t", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def sliding_counts(df: DataFrame, window: str = "1 hour", slide: str = "30 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Q28 sliding-window event counts."""
+    src = df.withWatermark("ts_t", watermark) if df.isStreaming else df
+    return (
+        src.groupBy(F.window("ts_t", window, slide).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+
+
+def sessionized_counts(df: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Q29 session windows per user (gap-based)."""
+    src = df.withWatermark("ts_t", watermark) if df.isStreaming else df
+    return (
+        src.groupBy(F.session_window("ts_t", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("s_start"), F.col("w.end").alias("s_end"), "user_id", "n_events")
+    )
+
+
+def streaming_dedup(df: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
+    """Q31 stateful dedup: exactly-once per key within the watermark.
+    Batch twin: dropDuplicates on the same keys."""
+    if df.isStreaming:
+        return df.withWatermark("ts_t", watermark).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)

@@ -1,0 +1,129 @@
+import pytest
+from pyspark.sql import functions as F
+
+from laion_spark.operators.knn import knn_search
+from laion_spark.operators.similarity import (
+    RandomHyperplaneIndex,
+    knn_join,
+    recall_at_k,
+)
+
+QVEC = [round(((j * 37) % 19 - 9) / 10.0, 1) for j in range(64)]
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_knn_join_matches_per_query_brute_force(spark, emb):
+    queries = emb.filter("vec_id < 3").select("vec_id", "embedding")
+    out = knn_join(emb, queries, k=5, corpus_id="vec_id", query_id="vec_id").collect()
+    assert len(out) == 15
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.vec_id_q, []).append(r)
+    for qrow in queries.collect():
+        exact = knn_search(
+            emb, [float(x) for x in qrow.embedding], k=5, vector_col="embedding",
+            select=["vec_id"], tiebreak=["vec_id"],
+        ).collect()
+        got_ids = [r.vec_id_c for r in by_q[qrow.vec_id]]
+        assert got_ids == [r.vec_id for r in exact]
+        # self is its own nearest neighbor at distance 0
+        assert got_ids[0] == qrow.vec_id
+        assert by_q[qrow.vec_id][0].score == pytest.approx(0.0, abs=1e-6)
+
+
+@pytest.fixture(scope="module")
+def near_dup_corpus(spark, emb):
+    """embeddings + jittered twins: the realistic ANN workload (the
+    testdata embeddings themselves are isotropic unit vectors — top-10
+    'neighbors' there sit at cosine ~0.3, where aggressive pruning +
+    high recall is impossible for any angular LSH by construction)."""
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    rng = np.random.default_rng(7)
+    out = []
+    for r in rows:
+        v = np.array(r.embedding, dtype=np.float64)
+        out.append((int(r.vec_id), [float(x) for x in v]))
+        for j in range(2):  # two near-duplicate twins per base vector
+            w = v + rng.normal(0, 0.05, size=v.shape)
+            out.append((10000 + int(r.vec_id) * 10 + j, [float(x) for x in w]))
+    return spark.createDataFrame(out, "vec_id long, embedding array<double>")
+
+
+def test_lsh_ann_recall(spark, near_dup_corpus):
+    corpus = near_dup_corpus.cache()
+    qvec = [float(x) for x in corpus.filter("vec_id = 7").collect()[0].embedding]
+    idx = RandomHyperplaneIndex(dim=64, n_planes=6, n_tables=8)
+    indexed = idx.build(corpus, "embedding").cache()
+    exact = knn_search(corpus, qvec, k=3, vector_col="embedding", select=["vec_id"], tiebreak=["vec_id"])
+    approx = idx.search(indexed, qvec, k=3, select=["vec_id"], tiebreak=["vec_id"])
+    r = recall_at_k(approx, exact, "vec_id")
+    assert r >= 0.9, f"recall@3 = {r}"
+    # candidate set actually pruned: well under half the corpus scanned
+    n_cand = indexed.filter(idx.candidate_filter(qvec)).count()
+    assert 0 < n_cand < corpus.count() / 2
+    indexed.unpersist()
+    corpus.unpersist()
+
+
+def test_embedding_near_dup_pairs(spark, near_dup_corpus):
+    from laion_spark.operators.similarity import embedding_near_dup_pairs
+
+    sub = near_dup_corpus.filter("vec_id < 20 or (vec_id >= 10000 and vec_id < 10200)")
+    pairs = embedding_near_dup_pairs(sub, "vec_id", "embedding", threshold=0.9, dim=64)
+    got = {(r.ida, r.idb) for r in pairs.collect()}
+    # every base in 0..19 must pair with both its twins
+    found = sum((b, 10000 + b * 10 + j) in got for b in range(20) for j in range(2))
+    assert found >= 36, f"only {found}/40 twin pairs found"
+    # no false positives among unrelated base vectors
+    assert not any(a < 20 and b < 20 for a, b in got)
+
+
+def test_lsh_bucket_determinism(spark, emb):
+    idx1 = RandomHyperplaneIndex(dim=64, n_planes=6, n_tables=2)
+    idx2 = RandomHyperplaneIndex(dim=64, n_planes=6, n_tables=2)
+    b1 = idx1.build(emb.limit(20), "embedding").select("vec_id", "lsh_b0", "lsh_b1").collect()
+    b2 = idx2.build(emb.limit(20), "embedding").select("vec_id", "lsh_b0", "lsh_b1").collect()
+    assert sorted(map(tuple, b1)) == sorted(map(tuple, b2))
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    from laion_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(0, base), (1, base + " ok"), (2, base.replace("quick", "slow") + " extra"),
+            (3, "completely different text with no overlap whatsoever here at all now"),
+            (4, base + " ok")]  # 4 ~ 1 duplicates
+    df = spark.createDataFrame(rows, "id long, text string")
+    pairs = minhash_lsh_pairs(df, "id", "text", num_hashes=32, bands=16, ngram=2, threshold=0.4)
+    got = {(r.da, r.db) for r in pairs.collect()}
+    assert (1, 4) in got  # identical docs collide
+    assert (0, 1) in got or (0, 4) in got  # near-dup found
+    assert all(3 not in p for p in got)  # unrelated doc never pairs
+
+
+def test_simhash_hamming(spark):
+    from laion_spark.operators.dedup import hamming_distance, simhash
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [(0, base), (1, base + " ok"), (2, "completely different text with no overlap whatsoever here")],
+        "id long, text string",
+    )
+    fps = simhash(df, "id", "text", ngram=2)
+    a = fps.alias("a")
+    b = fps.alias("b")
+    d = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"),
+                hamming_distance(F.col("a.simhash"), F.col("b.simhash")).alias("h"))
+        .collect()
+    )
+    dist = {(r.i, r.j): r.h for r in d}
+    assert dist[(0, 1)] < dist[(0, 2)]  # near-dup closer than unrelated
+    assert dist[(0, 1)] <= 12

@@ -1,0 +1,61 @@
+import pytest
+from pyspark.sql import functions as F
+
+from laion_spark.functions import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat and the dog barked at it loudly"),
+        (1, "der Hund ist nicht auf der Straße und das ist gut für alle"),
+        (2, "el perro es un animal y la casa es una buena idea en general"),
+        (3, "你好 世界 这是 一个 测试 文本 你好 世界"),
+        (4, "x"),
+        (5, "WOW!!! AMAZING??? CLICK NOW!!! FREE $$$ !!!"),
+    ]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def _one(df, col, cid):
+    return {r.id: r.v for r in df.select("id", col.alias("v")).collect()}[cid]
+
+
+def test_token_stats(spark, docs):
+    assert _one(docs, TX.token_count("text"), 0) == 13
+    assert _one(docs, TX.token_count("text"), 4) == 1
+    assert _one(docs, TX.distinct_token_ratio("text"), 0) < 1.0
+    assert _one(docs, TX.avg_token_length("text"), 4) == 1.0
+
+
+def test_lang_id(spark, docs):
+    got = {r.id: r.v for r in docs.select("id", TX.lang_id("text").alias("v")).collect()}
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "es"
+    assert got[3] == "zh"
+    assert got[5] == "unknown"
+
+
+def test_quality_score_ordering(spark, docs):
+    q = {r.id: r.v for r in docs.select("id", TX.quality_score("text").alias("v")).collect()}
+    assert 0.0 <= min(q.values()) and max(q.values()) <= 1.0
+    assert q[0] > q[5]  # clean English prose beats punctuation spam
+    assert q[0] > q[4]  # and beats a one-character doc
+
+
+def test_punct_and_upper(spark, docs):
+    assert _one(docs, TX.punct_ratio("text"), 0) == pytest.approx(0.0)
+    assert _one(docs, TX.punct_ratio("text"), 5) > 0.2
+    assert _one(docs, TX.uppercase_ratio("text"), 5) > 0.9
+    assert _one(docs, TX.uppercase_ratio("text"), 0) == pytest.approx(0.0)
+
+
+def test_fingerprints(spark, docs):
+    fp = {r.id: r.v for r in docs.select("id", TX.doc_fingerprint("text").alias("v")).collect()}
+    assert len(set(fp.values())) == 6  # all distinct
+    assert len(fp[0]) == 32  # md5 hex
+    rh = docs.select("id", TX.rolling_hashes("text", window=3).alias("v")).collect()
+    by_id = {r.id: r.v for r in rh}
+    assert len(by_id[0]) == 13 - 2  # n_tokens - window + 1
+    assert by_id[4] == []  # shorter than the window -> empty
