@@ -1328,3 +1328,240 @@ def m01_multimodal_decode(spark, sf_dir):
         open(f"{d}/_DONE", "w").write("ok")
     meta = decode_images(read_binary(spark, d, glob="img_*.bin"), decode_backend="fake")
     return meta.withColumn("path", F.element_at(F.split("path", "/"), -1)).orderBy("path")
+
+
+# =============================================================================
+# Q-class batch 2: pivot, cube, subqueries, deterministic statistics,
+# regexp, intervals — rounding out the §2.9 relational surface.
+# =============================================================================
+
+
+@query(
+    "q21_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'view') AS view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'error') AS error
+    FROM events
+    WHERE user_id < 30
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    note="pivot (wide conditional aggregation) — Spark .pivot() with explicit values (no extra pass)",
+)
+def q21_pivot(spark, sf_dir):
+    e = t(spark, sf_dir, "events").filter("user_id < 30")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q22_cube_grouping",
+    oracle=f"""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER) AS gid,
+           count(*) AS n,
+           {_dsum_sql('l_extendedprice')} AS total_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY gid, returnflag, linestatus
+    """,
+    note="Q10 cube + grouping() metadata",
+)
+def q22_cube_grouping(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("l_extendedprice", "total_price"),
+            (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).cast("int").alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid",
+            "n",
+            "total_price",
+        )
+        .orderBy("gid", "returnflag", "linestatus")
+    )
+
+
+@query(
+    "q23_subqueries_sql",
+    oracle="""
+    SELECT c.c_custkey, c.c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2))
+      AND c.c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 1)
+    ORDER BY c.c_custkey
+    """,
+    note="P3 arbitrary-SQL surface: correlated EXISTS + scalar subquery + IN subquery via spark.sql",
+)
+def q23_subqueries_sql(spark, sf_dir):
+    tune_session(spark)
+    for name in ("customer", "orders", "nation"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_acctbal
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2))
+          AND c.c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 1)
+        ORDER BY c.c_custkey
+        """
+    )
+
+
+@query(
+    "q24_stats_deterministic",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round({_dsum_sql('l_quantity')} / count(*), 6) AS mean_qty,
+           round(({_dsum_sql('l_quantity * l_quantity')}
+                  - {_dsum_sql('l_quantity')} * {_dsum_sql('l_quantity')} / count(*))
+                 / (count(*) - 1), 6) AS var_qty,
+           round(sqrt(({_dsum_sql('l_quantity * l_quantity')}
+                  - {_dsum_sql('l_quantity')} * {_dsum_sql('l_quantity')} / count(*))
+                 / (count(*) - 1)), 6) AS std_qty,
+           round(CAST(min(l_quantity) AS DOUBLE), 6) AS min_qty,
+           round(CAST(max(l_quantity) AS DOUBLE), 6) AS max_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    note="aggregate statistics from exact decimal sums (native stddev/var are "
+    "merge-order-dependent floats — not oracle-stable; same math, deterministic)",
+)
+def q24_stats_deterministic(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    s1 = F.sum(F.col("l_quantity").cast("decimal(18,6)")).cast("double")
+    s2 = F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(18,6)")).cast("double")
+    n = F.count("*")
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            n.alias("n"),
+            F.round(s1 / n, 6).alias("mean_qty"),
+            F.round(var, 6).alias("var_qty"),
+            F.round(F.sqrt(var), 6).alias("std_qty"),
+            F.round(F.min("l_quantity").cast("double"), 6).alias("min_qty"),
+            F.round(F.max("l_quantity").cast("double"), 6).alias("max_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q25_regexp_extract_all",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INTEGER) AS n_vowels,
+           coalesce(array_to_string(regexp_extract_all(p_name, '\\b[a-z]{5,}\\b'), ','), '') AS long_words
+    FROM part
+    WHERE p_partkey % 7 = 0
+    ORDER BY p_partkey
+    """,
+    note="Q17 regexp surface: extract, extract_all, join",
+)
+def q25_regexp_extract_all(spark, sf_dir):
+    p = t(spark, sf_dir, "part").filter("p_partkey % 7 = 0")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+        F.size(F.regexp_extract_all("p_name", F.lit("[aeiou]"), 0)).alias("n_vowels"),
+        F.array_join(F.regexp_extract_all("p_name", F.lit(r"\b[a-z]{5,}\b"), 0), ",").alias("long_words"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "q26_interval_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS plus_3m,
+           CAST(o_orderdate AS DATE) - INTERVAL 45 DAY AS minus_45d,
+           CAST(date_diff('month', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS months_since,
+           CAST(strftime(o_orderdate, '%w') AS INTEGER) AS dow
+    FROM orders
+    WHERE o_orderkey % 150 = 0
+    ORDER BY o_orderkey
+    """,
+    note="Q18 interval/date arithmetic: add_months, date_sub, month diff, day-of-week",
+)
+def q26_interval_arithmetic(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter("o_orderkey % 150 = 0")
+    od = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.add_months(od, 3).cast("timestamp").alias("plus_3m"),
+        F.date_sub(od, 45).cast("timestamp").alias("minus_45d"),
+        ((F.year(od) - 1995) * 12 + F.month(od) - 1).alias("months_since"),
+        (F.dayofweek(od) - 1).alias("dow"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "q27_union_all_dups",
+    oracle="""
+    SELECT p_brand, count(*) AS n
+    FROM (
+      SELECT p_brand FROM part WHERE p_size > 40
+      UNION ALL
+      SELECT p_brand FROM part WHERE p_retailprice > 1500
+    )
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    note="Q16 UNION ALL preserves duplicates (vs the distinct set ops in q14)",
+)
+def q27_union_all_dups(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    u = p.filter("p_size > 40").select("p_brand").unionAll(
+        p.filter("p_retailprice > 1500").select("p_brand")
+    )
+    return u.groupBy("p_brand").agg(F.count("*").alias("n")).orderBy("p_brand")
+
+
+@query(
+    "e05_first_last_window",
+    oracle="""
+    SELECT user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type,
+           CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+    FROM events
+    WHERE user_id < 10
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+    ORDER BY user_id, ts_us
+    """,
+    note="Q12 first/last window analytics with explicit frames",
+)
+def e05_first_last_window(spark, sf_dir):
+    e = ev(spark, sf_dir).filter("user_id < 10")
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        e.select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_type"),
+            F.last("event_type").over(wfull).alias("last_type"),
+            F.count("*").over(W.partitionBy("user_id")).alias("n_events"),
+            "ts_us",
+        )
+        .orderBy("user_id", "ts_us")
+    )
