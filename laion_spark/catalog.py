@@ -1565,3 +1565,303 @@ def e05_first_last_window(spark, sf_dir):
         )
         .orderBy("user_id", "ts_us")
     )
+
+
+# =============================================================================
+# X-class: the reference's bulk ETL (process.py) run end-to-end, plus the
+# remaining streaming windows and embedding near-dup — SURVEY.md §2.1/§2.8,
+# Q28-Q31, Q25.
+# =============================================================================
+
+
+_ETL_DIR = "/tmp/laion_etl_catalog_fixture"
+_ETL_DIM = 16
+_ETL_ROWS = (150, 100)  # shard 0 (both matrices), shard 1 (no .npy -> zero-fill)
+
+
+def _etl_fixture() -> str:
+    """Deterministic two-shard LAION-layout fixture (metadata parquet +
+    row-aligned .npy matrices, reference process.py:109-114). Every value
+    is a closed-form function of (shard, pos), so the DuckDB oracle can
+    regenerate the expected output analytically — no file dependency.
+    Embedding values are exact multiples of 1/8 (bit-exact in float32
+    and in any summation order)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    if os.path.exists(f"{_ETL_DIR}/_DONE"):
+        return _ETL_DIR
+    for sub in ("metadata", "img_emb", "text_emb"):
+        os.makedirs(f"{_ETL_DIR}/{sub}", exist_ok=True)
+    for shard, n in enumerate(_ETL_ROWS):
+        pos = np.arange(n)
+        tbl = pa.table(
+            {
+                "key": pa.array([f"k{shard}_{p:04d}" for p in pos]),
+                "url": pa.array([f"http://x/{shard}/{p}" for p in pos]),
+                "caption": pa.array([f"it’s row {p}‘end" for p in pos]),
+                "similarity": pa.array(pos / 100.0, type=pa.float64()),
+                "width": pa.array(pos, type=pa.int64()),
+                "height": pa.array(np.full(n, shard), type=pa.int64()),
+                "original_width": pa.array(pos * 2, type=pa.int64()),
+                "original_height": pa.array(pos * 3, type=pa.int64()),
+                "status": pa.array(["success"] * n),
+                "nsfw": pa.array(["UNLIKELY"] * n),
+                "exif_json": pa.array(
+                    [
+                        None if p % 7 == 0 else '{"make": "m%d", "iso": "%d"}' % (p % 5, 100 + p)
+                        for p in pos
+                    ]
+                ),
+            }
+        )
+        pq.write_table(tbl, f"{_ETL_DIR}/metadata/metadata_{shard}.parquet")
+        if shard == 0:  # shard 1 has no matrices -> S4 zero-fill path
+            j = np.arange(_ETL_DIM)
+            img = ((pos[:, None] * 7 + 3 * j[None, :]) % 41 - 20) / 8.0
+            txt = ((pos[:, None] * 5 + 11 * j[None, :]) % 37 - 18) / 8.0
+            np.save(f"{_ETL_DIR}/img_emb/img_emb_0.npy", img.astype(np.float32))
+            np.save(f"{_ETL_DIR}/text_emb/text_emb_0.npy", txt.astype(np.float32))
+    open(f"{_ETL_DIR}/_DONE", "w").write("ok")
+    return _ETL_DIR
+
+
+@query(
+    "x01_etl_shard_assembly",
+    oracle=f"""
+    WITH rows AS (
+      SELECT 0 AS shard, CAST(i AS BIGINT) AS pos FROM range(0, {_ETL_ROWS[0]}) t(i)
+      UNION ALL
+      SELECT 1 AS shard, CAST(i AS BIGINT) AS pos FROM range(0, {_ETL_ROWS[1]}) t(i)
+    )
+    SELECT printf('k%d_%04d', shard, pos) AS key,
+           'it s row ' || pos || ' end' AS caption,
+           pos AS width,
+           shard AS height,
+           CASE WHEN pos % 7 = 0 THEN NULL ELSE 'm' || (pos % 5) END AS exif_make,
+           CAST(CASE WHEN pos % 7 = 0 THEN 0 ELSE 2 END AS INTEGER) AS n_exif,
+           round(CASE WHEN shard = 0 THEN ((pos * 7) % 41 - 20) / 8.0 ELSE 0.0 END, 6) AS img0,
+           round(CASE WHEN shard = 0 THEN list_aggregate(list_transform(range(0, {_ETL_DIM}),
+                 j -> ((pos * 7 + 3 * j) % 41 - 20) / 8.0), 'sum') ELSE 0.0 END, 6) AS img_sum,
+           round(CASE WHEN shard = 0 THEN list_aggregate(list_transform(range(0, {_ETL_DIM}),
+                 j -> ((pos * 5 + 11 * j) % 37 - 18) / 8.0), 'sum') ELSE 0.0 END, 6) AS txt_sum,
+           round(pos / 100.0, 6) AS similarity
+    FROM rows
+    ORDER BY key
+    """,
+    note="S1-S5/S3 positional npy⋈parquet ETL end-to-end (process.py:14-92): "
+    "per-shard mapInPandas assembly, zero-fill, caption clean (P5), exif "
+    "from_json (P6), schema projection (P2); oracle regenerates the expected "
+    "table analytically from the fixture's closed-form values",
+)
+def x01_etl_shard_assembly(spark, sf_dir):
+    from laion_spark.sources.npy import etl_shards
+
+    tune_session(spark)
+    fact = etl_shards(spark, _etl_fixture(), dim=_ETL_DIM)
+    acc = F.lit(0.0)
+    return fact.select(
+        "key",
+        "caption",
+        "width",
+        "height",
+        F.element_at("exif", "make").alias("exif_make"),
+        F.size("exif").alias("n_exif"),
+        F.round(F.element_at("image_embedding", 1).cast("double"), 6).alias("img0"),
+        F.round(F.aggregate("image_embedding", acc, lambda a, x: a + x), 6).alias("img_sum"),
+        F.round(F.aggregate("text_embedding", acc, lambda a, x: a + x), 6).alias("txt_sum"),
+        F.round("similarity", 6).alias("similarity"),
+    ).orderBy("key")
+
+
+@query(
+    "q28_full_outer_join",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+         s AS (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+    SELECT coalesce(c.k, s.k) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust,
+           coalesce(n_supp, 0) AS n_supp
+    FROM c FULL JOIN s ON c.k = s.k
+    ORDER BY nationkey
+    """,
+    note="Q3 full outer join — unmatched rows surviving on both sides",
+)
+def q28_full_outer_join(spark, sf_dir):
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter("c_acctbal > 9000")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .filter("s_acctbal > 9000")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        c.join(s, "k", "full")
+        .select(
+            F.col("k").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+_COS_SQL = (
+    "list_aggregate(list_transform(range(1, 65), i -> "
+    "CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum') / "
+    "(sqrt(list_aggregate(list_transform(range(1, 65), i -> "
+    "CAST(a.embedding[i] AS DOUBLE) ^ 2), 'sum')) * "
+    "sqrt(list_aggregate(list_transform(range(1, 65), i -> "
+    "CAST(b.embedding[i] AS DOUBLE) ^ 2), 'sum')))"
+)
+
+
+@query(
+    "d06_embedding_cosine_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS ida, b.vec_id AS idb, round({_COS_SQL}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 250 AND b.vec_id < 250 AND round({_COS_SQL}, 6) >= 0.4
+    ORDER BY cosine DESC, ida, idb
+    """,
+    note="Q25 embedding-cosine near-dup, exact verify path: brute-force "
+    "pair scores on a bounded block (the correctness anchor for the LSH "
+    "candidate path d07, which is the 100 TB plan)",
+)
+def d06_embedding_cosine_neardup(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings").filter("vec_id < 250").select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("vb"))
+    cos = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(F.broadcast(b), F.col("ida") < F.col("idb"))
+        .select("ida", "idb", cos.alias("cosine"))
+        .filter("cosine >= 0.4")
+        .orderBy(F.desc("cosine"), "ida", "idb")
+    )
+
+
+@query(
+    "d07_embedding_neardup_lsh",
+    oracle=None,  # LSH candidate generation is recall-bounded, not exact
+    # (SURVEY.md hard part #4); recall vs brute force is asserted in
+    # tests/test_similarity.py::test_embedding_near_dup_pairs
+    note="Q25 embedding near-dup at scale: sign-LSH bucket self-join for "
+    "candidates (no quadratic pair stage), exact cosine verify",
+)
+def d07_embedding_neardup_lsh(spark, sf_dir):
+    from laion_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = t(spark, sf_dir, "embeddings").filter("vec_id < 250")
+    return embedding_near_dup_pairs(e, "vec_id", "embedding", threshold=0.4, dim=64)
+
+
+@query(
+    "s02_streaming_sliding",
+    oracle="""
+    SELECT w_start_s, count(*) AS n FROM (
+      SELECT unnest([b, b - 1800]) AS w_start_s
+      FROM (SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 1800) * 1800 AS b
+            FROM events)
+    )
+    GROUP BY w_start_s
+    ORDER BY w_start_s
+    """,
+    note="Q28 sliding windows (1h window / 30m slide): every event lands in "
+    "exactly two slide-aligned windows; streamed via file replay + memory "
+    "sink, oracle is the closed-form window assignment",
+)
+def s02_streaming_sliding(spark, sf_dir):
+    from laion_spark.streaming.windows import replay_as_stream, run_to_completion, sliding_counts
+
+    tune_session(spark)
+    stream = replay_as_stream(spark, f"{sf_dir}/events.parquet", n_splits=4)
+    out = run_to_completion(sliding_counts(stream), "cat_s02_sliding")
+    return out.select(
+        (F.unix_micros("w_start") / 1_000_000).cast("bigint").alias("w_start_s"), "n"
+    ).orderBy("w_start_s")
+
+
+@query(
+    "s03_streaming_session",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ), flagged AS (
+      SELECT user_id, us,
+             CASE WHEN coalesce(us - lag(us) OVER (PARTITION BY user_id ORDER BY us),
+                                9223372036854775807) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM x
+    ), grouped AS (
+      SELECT user_id, us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           min(us) AS s_start_us,
+           max(us) + 1800000000 AS s_end_us,
+           count(*) AS n_events
+    FROM grouped
+    GROUP BY user_id, sid
+    ORDER BY user_id, s_start_us
+    """,
+    note="Q29 session windows (30m gap) as a stream; oracle is the "
+    "gaps-and-islands batch formulation (merge while diff <= gap — Spark "
+    "merges an event landing exactly on the window end)",
+)
+def s03_streaming_session(spark, sf_dir):
+    from laion_spark.streaming.windows import (
+        replay_as_stream,
+        run_to_completion,
+        sessionized_counts,
+    )
+
+    tune_session(spark)
+    stream = replay_as_stream(spark, f"{sf_dir}/events.parquet", n_splits=4)
+    out = run_to_completion(sessionized_counts(stream), "cat_s03_session")
+    return out.select(
+        "user_id",
+        F.unix_micros("s_start").alias("s_start_us"),
+        F.unix_micros("s_end").alias("s_end_us"),
+        "n_events",
+    ).orderBy("user_id", "s_start_us")
+
+
+@query(
+    "s04_streaming_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type,
+           epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 1000000 AS hr_s
+    FROM events
+    ORDER BY user_id, event_type, hr_s
+    """,
+    note="Q31 stateful streaming dedup (dropDuplicatesWithinWatermark on "
+    "user/type/hour): with event-time-ordered replay every duplicate "
+    "arrives inside the watermark, so the surviving key set is exactly "
+    "DISTINCT — the batch twin",
+)
+def s04_streaming_dedup(spark, sf_dir):
+    from laion_spark.streaming.windows import replay_as_stream, run_to_completion, streaming_dedup
+
+    tune_session(spark)
+    stream = replay_as_stream(spark, f"{sf_dir}/events.parquet", n_splits=4)
+    dd = streaming_dedup(
+        stream.withColumn("hr", F.date_trunc("hour", "ts_t")),
+        ["user_id", "event_type", "hr"],
+    )
+    out = run_to_completion(dd, "cat_s04_dedup", output_mode="append")
+    return out.select(
+        "user_id",
+        "event_type",
+        (F.unix_micros("hr") / 1_000_000).cast("bigint").alias("hr_s"),
+    ).orderBy("user_id", "event_type", "hr_s")
