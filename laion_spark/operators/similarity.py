@@ -263,3 +263,141 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .orderBy(F.col("cosine").desc(), "ida", "idb")
     )
+
+
+class IVFIndex:
+    """Coarse-quantizer ANN (IVF-flat) — the partition-pruning access
+    path (SURVEY.md §4.2's "k-means IVF buckets" candidate, the engine's
+    second answer to the reference's Annoy table alongside
+    ``RandomHyperplaneIndex``).
+
+    ``fit`` learns ``n_clusters`` centroids with deterministic Lloyd
+    iterations (init = the ``n_clusters`` lowest-id rows; means via a
+    posexplode group-by — numerically order-independent enough for
+    assignment, which only compares distances). ``build`` stamps each
+    row with its nearest-centroid id via the same Arrow batch scorer
+    the kNN path uses (one (n x dim) @ (dim x C) GEMM per batch, no
+    shuffle). ``search`` prunes to the ``nprobe`` centroids nearest the
+    query and exact-rescoring only those rows.
+
+    At 100 TB: fit on a bounded sample, ``build`` at ingest, write the
+    table ``partitionBy("ivf_cluster")`` — a probe then reads
+    ~nprobe/n_clusters of the bytes via partition pruning, which is
+    exactly what the reference's ANN table does server-side
+    (images/results_ridgeback_annoy_100m.png: 8.5x at 100 M rows).
+    """
+
+    def __init__(self, dim: int, n_clusters: int = 16, n_iters: int = 2, nprobe: int = 3):
+        self.dim = dim
+        self.n_clusters = n_clusters
+        self.n_iters = n_iters
+        self.nprobe = nprobe
+        self.centroids: list[list[float]] | None = None
+
+    # -- fit ------------------------------------------------------------
+
+    def fit(
+        self,
+        df: DataFrame,
+        id_col: str = "id",
+        vector_col: str = "embedding",
+        fit_rows: int | None = None,
+    ) -> "IVFIndex":
+        sample = df.select(id_col, vector_col).orderBy(id_col)
+        if fit_rows is not None:
+            sample = sample.limit(fit_rows)
+        sample = sample.cache()
+        init = sample.orderBy(id_col).limit(self.n_clusters).collect()
+        if len(init) < self.n_clusters:
+            raise ValueError(f"need >= {self.n_clusters} rows to fit, got {len(init)}")
+        cents = [list(map(float, r[1])) for r in init]
+        for _ in range(self.n_iters):
+            assigned = self._assign(sample, vector_col, cents)
+            rows = (
+                assigned.select("ivf_cluster", F.posexplode(vector_col).alias("pos", "val"))
+                .groupBy("ivf_cluster", "pos")
+                .agg(F.avg(F.col("val").cast("double")).alias("m"))
+                .collect()
+            )
+            new = [list(c) for c in cents]  # empty clusters keep old center
+            acc: dict[int, list[float]] = {}
+            for r in rows:
+                acc.setdefault(r[0], [0.0] * self.dim)[r[1]] = r[2]
+            for cid, vec in acc.items():
+                new[cid] = vec
+            cents = new
+        sample.unpersist()
+        self.centroids = cents
+        return self
+
+    # -- assignment (Arrow batch GEMM, partition-local) ------------------
+
+    def _assign(self, df: DataFrame, vector_col: str, cents: list[list[float]]) -> DataFrame:
+        import pyarrow as pa
+
+        fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+        out_schema = fields + ", ivf_cluster int"
+        dim = self.dim
+        names = [f.name for f in df.schema.fields]
+
+        def assign(batches):
+            import numpy as np
+
+            C = np.asarray(cents, dtype=np.float64)  # (C, dim)
+            cc = np.einsum("ij,ij->i", C, C)  # ||c||^2
+            for rb in batches:
+                vcol = rb.column(rb.schema.get_field_index(vector_col))
+                n = len(vcol)
+                if n == 0:
+                    continue
+                mat = (
+                    vcol.flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .reshape(n, dim)
+                    .astype(np.float64, copy=False)
+                )
+                # argmin_c ||x-c||^2 = argmin_c (||c||^2 - 2 x.c)
+                cid = np.argmin(cc[None, :] - 2.0 * (mat @ C.T), axis=1).astype(np.int32)
+                arrays = [rb.column(i) for i in range(rb.num_columns)]
+                arrays.append(pa.array(cid, type=pa.int32()))
+                yield pa.RecordBatch.from_arrays(arrays, names + ["ivf_cluster"])
+
+        return df.mapInArrow(assign, out_schema)
+
+    def build(self, df: DataFrame, vector_col: str = "embedding") -> DataFrame:
+        if self.centroids is None:
+            raise ValueError("call fit() first")
+        return self._assign(df, vector_col, self.centroids)
+
+    # -- search ----------------------------------------------------------
+
+    def probe_clusters(self, qvec: Sequence[float], nprobe: int | None = None) -> list[int]:
+        """Driver-side: ids of the nprobe centroids nearest the query."""
+        import numpy as np
+
+        if self.centroids is None:
+            raise ValueError("call fit() first")
+        C = np.asarray(self.centroids, dtype=np.float64)
+        q = np.asarray(list(qvec), dtype=np.float64)
+        d = np.einsum("ij,ij->i", C - q, C - q)
+        n = self.nprobe if nprobe is None else nprobe
+        return [int(i) for i in np.argsort(d, kind="stable")[:n]]
+
+    def search(
+        self,
+        indexed: DataFrame,
+        qvec: Sequence[float],
+        k: int = 10,
+        vector_col: str = "embedding",
+        select: Sequence[str] | None = None,
+        metric: str = "l2",
+        nprobe: int | None = None,
+        tiebreak: Sequence[str] = (),
+    ) -> DataFrame:
+        probes = self.probe_clusters(qvec, nprobe)
+        cands = indexed.filter(F.col("ivf_cluster").isin(probes))
+        if select is not None:
+            cands = cands.select(*select, vector_col)
+        return knn_search(
+            cands, list(qvec), k=k, vector_col=vector_col, select=select, metric=metric, tiebreak=tiebreak
+        )

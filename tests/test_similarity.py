@@ -127,3 +127,36 @@ def test_simhash_hamming(spark):
     dist = {(r.i, r.j): r.h for r in d}
     assert dist[(0, 1)] < dist[(0, 2)]  # near-dup closer than unrelated
     assert dist[(0, 1)] <= 12
+
+
+def test_ivf_recall_and_pruning(spark, near_dup_corpus):
+    from laion_spark.operators.similarity import IVFIndex
+
+    corpus = near_dup_corpus.cache()
+    qvec = [float(x) for x in corpus.filter("vec_id = 7").collect()[0].embedding]
+    idx = IVFIndex(dim=64, n_clusters=8, n_iters=2, nprobe=2).fit(
+        corpus, id_col="vec_id", vector_col="embedding"
+    )
+    indexed = idx.build(corpus, "embedding").cache()
+    # every row got a cluster, clusters span a real range
+    assert indexed.filter("ivf_cluster IS NULL").count() == 0
+    n_clusters_used = indexed.select("ivf_cluster").distinct().count()
+    assert n_clusters_used >= 2
+    exact = knn_search(corpus, qvec, k=3, vector_col="embedding", select=["vec_id"], tiebreak=["vec_id"])
+    approx = idx.search(indexed, qvec, k=3, select=["vec_id"], tiebreak=["vec_id"])
+    r = recall_at_k(approx, exact, "vec_id")
+    assert r >= 0.9, f"recall@3 = {r}"
+    # pruning is real: probed clusters hold well under the whole corpus
+    probes = idx.probe_clusters(qvec)
+    n_cand = indexed.filter(F.col("ivf_cluster").isin(probes)).count()
+    assert 0 < n_cand < corpus.count()
+    indexed.unpersist()
+    corpus.unpersist()
+
+
+def test_ivf_deterministic(spark, emb):
+    from laion_spark.operators.similarity import IVFIndex
+
+    a = IVFIndex(dim=64, n_clusters=4, n_iters=2).fit(emb, id_col="vec_id", vector_col="embedding")
+    b = IVFIndex(dim=64, n_clusters=4, n_iters=2).fit(emb, id_col="vec_id", vector_col="embedding")
+    assert a.centroids == b.centroids
