@@ -17,17 +17,24 @@ Implementation note (measured, not guessed — see BENCH): Catalyst's
 higher-order array functions (``zip_with``/``aggregate``) are evaluated
 interpreted, element-at-a-time with boxing — ~25k el/s/core at
 dim=768, which is 3-4 orders of magnitude off the reference's
-10-48M rows/s scan rate. So:
+10-48M rows/s scan rate. So, three scorers:
 
-  - ``impl="arrow"`` (default for dim >= 32): an ``mapInArrow`` scorer
-    — Arrow record batches flattened zero-copy into an (n x dim) numpy
-    matrix, distances via BLAS-grade vectorized ops, (ids..., score)
-    batches returned. Stays fully distributed and partition-local;
-    the only cross-node traffic is the final k-row reduce. This is the
-    100 TB path.
-  - ``impl="hof"``: the pure-Catalyst expression path. Correctness
-    twin for the oracle, and fine for small dims / column-expression
-    composition (concept math over columns).
+  - ``impl="codegen"`` (default for literal query vectors up to dim
+    2048): the distance is unrolled into per-element ``element_at``
+    expressions, chunk-summed so every generated method stays under
+    HotSpot's JIT ceiling — the whole score evaluates inside one
+    WholeStageCodegen span, JVM-only. Stable ~44-80M el/s measured;
+    never touches the Python boundary, so it is immune to the
+    JVM<->Python transfer degradation observed under host contention
+    (up to 30x on shared VMs).
+  - ``impl="arrow"``: a ``mapInArrow`` scorer — Arrow record batches
+    flattened zero-copy into an (n x dim) numpy matrix, distances via
+    BLAS-grade vectorized ops, (ids..., score) batches returned. Fully
+    distributed and partition-local; the fallback for very high dims
+    where the unrolled plan gets expensive to compile.
+  - ``impl="hof"``: the pure-Catalyst HOF path. Correctness twin for
+    the oracle, and the only path for column-valued (non-literal)
+    query vectors (concept math over columns).
 
 The monotonic-distance rewrite (sort on squared distance, sqrt after
 the limit) and filter-before-score ordering are constructed here
@@ -49,9 +56,15 @@ from laion_spark.functions.vector import (
 
 _METRICS = {"l2", "cosine", "dot"}
 
-#: dim at/above which the Arrow scorer wins (measured crossover is far
-#: lower; 32 is conservative)
-_ARROW_DIM_THRESHOLD = 32
+#: above this dim the unrolled-expression plan gets expensive to build
+#: and compile on the driver; fall back to the Arrow scorer
+_CODEGEN_DIM_LIMIT = 2048
+
+#: terms per generated sub-expression: small enough that each generated
+#: method stays under HotSpot's ~8 KB bytecode JIT ceiling (a single
+#: 768-term expression compiles but runs in the bytecode INTERPRETER,
+#: ~4x slower measured)
+_CODEGEN_CHUNK = 48
 
 
 def knn_search(
@@ -80,12 +93,16 @@ def knn_search(
 
     is_literal_q = not isinstance(query_vec, Column)
     if impl == "auto":
-        impl = "arrow" if (is_literal_q and len(query_vec) >= _ARROW_DIM_THRESHOLD) else "hof"
-    if impl == "arrow" and not is_literal_q:
-        raise ValueError("impl='arrow' requires a literal query vector")
+        impl = "codegen" if (is_literal_q and len(query_vec) <= _CODEGEN_DIM_LIMIT) else (
+            "arrow" if is_literal_q else "hof"
+        )
+    if impl in ("arrow", "codegen") and not is_literal_q:
+        raise ValueError(f"impl={impl!r} requires a literal query vector")
 
     if impl == "arrow":
         scored = _arrow_scored(df, list(query_vec), vector_col, cols, metric)
+    elif impl == "codegen":
+        scored = _codegen_scored(df, list(query_vec), vector_col, cols, metric)
     else:
         q = vec_lit(query_vec) if is_literal_q else query_vec
         if metric == "l2":
@@ -106,6 +123,80 @@ def knn_search(
 
     topk = scored.orderBy(*order).limit(k)
     return topk.withColumn(score_col, finish).drop("_raw")
+
+
+def _tree_sum(terms: list[Column]) -> Column:
+    """Balanced-tree sum: expression depth log2(n) (a left-assoc chain
+    of 768 adds nests generated code 768 deep). Summation order differs
+    from a linear fold by ~1 ulp — canonicalized away by the round(6)
+    comparison grain (SURVEY.md hard part #2), same as the numpy
+    pairwise reduction in the Arrow path."""
+    while len(terms) > 1:
+        terms = [
+            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+def _codegen_scored(
+    df: DataFrame,
+    qvec: list[float],
+    vector_col: str,
+    cols: Sequence[str],
+    metric: str,
+) -> DataFrame:
+    """Pure-JVM scorer: the distance against a literal query vector is
+    unrolled into per-element expressions (`element_at` is O(1) on the
+    columnar array) and summed in ~16-term chunks projected as
+    intermediate columns, so every generated method stays JIT-compiled
+    inside one WholeStageCodegen span. No Python boundary, no Arrow
+    ser/de of the embedding column — the scan reads (id cols +
+    vector), scores in registers, and only k rows ever leave the stage.
+
+    Measured (BENCH, 200k x 768, local[32]): stable ~44-80M el/s/query;
+    the mapInArrow path peaks similarly but its JVM<->Python socket hop
+    degrades up to 30x under host CPU contention, so this is the
+    default for literal queries."""
+    e = F.col(vector_col)
+    if metric == "l2":
+
+        def sq_diff(j: int, qj: float) -> Column:
+            d = F.element_at(e, j + 1).cast("double") - F.lit(float(qj))
+            return d * d
+
+        chunk_sets = {"_d": [sq_diff(j, qj) for j, qj in enumerate(qvec)]}
+    elif metric == "dot":
+        chunk_sets = {
+            "_d": [F.element_at(e, j + 1).cast("double") * F.lit(float(qj)) for j, qj in enumerate(qvec)]
+        }
+    else:  # cosine: dot / (|a| * |q|)
+        chunk_sets = {
+            "_d": [F.element_at(e, j + 1).cast("double") * F.lit(float(qj)) for j, qj in enumerate(qvec)],
+            "_n": [
+                F.element_at(e, j + 1).cast("double") * F.element_at(e, j + 1).cast("double")
+                for j in range(len(qvec))
+            ],
+        }
+
+    inter = []
+    for prefix, terms in chunk_sets.items():
+        for i in range(0, len(terms), _CODEGEN_CHUNK):
+            inter.append(_tree_sum(terms[i : i + _CODEGEN_CHUNK]).alias(f"{prefix}{i}"))
+    step1 = df.select(*cols, *inter)
+
+    def total(prefix: str, n: int) -> Column:
+        return _tree_sum([F.col(f"{prefix}{i}") for i in range(0, n, _CODEGEN_CHUNK)])
+
+    if metric in ("l2", "dot"):
+        raw = total("_d", len(qvec))
+    else:
+        import math
+
+        qnorm = math.sqrt(sum(float(x) * float(x) for x in qvec))
+        denom = F.sqrt(total("_n", len(qvec))) * F.lit(qnorm)
+        raw = F.when(denom != 0.0, total("_d", len(qvec)) / denom)
+    return step1.select(*cols, raw.alias("_raw"))
 
 
 def _arrow_scored(
