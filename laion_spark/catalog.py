@@ -1865,3 +1865,38 @@ def s04_streaming_dedup(spark, sf_dir):
         "event_type",
         (F.unix_micros("hr") / 1_000_000).cast("bigint").alias("hr_s"),
     ).orderBy("user_id", "event_type", "hr_s")
+
+
+@query(
+    "a02_ann_ivf_topk",
+    oracle=None,  # approximate by construction, like a01; recall vs
+    # brute force asserted in tests/test_similarity.py::test_ivf_recall_and_pruning
+    note="ANN via IVF coarse quantizer (SURVEY.md §4.2): deterministic "
+    "Lloyd centroids, nprobe-pruned exact rescore — at ingest the table "
+    "partitions by cluster id so probes read ~nprobe/C of the bytes",
+)
+def a02_ann_ivf_topk(spark, sf_dir):
+    from laion_spark.operators.similarity import IVFIndex
+
+    emb = t(spark, sf_dir, "embeddings")
+    idx = IVFIndex(dim=64, n_clusters=8, n_iters=2, nprobe=3).fit(
+        emb, id_col="vec_id", vector_col="embedding"
+    )
+    out = idx.search(idx.build(emb, "embedding"), QVEC64, k=10, select=["vec_id"], tiebreak=["vec_id"])
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
+@query(
+    "q29_approx_count_distinct",
+    oracle=None,  # HLL sketches differ across engines by design
+    # (SURVEY.md Q9: declared bench-only, never hash-matched); the exact
+    # twin q08 is the correctness anchor
+    note="Q9 approximate distinct: HLL++ at 1% target error — the "
+    "shuffle-free cardinality path for 100 TB profiling",
+)
+def q29_approx_count_distinct(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.count("*").alias("n"),
+    ).orderBy("l_returnflag")

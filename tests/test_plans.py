@@ -1,0 +1,106 @@
+"""Physical-plan hygiene gates (SURVEY.md §4.1/§4.3, Phase 6).
+
+These assert the plan SHAPE, not results: at 100 TB the difference
+between "reads two columns" and "reads the 6 KB/row embedding column
+it never scores" is the whole I/O budget. Each test pins one
+scale-critical property so a regression shows up as a test failure,
+not a 100x cloud bill.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from laion_spark.operators.knn import knn_search
+
+QVEC64 = [round(((j * 37) % 19 - 9) / 10.0, 1) for j in range(64)]
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    em = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(em)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_knn_is_take_ordered_no_shuffle(emb):
+    """Top-k must be per-partition top-k + k-row reduce: a global Sort
+    + Exchange of scored rows would shuffle the whole table."""
+    p = plan_str(knn_search(emb, QVEC64, k=10, vector_col="embedding", select=["vec_id"]))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p
+
+
+def test_knn_filter_pushed_to_scan(emb):
+    """The WHERE below the scoring projection must reach the parquet
+    reader (row-group stats skip I/O server-side in the reference;
+    PushedFilters is the Spark equivalent)."""
+    p = plan_str(
+        knn_search(emb, QVEC64, k=10, vector_col="embedding", filter="label <> 0", select=["vec_id"])
+    )
+    push = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert push and "label" in push[0], push
+
+
+def test_knn_scan_prunes_unused_columns(emb):
+    """Scoring vec_id+embedding must not read `label` from parquet."""
+    p = plan_str(knn_search(emb, QVEC64, k=10, vector_col="embedding", select=["vec_id"]))
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert rs and "label" not in rs[0], rs
+
+
+def test_knn_codegen_path_has_no_python_node(emb):
+    """The default literal-vector scorer is JVM-only: no
+    ArrowEvalPython / MapInArrow / BatchEvalPython operator anywhere."""
+    p = plan_str(knn_search(emb, QVEC64, k=10, vector_col="embedding", select=["vec_id"]))
+    for marker in ("Python", "MapInArrow", "ArrowEval"):
+        assert marker not in p, f"{marker} found in plan:\n{p}"
+
+
+def test_knn_codegen_wholestage_compiles(emb):
+    """The unrolled chunked score must land inside WholeStageCodegen
+    subtrees (interpreted fallback would be silent and ~10x slower)."""
+    p = plan_str(
+        knn_search(emb, QVEC64, k=10, vector_col="embedding", select=["vec_id"]), mode="codegen"
+    )
+    assert "WholeStageCodegen" in p
+    assert "Found 0 WholeStageCodegen" not in p
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    """nation x region must be a broadcast join, never a shuffle join."""
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    p = plan_str(j)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_laion_fact_scan_reads_one_embedding_column(spark):
+    """The reference's canonical query selects ONE embedding column;
+    reading both doubles scan I/O (~6 KB/row each at dim 768,
+    SURVEY.md §4.1 design rule)."""
+    from laion_spark.catalog import _etl_fixture
+    from laion_spark.sources.npy import etl_shards, write_fact_table
+
+    fact_path = "/tmp/laion_plans_fact.parquet"
+    import os
+
+    if not os.path.exists(fact_path + "/_SUCCESS"):
+        write_fact_table(etl_shards(spark, _etl_fixture(), dim=16), fact_path)
+    fact = spark.read.parquet(fact_path)
+    q = knn_search(
+        fact,
+        [0.1] * 16,
+        k=5,
+        vector_col="image_embedding",
+        filter="nsfw = 'UNLIKELY'",
+        select=["url", "caption"],
+    )
+    rs = [ln for ln in plan_str(q).splitlines() if "ReadSchema" in ln]
+    assert rs and "text_embedding" not in rs[0], rs
+    assert "image_embedding" in rs[0]

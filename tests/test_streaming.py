@@ -71,3 +71,75 @@ def test_streaming_dedup_parity(spark, events_batch, events_stream):
     want = streaming_dedup(with_hour(events_batch), keys).select(*keys)
     # survivor rows may differ (dedup picks any row); the KEY SET must match
     assert canon(got, keys) == canon(want, keys)
+
+
+def test_late_data_dropped_past_watermark(spark, tmp_path):
+    """Q30: documented late-data semantics (no DuckDB oracle exists —
+    SURVEY.md hard part #6 — so the contract is pinned here).
+
+    The watermark is a MINIMUM state-retention bound, not a hard input
+    filter: a late row is still merged while its window's state is
+    alive, and eviction+emission run at the end of the batch in which
+    the watermark passed the window end. So the deterministic drop
+    case is: window closes in batch N, late row arrives in batch N+1 —
+    it must NOT reopen the already-emitted window."""
+    import datetime as dt
+    import os
+    import shutil
+
+    data_dir = str(tmp_path / "stream")
+    os.makedirs(data_dir, exist_ok=True)
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(rows, "user_id int, ts_t timestamp")
+        staged = str(tmp_path / ("_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(staged)
+        part = [f for f in os.listdir(staged) if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(staged, part), os.path.join(data_dir, name))
+
+    T = dt.datetime
+    # batch 0: two rows in the 10:00 window, stream time reaches 12:00
+    write_file("00000.parquet", [
+        (1, T(2024, 1, 1, 10, 5)),
+        (1, T(2024, 1, 1, 10, 20)),
+        (1, T(2024, 1, 1, 12, 0)),
+    ])
+    # batch 1 runs under watermark 11:30 -> closes+emits the 10:00 window
+    write_file("00001.parquet", [(1, T(2024, 1, 1, 12, 15))])
+    # batch 2: a LATE row for the evicted 10:00 window + fresh data
+    write_file("00002.parquet", [
+        (1, T(2024, 1, 1, 10, 40)),
+        (1, T(2024, 1, 1, 12, 30)),
+    ])
+
+    schema = spark.read.parquet(data_dir).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(data_dir)
+    )
+    agg = (
+        stream.withWatermark("ts_t", "30 minutes")
+        .groupBy(F.window("ts_t", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_data_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.w_start: r.n for r in spark.sql("SELECT * FROM late_data_test").collect()}
+    t10 = T(2024, 1, 1, 10, 0)
+    # the 10:00 window closed with 2 rows; the late 10:40 row was dropped
+    assert got.get(t10) == 2, got
+    # batch semantics WOULD count it — that's the documented difference
+    batch = spark.read.parquet(data_dir)
+    batch_n = (
+        batch.groupBy(F.window("ts_t", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("w.start") == t10)
+        .collect()[0].n
+    )
+    assert batch_n == 3
