@@ -144,8 +144,49 @@ def embed_concept_udf(kind: str = "hash", dim: int = 8):
     return _embed
 
 
+def embed_image_udf(kind: str = "hash", dim: int = 8, timeout_s: float = 5.0):
+    """``embedImage(String) -> Array(Float32)`` (U2): URL in, image
+    embedding out (embed_image.py:13-19 fetches, decodes, encodes; HTTP
+    failures propagate via raise_for_status — same here).
+
+    ``kind="hash"`` (default in this environment) deterministically
+    encodes the URL string — real CLIP weights and network access are
+    not oracle material. ``kind="clip"`` fetches and encodes for real.
+
+    100 TB note (SURVEY.md §2.5 U2): network fetch inside a query UDF is
+    the throughput ceiling — production pipelines should run a dedicated
+    fetch stage (bounded retry/timeout budget, checkpointed to a binary
+    column) and encode from bytes, not fetch inline per query.
+    """
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def _embed(urls: pd.Series) -> pd.Series:
+        if kind == "hash":
+            enc = _get_encoder("hash", dim)
+            return urls.map(lambda u: None if u is None else enc.encode(u))
+
+        import io  # pragma: no cover - env without torch/requests/PIL
+
+        import requests
+        from PIL import Image
+
+        enc = _get_encoder("clip", dim)
+
+        def one(u):
+            if u is None:
+                return None
+            r = requests.get(u, timeout=timeout_s)
+            r.raise_for_status()  # failures propagate (embed_image.py:15)
+            return enc.encode_image(Image.open(io.BytesIO(r.content)))
+
+        return urls.map(one)
+
+    return _embed
+
+
 def register_udfs(spark, kind: str = "hash", dim: int = 8) -> None:
     """Expose the UDF surface to SQL users:
     ``SELECT embed_text(caption) FROM t``."""
     spark.udf.register("embed_text", embed_text_udf(kind, dim))
+    spark.udf.register("embed_image", embed_image_udf(kind, dim))
     spark.udf.register("embed_concept", embed_concept_udf(kind, dim))

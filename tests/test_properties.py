@@ -1,0 +1,119 @@
+"""Property-based tests (SURVEY.md §5.2 item 4): algebraic laws the
+engine must hold for ALL inputs, not just fixtures.
+
+Driver-side properties (concept-math compiler, hash encoder) run pure
+Python under hypothesis at full example counts; Spark-bound properties
+(distance axioms, top-k permutation stability) use bounded example
+counts — each example is a Spark job."""
+
+import math
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from laion_spark.functions.encoder import HashEncoder, hash_embed
+from laion_spark.plans.concept import eval_concept, parse_concept
+
+finite = st.floats(-100.0, 100.0, allow_nan=False, allow_infinity=False)
+vec8 = st.lists(finite, min_size=8, max_size=8)
+word = st.sampled_from(["alpha", "beta", "gamma", "delta", "bridge", "berlin"])
+
+
+# --- driver-side: concept-math algebra --------------------------------------
+
+
+@given(a=word, b=word)
+def test_concept_addition_commutes(a, b):
+    enc = HashEncoder(8)
+    assert eval_concept(f"{a} + {b}", enc) == pytest.approx(eval_concept(f"{b} + {a}", enc))
+
+
+@given(a=word, b=word)
+def test_concept_mean_is_elementwise_mean(a, b):
+    """(a + b) / 2 == elementwise mean — the published Cubism/Surrealism
+    query shape (images/results_cubism_surealism.png)."""
+    enc = HashEncoder(8)
+    got = eval_concept(f"({a} + {b}) / 2", enc)
+    va, vb = enc.encode(a), enc.encode(b)
+    want = [(x + y) / 2 for x, y in zip(va, vb)]
+    assert got == pytest.approx(want)
+
+
+@given(a=word, k=st.integers(1, 9))
+def test_concept_scalar_both_sides(a, k):
+    """V4 fix: the reference rejects scalar-on-left (search.py:96-97
+    raises before the branch); we implement both sides."""
+    enc = HashEncoder(8)
+    assert eval_concept(f"{a} * {k}", enc) == pytest.approx(eval_concept(f"{k} * {a}", enc))
+
+
+@given(a=word, b=word, c=word)
+def test_concept_precedence_and_left_assoc(a, b, c):
+    """`* /` bind tighter than `+ -`; same-precedence chains are
+    left-associative (search.py:125-143 grammar semantics)."""
+    enc = HashEncoder(8)
+    va, vb, vc = enc.encode(a), enc.encode(b), enc.encode(c)
+    got = eval_concept(f"{a} + {b} * 2 - {c}", enc)
+    want = [x + y * 2 - z for x, y, z in zip(va, vb, vc)]
+    assert got == pytest.approx(want)
+    got2 = eval_concept(f"{a} - {b} - {c}", enc)
+    want2 = [x - y - z for x, y, z in zip(va, vb, vc)]
+    assert got2 == pytest.approx(want2)
+
+
+@given(t=word, dim=st.sampled_from([8, 16, 64]))
+def test_hash_embed_deterministic_fixed_dim(t, dim):
+    v1, v2 = hash_embed(t, dim), hash_embed(t, dim)
+    assert v1 == v2  # reproducible oracle material (FIXTURES.md)
+    assert len(v1) == dim
+    assert any(x != 0.0 for x in v1)
+
+
+@given(a=word, b=word)
+def test_concept_parse_roundtrip_is_total(a, b):
+    """Every grammatical input parses; malformed input raises a real
+    exception (not the reference's `raise '<str>'` TypeError)."""
+    parse_concept(f"('{a} {b}' + {a}) / 3 - {b} * 2")
+    with pytest.raises(Exception) as ei:
+        parse_concept(f"{a} + ")
+    assert not isinstance(ei.value, TypeError)
+
+
+# --- Spark-bound: distance axioms + top-k stability -------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(a=vec8, b=vec8)
+def test_l2_metric_axioms_spark(spark, a, b):
+    from laion_spark.functions.vector import l2_distance
+
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    r = df.select(
+        l2_distance("a", "b").alias("ab"),
+        l2_distance("b", "a").alias("ba"),
+        l2_distance("a", "a").alias("aa"),
+    ).collect()[0]
+    assert r.ab == pytest.approx(r.ba)  # symmetry
+    assert r.aa == pytest.approx(0.0, abs=1e-9)  # identity
+    assert r.ab >= 0.0  # non-negativity
+    want = math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+    assert r.ab == pytest.approx(want, rel=1e-9)
+
+
+def test_topk_stable_under_partitioning(spark, sf_dir):
+    """The same top-k must come back for any physical row layout
+    (partition count / order is an execution detail, not a semantic)."""
+    from laion_spark.operators.knn import knn_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [round(((j * 37) % 19 - 9) / 10.0, 1) for j in range(64)]
+
+    def ids(df):
+        got = knn_search(df, q, k=10, vector_col="embedding", select=["vec_id"], tiebreak=["vec_id"])
+        return [r.vec_id for r in got.collect()]
+
+    base = ids(emb)
+    assert base == ids(emb.repartition(17))
+    assert base == ids(emb.repartition(3, "label"))
+    assert base == ids(emb.orderBy(F.desc("vec_id")))
