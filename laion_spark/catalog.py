@@ -1900,3 +1900,35 @@ def q29_approx_count_distinct(spark, sf_dir):
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
         F.count("*").alias("n"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "x02_etl_error_ledger",
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, TRUE,  CAST(150 AS BIGINT)),
+      (1, TRUE,  CAST(100 AS BIGINT)),
+      (2, FALSE, CAST(0 AS BIGINT))
+    ) AS t(shard_id, success, rows)
+    ORDER BY shard_id
+    """,
+    note="X3 per-shard error ledger (process.py:87-92, 119-121): a corrupt "
+    "shard yields a failure row instead of failing the job; oracle is the "
+    "closed-form expected ledger",
+)
+def x02_etl_error_ledger(spark, sf_dir):
+    import os
+    import shutil
+
+    from laion_spark.sources.npy import shard_report
+
+    tune_session(spark)
+    d = "/tmp/laion_etl_ledger_fixture"
+    if not os.path.exists(f"{d}/_DONE"):
+        shutil.copytree(_etl_fixture(), d, dirs_exist_ok=True)
+        os.remove(f"{d}/_DONE")
+        with open(f"{d}/metadata/metadata_2.parquet", "wb") as f:
+            f.write(b"not a parquet file")  # X3: must ledger, not crash
+        open(f"{d}/_DONE", "w").write("ok")
+    rep = shard_report(spark, d, dim=_ETL_DIM)
+    return rep.select("shard_id", "success", "rows").orderBy("shard_id")
