@@ -187,6 +187,9 @@ def embed_image_udf(kind: str = "hash", dim: int = 8, timeout_s: float = 5.0):
 def register_udfs(spark, kind: str = "hash", dim: int = 8) -> None:
     """Expose the UDF surface to SQL users:
     ``SELECT embed_text(caption) FROM t``."""
+    from laion_spark.session import _ship_package
+
+    _ship_package(spark)  # UDF closures unpickle by module reference
     spark.udf.register("embed_text", embed_text_udf(kind, dim))
     spark.udf.register("embed_image", embed_image_udf(kind, dim))
     spark.udf.register("embed_concept", embed_concept_udf(kind, dim))

@@ -124,3 +124,66 @@ def search_concept(
     t0 = time.perf_counter()
     qvec = eval_concept(expression, encoder)
     return _run(df, qvec, vector_col, k, filter, list(select), time.perf_counter() - t0, tiebreak)
+
+
+def render_results_html(result: SearchResult, table: str = "", query: str = "") -> str:
+    """S8 result sink: the reference renders top-k rows plus the stat
+    box (table / generation_time / query_time, results.html:176-188)
+    to an HTML file opened in a browser (search.py:193-208). App-layer
+    port — driver-side over collected rows, no template dependency."""
+    import html as _html
+
+    def esc(x) -> str:
+        return _html.escape(str(x if x is not None else ""))
+
+    cells = []
+    for d in result.to_dicts():
+        img = f'<img src="{esc(d["url"])}" loading="lazy">' if d.get("url") else ""
+        cap = esc(d.get("caption", ""))
+        score = esc(d.get("score", ""))
+        cells.append(
+            f'<div class="cell">{img}<p>{cap}</p><p class="score">score: {score}</p></div>'
+        )
+    stats = (
+        f'<div class="stats"><span>table: {esc(table)}</span>'
+        f"<span>query: {esc(query)}</span>"
+        f"<span>generation_time: {result.generation_time:.3f} s</span>"
+        f"<span>query_time: {result.query_time:.3f} s</span></div>"
+    )
+    return (
+        "<!DOCTYPE html><html><head><meta charset=\"utf-8\"><style>"
+        ".grid{display:flex;flex-wrap:wrap;gap:8px}.cell{width:220px}"
+        ".cell img{max-width:100%}.score{color:#666}.stats span{margin-right:16px}"
+        "</style></head><body>" + stats + '<div class="grid">' + "".join(cells) + "</div></body></html>"
+    )
+
+
+def write_results_html(result: SearchResult, path: str, table: str = "", query: str = "") -> str:
+    with open(path, "w") as f:
+        f.write(render_results_html(result, table=table, query=query))
+    return path
+
+
+def embed_lines(spark, in_path: str, out_path: str, kind: str = "hash", dim: int = 8) -> int:
+    """§3.4 generate.py --file parity (S9): one input line -> one output
+    line holding the embedding as a Python-style list literal
+    (generate.py:32-41 writes `output.txt` this way). Distributed:
+    read.text -> vectorized encoder pandas_udf -> concat_ws text sink.
+    Returns the line count (the reference prints `{c} embeddings`)."""
+    from pyspark.sql import functions as F
+
+    from laion_spark.functions.encoder import embed_text_udf
+    from laion_spark.session import _ship_package
+
+    _ship_package(spark)  # the UDF closure imports laion_spark on workers
+    lines = spark.read.text(in_path)
+    emb = embed_text_udf(kind, dim)
+    out = lines.select(
+        F.concat(
+            F.lit("["),
+            F.concat_ws(", ", F.transform(emb("value"), lambda x: x.cast("string"))),
+            F.lit("]"),
+        ).alias("value")
+    )
+    out.coalesce(1).write.mode("overwrite").text(out_path)
+    return lines.count()

@@ -101,3 +101,39 @@ def test_search_api(spark, sf_dir):
     )
     assert len(r2.rows) == 3
     assert r2.to_dicts()[0]["score"] == round(r2.rows[0].score, 3)
+
+
+def test_html_sink_and_stats(spark, sf_dir):
+    """S8: rows + the reference's stat fields land in the rendered
+    HTML (results.html:176-188)."""
+    from laion_spark.functions.encoder import HashEncoder
+    from laion_spark.operators.search import render_results_html, search_text
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumnRenamed("vec_id", "url")
+    res = search_text(emb, "a sleepy ridgeback dog", HashEncoder(64), k=3,
+                      vector_col="embedding", select=["url"], tiebreak=["url"])
+    html = render_results_html(res, table="embeddings", query="a sleepy ridgeback dog")
+    assert "query_time" in html and "generation_time" in html
+    assert html.count('class="cell"') == 3
+
+
+def test_embed_lines_golden_pair(spark, tmp_path):
+    """§3.4: the concepts.txt -> output.txt contract with the
+    deterministic encoder — one list literal per input line, values
+    equal to the driver-side encoder output."""
+    from laion_spark.functions.encoder import HashEncoder
+    from laion_spark.operators.search import embed_lines
+
+    inp = tmp_path / "concepts_mini.txt"
+    lines = ["a red bridge", "berlin at night", "cubism"]
+    inp.write_text("\n".join(lines))
+    out_dir = str(tmp_path / "out")
+    n = embed_lines(spark, str(inp), out_dir, kind="hash", dim=8)
+    assert n == 3
+    import glob
+
+    outfile = glob.glob(out_dir + "/part-*")[0]
+    got = sorted(open(outfile).read().strip().splitlines())
+    enc = HashEncoder(8)
+    want = sorted("[" + ", ".join(str(float(x)) for x in enc.encode(s)) + "]" for s in lines)
+    assert got == want
