@@ -1932,3 +1932,30 @@ def x02_etl_error_ledger(spark, sf_dir):
         open(f"{d}/_DONE", "w").write("ok")
     rep = shard_report(spark, d, dim=_ETL_DIM)
     return rep.select("shard_id", "success", "rows").orderBy("shard_id")
+
+
+@query(
+    "t06_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS INTEGER) AS n_bpe,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,
+           coalesce(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')[1], '') AS first_piece
+    FROM documents
+    WHERE doc_id % 4 = 0
+    ORDER BY doc_id
+    """,
+    note="Q26 BPE-style token counting (budget estimation): GPT-2-shape "
+    "pretokenizer regex restricted to Java/RE2-identical constructs, "
+    "vs whitespace count",
+)
+def t06_bpe_token_count(spark, sf_dir):
+    from laion_spark.functions.text import bpe_token_count, bpe_tokens
+
+    d = t(spark, sf_dir, "documents").filter("doc_id % 4 = 0")
+    return d.select(
+        "doc_id",
+        bpe_token_count("text").alias("n_bpe"),
+        F.size(F.split("text", " ")).alias("n_ws"),
+        F.coalesce(F.element_at(bpe_tokens("text"), 1), F.lit("")).alias("first_piece"),
+    ).orderBy("doc_id")

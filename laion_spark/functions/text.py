@@ -127,3 +127,20 @@ def rolling_hashes(col: ColumnOrName, window: int = 5) -> Column:
     hashes = F.transform(idx, lambda i: F.xxhash64(F.array_join(F.slice(t, i, window), " ")))
     # sequence(1, m<1) counts DOWN; short docs get an empty hash list
     return F.when(F.size(t) >= window, hashes).otherwise(F.array().cast("array<bigint>"))
+
+
+#: BPE-style pretokenizer (north star Q26): a simplified GPT-2-shape
+#: pattern — contraction suffixes, letter runs, digit runs, punctuation
+#: runs — restricted to constructs Java regex and RE2 treat identically
+#: (no lookahead), so counts are cross-engine comparable.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def bpe_tokens(col: ColumnOrName) -> Column:
+    """Token pieces under the BPE-ish pretokenizer (token-count proxy
+    for budget estimation over a 100 TB corpus — pure JVM regex)."""
+    return F.regexp_extract_all(_c(col), F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(col: ColumnOrName) -> Column:
+    return F.size(bpe_tokens(col))
