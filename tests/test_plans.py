@@ -104,3 +104,27 @@ def test_laion_fact_scan_reads_one_embedding_column(spark):
     rs = [ln for ln in plan_str(q).splitlines() if "ReadSchema" in ln]
     assert rs and "text_embedding" not in rs[0], rs
     assert "image_embedding" in rs[0]
+
+
+def test_ivf_partitioned_table_prunes_partitions(spark, sf_dir, tmp_path):
+    """The IVF scale path end-to-end: cluster ids stamped at ingest,
+    table written partitionBy(ivf_cluster) — a probe must then read
+    only the nprobe matching partitions (PartitionFilters in the scan),
+    which is how the engine gets the reference's ANN-table speedup
+    (~nprobe/C of the bytes) from plain parquet layout."""
+    from laion_spark.operators.similarity import IVFIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = IVFIndex(dim=64, n_clusters=4, n_iters=1, nprobe=2).fit(
+        emb, id_col="vec_id", vector_col="embedding"
+    )
+    path = str(tmp_path / "ivf_table")
+    idx.build(emb, "embedding").write.partitionBy("ivf_cluster").parquet(path)
+    table = spark.read.parquet(path)
+    probes = idx.probe_clusters([0.1] * 64)
+    q = table.filter(F.col("ivf_cluster").isin(probes)).select("vec_id")
+    p = plan_str(q)
+    pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert pf and "ivf_cluster" in pf[0], p
+    # and the data filter did NOT degrade into a post-scan filter
+    assert "PushedFilters: []" in p or "Filter" not in p.split("Scan")[0]
