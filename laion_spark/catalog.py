@@ -692,7 +692,7 @@ def q16_date_functions(spark, sf_dir):
            round(abs(l_discount - 0.05), 6) AS adisc,
            CAST(ceil(l_quantity / 7) AS BIGINT) AS cq,
            CAST(floor(l_quantity / 7) AS BIGINT) AS fq,
-           round(l_extendedprice * 0.1, 2) AS tithe,
+           round(l_extendedprice * 0.1, 6) AS tithe,
            round(pow(l_quantity, 2), 6) AS q2,
            round(sqrt(l_extendedprice), 6) AS sq,
            round(ln(l_extendedprice), 6) AS lnp,
@@ -713,7 +713,7 @@ def q17_math_functions(spark, sf_dir):
         F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("adisc"),
         F.ceil(F.col("l_quantity") / 7).alias("cq"),
         F.floor(F.col("l_quantity") / 7).alias("fq"),
-        F.round(F.col("l_extendedprice") * 0.1, 2).alias("tithe"),
+        F.round(F.col("l_extendedprice") * 0.1, 6).alias("tithe"),
         F.round(F.pow("l_quantity", F.lit(2)), 6).alias("q2"),
         F.round(F.sqrt("l_extendedprice"), 6).alias("sq"),
         F.round(F.log("l_extendedprice"), 6).alias("lnp"),
