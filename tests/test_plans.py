@@ -128,3 +128,37 @@ def test_ivf_partitioned_table_prunes_partitions(spark, sf_dir, tmp_path):
     assert pf and "ivf_cluster" in pf[0], p
     # and the data filter did NOT degrade into a post-scan filter
     assert "PushedFilters: []" in p or "Filter" not in p.split("Scan")[0]
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    """Co-located join (SURVEY.md §2.9 Q1 at scale): both fact tables
+    written bucketed on the join key join with zero Exchange — the
+    bucketing IS the shuffle, paid once at ingest instead of per query."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    try:
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        for name, df, key in (("t_orders_b", o, "o_orderkey"), ("t_lineitem_b", li, "l_orderkey")):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            df.write.bucketBy(8, key).sortBy(key).mode("overwrite").saveAsTable(name)
+        j = (
+            spark.table("t_lineitem_b")
+            .join(spark.table("t_orders_b"), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        p = plan_str(j)
+        join_part = p.split("HashAggregate")[0]
+        assert "Exchange" not in join_part, join_part
+        # same result as the plain (shuffling) join
+        plain = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+        assert sorted(map(tuple, j.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
