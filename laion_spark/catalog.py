@@ -927,7 +927,7 @@ def e03_asof_latest_before(spark, sf_dir):
     SELECT v.user_id, count(*) AS n_conversions
     FROM events v JOIN events p
       ON v.user_id = p.user_id
-     AND p.ts > v.ts
+     AND epoch_us(CAST(p.ts AS TIMESTAMP)) > epoch_us(CAST(v.ts AS TIMESTAMP))
      AND epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(v.ts AS TIMESTAMP)) <= 600000000
     WHERE v.event_type = 'view' AND p.event_type = 'purchase'
     GROUP BY v.user_id

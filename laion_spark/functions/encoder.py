@@ -100,6 +100,14 @@ class ClipEncoder:
     def encode_batch(self, texts: Sequence[str]) -> list[list[float]]:  # pragma: no cover
         return [self.encode(t) for t in texts]
 
+    def encode_image(self, image) -> list[float]:  # pragma: no cover - env without torch
+        """PIL image -> embedding (reference search.py:51-54: preprocess
+        then model.encode_image). Required by embed_image_udf(kind="clip")
+        and search_image."""
+        with self._torch.no_grad():
+            batch = self._preprocess(image).unsqueeze(0).to(self._device)
+            return self._model.encode_image(batch)[0].tolist()
+
 
 # --- pandas_udf surface (bulk path; Arrow batches replace TSV pipes) --------
 

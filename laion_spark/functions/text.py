@@ -102,8 +102,10 @@ def quality_score(col: ColumnOrName, lang: str = "en") -> Column:
     custom scoring."""
     c = _c(col)
     n = token_count(c)
-    length_term = F.when((n >= 10) & (n <= 2000), 1.0).otherwise(
-        F.least(n.cast("double") / 10.0, F.lit(1.0))
+    length_term = (
+        F.when((n >= 10) & (n <= 2000), 1.0)
+        .when(n > 2000, F.lit(2000.0) / n)  # decay past the sweet spot
+        .otherwise(n.cast("double") / 10.0)
     )
     stop_term = F.least(stopword_ratio(c, lang) * 5.0, F.lit(1.0))
     punct_term = F.lit(1.0) - F.least(punct_ratio(c) * 4.0, F.lit(1.0))

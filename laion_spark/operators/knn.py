@@ -114,7 +114,10 @@ def knn_search(
         scored = df.select(*cols, raw.alias("_raw"))
 
     if metric == "l2":
-        order = [F.col("_raw").asc()]
+        # asc_nulls_last: NULL embeddings (passed through by
+        # validate_embeddings) score NULL and must not displace real
+        # neighbors (Spark's plain asc is NULLS FIRST)
+        order = [F.col("_raw").asc_nulls_last()]
         finish = F.sqrt(F.col("_raw"))
     else:
         order = [F.col("_raw").desc_nulls_last()]
@@ -199,6 +202,29 @@ def _codegen_scored(
     return step1.select(*cols, raw.alias("_raw"))
 
 
+def flat_matrix(vcol, dim: int):
+    """Arrow list column -> (n, dim) float64 matrix, with a clear error
+    on NULL or ragged vectors — a bare ``flatten().reshape`` either
+    throws an opaque ValueError mid-job or, when element counts happen
+    to coincide, silently misaligns rows to scores (ListArray.flatten
+    drops NULL slots)."""
+    import numpy as np
+
+    n = len(vcol)
+    if vcol.null_count:
+        raise ValueError(
+            f"{vcol.null_count} NULL vector(s) in Arrow batch; drop NULLs or run "
+            "laion_spark.schema.validate_embeddings before Arrow-path scoring"
+        )
+    flat = vcol.flatten().to_numpy(zero_copy_only=False)
+    if len(flat) != n * dim:
+        raise ValueError(
+            f"ragged embedding column: {n} rows x dim {dim} != {len(flat)} elements; "
+            "run validate_embeddings to enforce a fixed dimension"
+        )
+    return flat.reshape(n, dim).astype(np.float64, copy=False)
+
+
 def _arrow_scored(
     df: DataFrame,
     qvec: list[float],
@@ -230,11 +256,10 @@ def _arrow_scored(
         qq = float(q @ q)
         for rb in batches:
             vcol = rb.column(rb.schema.get_field_index(vector_col))
-            flat = vcol.flatten().to_numpy(zero_copy_only=False)
             n = len(vcol)
             if n == 0:
                 continue
-            mat = flat.reshape(n, dim).astype(np.float64, copy=False)
+            mat = flat_matrix(vcol, dim)
             if metric == "l2":
                 # direct sum((a-q)^2): no cancellation (the expanded
                 # ||a||^2-2aq+||q||^2 form drifts from the oracle's fold)

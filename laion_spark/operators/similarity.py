@@ -30,7 +30,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from laion_spark.functions.vector import vec_lit
-from laion_spark.operators.knn import knn_search  # noqa: F401  (re-export)
+from laion_spark.operators.knn import flat_matrix, knn_search  # noqa: F401  (re-export)
 
 
 def knn_join(
@@ -72,7 +72,7 @@ def knn_join(
             n = len(vcol)
             if n == 0:
                 continue
-            X = vcol.flatten().to_numpy(zero_copy_only=False).reshape(n, dim).astype(np.float64, copy=False)
+            X = flat_matrix(vcol, dim)
             if metric == "l2":
                 # (n, m) squared distances via ||x||^2 - 2XQ^T + ||q||^2
                 d2 = (
@@ -112,7 +112,8 @@ def knn_join(
     partial = pruned.mapInArrow(score, f"qid {qid_t}, cid {cid_t}, score double")
     asc = metric == "l2"
     w = W.partitionBy("qid").orderBy(
-        F.col("score").asc() if asc else F.col("score").desc(), F.col("cid").asc()
+        F.col("score").asc_nulls_last() if asc else F.col("score").desc_nulls_last(),
+        F.col("cid").asc(),
     )
     return (
         partial.withColumn("_rn", F.row_number().over(w))
@@ -350,12 +351,7 @@ class IVFIndex:
                 n = len(vcol)
                 if n == 0:
                     continue
-                mat = (
-                    vcol.flatten()
-                    .to_numpy(zero_copy_only=False)
-                    .reshape(n, dim)
-                    .astype(np.float64, copy=False)
-                )
+                mat = flat_matrix(vcol, dim)
                 # argmin_c ||x-c||^2 = argmin_c (||c||^2 - 2 x.c)
                 cid = np.argmin(cc[None, :] - 2.0 * (mat @ C.T), axis=1).astype(np.int32)
                 arrays = [rb.column(i) for i in range(rb.num_columns)]

@@ -48,6 +48,35 @@ def test_knn_physical_plan_is_take_ordered(spark, emb):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_knn_l2_null_embedding_ranks_last(spark, emb):
+    """A NULL embedding scores NULL and must not displace real top-k
+    rows (plain asc is NULLS FIRST in Spark — ADVICE r1)."""
+    with_null = emb.select("vec_id", "embedding").unionAll(
+        spark.sql("SELECT -1 AS vec_id, CAST(NULL AS array<float>) AS embedding")
+    )
+    for impl in ("codegen", "hof"):
+        out = knn_search(
+            with_null, QVEC, k=10, vector_col="embedding", select=["vec_id"], tiebreak=["vec_id"], impl=impl
+        ).collect()
+        assert all(r.vec_id != -1 for r in out), f"NULL row leaked into top-k ({impl})"
+        assert all(r.score is not None for r in out)
+
+
+def test_flat_matrix_guards():
+    import pyarrow as pa
+
+    from laion_spark.operators.knn import flat_matrix
+
+    ok = pa.array([[1.0, 2.0], [3.0, 4.0]], type=pa.list_(pa.float32()))
+    assert flat_matrix(ok, 2).shape == (2, 2)
+    with_null = pa.array([[1.0, 2.0], None], type=pa.list_(pa.float32()))
+    with pytest.raises(ValueError, match="NULL"):
+        flat_matrix(with_null, 2)
+    ragged = pa.array([[1.0, 2.0], [3.0]], type=pa.list_(pa.float32()))
+    with pytest.raises(ValueError, match="ragged"):
+        flat_matrix(ragged, 2)
+
+
 def test_knn_cosine_and_dot(spark, emb):
     for metric in ("cosine", "dot"):
         out = knn_search(

@@ -44,6 +44,18 @@ def test_quality_score_ordering(spark, docs):
     assert q[0] > q[4]  # and beats a one-character doc
 
 
+def test_quality_score_penalizes_overlong(spark):
+    """Docs past the 2000-token sweet spot decay instead of pinning at
+    1.0 (ADVICE r1: the upper bound was dead code)."""
+    base = "the cat sat on a mat and it is that for " * 100  # 1000 tokens
+    long = base * 8  # 8000 tokens, same token mix
+    df = spark.createDataFrame([(0, base), (1, long)], "id int, text string")
+    q = {r.id: r.v for r in df.select("id", TX.quality_score("text").alias("v")).collect()}
+    assert q[1] < q[0]
+    # length term: 1.0 -> 2000/8000; diversity also shifts a little
+    assert q[0] - q[1] == pytest.approx(0.3 * (1.0 - 2000.0 / 8000.0), abs=0.02)
+
+
 def test_punct_and_upper(spark, docs):
     assert _one(docs, TX.punct_ratio("text"), 0) == pytest.approx(0.0)
     assert _one(docs, TX.punct_ratio("text"), 5) > 0.2
