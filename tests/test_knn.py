@@ -62,6 +62,20 @@ def test_knn_l2_null_embedding_ranks_last(spark, emb):
         assert all(r.score is not None for r in out)
 
 
+def test_knn_parquet_scan_parity(spark, emb, sf_dir):
+    """The scan-side Arrow+BLAS scorer (bench fast lane) reproduces the
+    codegen path exactly at the round(6) grain, all metrics."""
+    from laion_spark.operators.knn import knn_search_parquet
+
+    path = f"{sf_dir}/embeddings.parquet"
+    for metric in ("l2", "cosine", "dot"):
+        a = knn_search(
+            emb, QVEC, k=10, vector_col="embedding", select=["vec_id"], tiebreak=["vec_id"], metric=metric
+        ).collect()
+        b = knn_search_parquet(spark, path, QVEC, k=10, vector_col="embedding", select=["vec_id"], metric=metric).collect()
+        assert [(r.vec_id, round(r.score, 6)) for r in a] == [(r.vec_id, round(r.score, 6)) for r in b], metric
+
+
 def test_flat_matrix_guards():
     import pyarrow as pa
 
