@@ -1217,6 +1217,32 @@ def v08_knn_join(spark, sf_dir):
 
 
 @query(
+    "v09_label_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS pos,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS qv
+      FROM embeddings
+    ), per AS (
+      SELECT label, pos, sum(qv) AS s, count(*) AS n
+      FROM ex GROUP BY label, pos
+    )
+    SELECT label, any_value(n) AS n,
+           list(round(s / (n * 1000000.0), 6) ORDER BY pos) AS centroid
+    FROM per GROUP BY label ORDER BY label
+    """,
+    note="U4 grouped custom aggregate: per-label embedding centroid via "
+    "applyInPandas (exact int64 vector sum inside the UDF; quantize and "
+    "divide in Catalyst so both engines round identically)",
+)
+def v09_label_centroids(spark, sf_dir):
+    from laion_spark.operators.grouped import grouped_centroid
+
+    return grouped_centroid(t(spark, sf_dir, "embeddings"), "label", "embedding")
+
+
+@query(
     "a01_ann_lsh_topk",
     oracle=None,  # approximate by construction (SURVEY.md hard part #4):
     # recall >= 0.9 vs brute force asserted in tests/test_similarity.py

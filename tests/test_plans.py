@@ -130,6 +130,17 @@ def test_ivf_partitioned_table_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PushedFilters: []" in p or "Filter" not in p.split("Scan")[0]
 
 
+def test_ivf_fit_sample_has_no_sort_or_exchange(spark, sf_dir):
+    """VERDICT r1: fit must stay bounded — the fit input plan is a
+    LocalLimit over the scan, never a full-table Sort/Exchange."""
+    from laion_spark.operators.similarity import IVFIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p = plan_str(IVFIndex._fit_sample(emb, "vec_id", "embedding", 500))
+    assert "Sort" not in p, p
+    assert "Exchange" not in p, p
+
+
 def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
     """Co-located join (SURVEY.md §2.9 Q1 at scale): both fact tables
     written bucketed on the join key join with zero Exchange — the

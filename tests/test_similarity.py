@@ -154,6 +154,15 @@ def test_ivf_recall_and_pruning(spark, near_dup_corpus):
     corpus.unpersist()
 
 
+def test_knn_join_query_cap(spark, emb):
+    from laion_spark.operators.similarity import knn_join
+
+    import pytest
+
+    with pytest.raises(ValueError, match="max_queries"):
+        knn_join(emb, emb, k=2, corpus_id="vec_id", query_id="vec_id", max_queries=5)
+
+
 def test_ivf_deterministic(spark, emb):
     from laion_spark.operators.similarity import IVFIndex
 
