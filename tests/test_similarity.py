@@ -92,6 +92,24 @@ def test_lsh_bucket_determinism(spark, emb):
     assert sorted(map(tuple, b1)) == sorted(map(tuple, b2))
 
 
+def test_jaccard_max_df_caps_stopword_blowup(spark):
+    """A corpus-wide token (df=60) would generate C(60,2)=1770 join
+    pairs; max_df drops it from the vocabulary, leaving only the pairs
+    that share a rare token (exact Jaccard over the capped vocab)."""
+    from laion_spark.operators.dedup import jaccard_similar_pairs
+
+    rows = [(i, f"common p{i // 2} x{i}") for i in range(60)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    uncapped = jaccard_similar_pairs(df, "id", "text", ngram=1)
+    capped = jaccard_similar_pairs(df, "id", "text", ngram=1, max_df=10)
+    assert uncapped.count() == 1770  # every pair shares 'common'
+    got = capped.collect()
+    assert len(got) == 30  # only the p{j} partners survive
+    assert all(r.da // 2 == r.db // 2 for r in got)
+    # capped sets {p,xa} vs {p,xb}: intersection 1, union 3
+    assert all(r.jaccard == round(1 / 3, 6) for r in got)
+
+
 def test_minhash_lsh_finds_near_duplicates(spark):
     from laion_spark.operators.dedup import minhash_lsh_pairs
 
