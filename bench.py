@@ -47,9 +47,12 @@ DIM = 768
 HEADLINERS = [
     "v01_knn_l2_topk",
     "v03_knn_cosine_topk",
+    "v08_knn_join",
+    "v09_label_centroids",
     "q01_pricing_summary",
     "q02_join_revenue_by_segment",
     "q10_window_rank",
+    "q30_shipping_priority",
     "e02_sessionization",
     "t02_top_tokens",
     "d03_jaccard_similar_pairs",

@@ -1985,3 +1985,139 @@ def t06_bpe_token_count(spark, sf_dir):
         F.size(F.split("text", " ")).alias("n_ws"),
         F.coalesce(F.element_at(bpe_tokens("text"), 1), F.lit("")).alias("first_piece"),
     ).orderBy("doc_id")
+
+
+# =============================================================================
+# Composite analytic queries (round 2): multi-join TPC-H shapes, scalar
+# subqueries, deterministic sampling, exact quantiles
+# =============================================================================
+
+
+@query(
+    "q30_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    note="TPC-H Q3 shape: 3-way join (customer broadcast, lineitem-orders "
+    "shuffle on orderkey), filtered both sides, grouped revenue top-N; "
+    "revenue is exact-decimal so DESC ordering is engine-identical",
+)
+def q30_shipping_priority(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer").filter("c_mktsegment = 'BUILDING'")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01 00:00:00").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01 00:00:00").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(rev, "revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.to_date("o_orderdate").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q31_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey, {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+    note="TPC-H Q15 shape: derived revenue view + scalar MAX subquery "
+    "(exact-decimal totals make the MAX tie semantics engine-identical)",
+)
+def q31_top_supplier(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
+    )
+    best = rev.agg(F.max("total_revenue").alias("m"))
+    sup = t(spark, sf_dir, "supplier")
+    return (
+        sup.join(rev, sup.s_suppkey == rev.l_suppkey)
+        .join(F.broadcast(best), F.col("total_revenue") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q32_deterministic_sample",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <= '14'
+    ORDER BY o_orderkey
+    """,
+    note="reproducible ~8% sample via md5-prefix predicate — the "
+    "engine-portable alternative to TABLESAMPLE for eval/holdout set "
+    "carving on a 100 TB corpus (stable under repartitioning, pushdown-"
+    "friendly, no RNG state)",
+)
+def q32_deterministic_sample(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    pred = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) <= "14"
+    return o.filter(pred).select("o_orderkey", "o_totalprice", "o_orderpriority").orderBy("o_orderkey")
+
+
+@query(
+    "q33_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+           round(median(l_quantity), 6) AS med_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    note="exact interpolated quantiles (percentile == quantile_cont, both "
+    "linear interpolation over the sorted group); at 100 TB swap for "
+    "approx_percentile with a documented error budget",
+)
+def q33_quantiles(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(l_extendedprice, 0.50)"), 6).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 6).alias("p75"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("med_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
