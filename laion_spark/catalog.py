@@ -151,7 +151,7 @@ def v02_knn_l2_filtered(spark, sf_dir):
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
-_DOT = "list_aggregate(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ({_q})[i]), 'sum')".replace("{_q}", _QLIT)
+_DOT = f"list_aggregate(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * ({_QLIT})[i]), 'sum')"
 _NORM_E = "sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
 _NORM_Q = f"sqrt(list_aggregate(list_transform({_QLIT}, x -> x * x), 'sum'))"
 
