@@ -65,14 +65,22 @@ def timed(fn) -> float:
     return round(time.perf_counter() - t0, 4)
 
 
-def synth_vectors(spark, n: int, dim: int):
+def synth_vectors(spark, n: int, dim: int, clustered: bool = False):
     """Deterministic n x dim float32 vectors (FIXTURES.md §6
     ``laion_bench`` shape), generated distributed via numpy-backed
     mapInPandas (a per-column ``rand()`` expression tree would blow the
     64KB codegen limit at dim=768) and materialized once as parquet —
     the timed query then measures the honest path: columnar scan +
-    JVM-side scoring, like the reference's warm server."""
-    path = f"/tmp/laion_bench_{n}x{dim}.parquet"
+    JVM-side scoring, like the reference's warm server.
+
+    ``clustered=True`` plants a 256-center Gaussian-mixture structure
+    (id mod 256 picks the center). Uniform data is the ANN WORST case —
+    true neighbors spread over clusters at random, so an IVF probe's
+    recall collapses to ~nprobe/C (measured 0.1 here). Real CLIP
+    embeddings are strongly clustered, which the mixture twin models;
+    the brute-force tables stay uniform."""
+    suffix = "_clustered" if clustered else ""
+    path = f"/tmp/laion_bench_{n}x{dim}{suffix}.parquet"
     if not os.path.exists(f"{path}/_SUCCESS"):  # absent or partial write
 
         def gen(batches):
@@ -81,11 +89,22 @@ def synth_vectors(spark, n: int, dim: int):
             import numpy as np
             import pyarrow as pa
 
+            centers = (
+                np.random.default_rng(123).random((256, dim), dtype=np.float32) * 2 - 1
+                if clustered
+                else None
+            )
             for rb in batches:
                 ids = rb.column(0)
                 m = len(ids)
                 rng = np.random.default_rng(42 + int(ids[0].as_py()))
-                flat = (rng.random((m, dim), dtype=np.float32) * 2 - 1).ravel()
+                if clustered:
+                    idx = np.asarray(ids.to_numpy()) % 256
+                    flat = (
+                        centers[idx] + 0.3 * rng.standard_normal((m, dim), dtype=np.float32)
+                    ).ravel()
+                else:
+                    flat = (rng.random((m, dim), dtype=np.float32) * 2 - 1).ravel()
                 offsets = pa.array(np.arange(0, (m + 1) * dim, dim, dtype=np.int32))
                 emb = pa.ListArray.from_arrays(offsets, pa.array(flat, type=pa.float32()))
                 yield pa.RecordBatch.from_arrays([ids, emb], ["id", "embedding"])
@@ -158,6 +177,63 @@ def main() -> None:
         extras[f"{key}_best_sec"] = ts[0]
         extras[f"{key}_rows_per_sec"] = round(N_VEC / ts[0])
         print(f"  {key}: {ts}", file=sys.stderr)
+
+    # ANN twin (BASELINE's Annoy row: 8.5x over brute force at 100M
+    # rows): a clustered copy of the table (real CLIP embeddings are
+    # strongly clustered; uniform data is the ANN worst case — recall
+    # ~nprobe/C ~= 0.1, measured) written partitionBy(ivf_cluster); the
+    # probe runs the same scan scorer over only the probed partition
+    # dirs. ann768_exact is brute force on the SAME table, so
+    # ann768_speedup is the BASELINE-ratio analog; recall@10 reported.
+    from laion_spark.operators.similarity import IVFIndex
+
+    C, NPROBE = 64, 8
+    vecs_c = synth_vectors(spark, N_VEC, DIM, clustered=True)
+    cpath = f"/tmp/laion_bench_{N_VEC}x{DIM}_clustered.parquet"
+    ivf_path = f"/tmp/laion_bench_{N_VEC}x{DIM}_ivf{C}.parquet"
+    cent_path = f"/tmp/laion_bench_{N_VEC}x{DIM}_ivf{C}_centroids.json"
+    idx = IVFIndex(dim=DIM, n_clusters=C, n_iters=2, nprobe=NPROBE)
+    if os.path.exists(cent_path):
+        idx.centroids = json.load(open(cent_path))
+    else:
+        t0 = time.perf_counter()
+        idx.fit(vecs_c, id_col="id", vector_col="embedding", fit_rows=100_000)
+        # ~4 files per cluster: a probe of NPROBE clusters is then one
+        # wave of ~32 tasks (fan-out without per-task overhead bloat)
+        (
+            idx.build(vecs_c, "embedding")
+            .repartition(C * 4, F.col("ivf_cluster"), F.pmod("id", F.lit(4)))
+            .write.mode("overwrite")
+            .partitionBy("ivf_cluster")
+            .parquet(ivf_path)
+        )
+        json.dump(idx.centroids, open(cent_path, "w"))
+        print(f"  ivf build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    probes = idx.probe_clusters(qvec)
+    probe_dirs = [f"{ivf_path}/ivf_cluster={p}" for p in probes]
+
+    def run_exact_c():
+        return knn_search_parquet(spark, cpath, qvec, k=10, vector_col="embedding", select=["id"]).collect()
+
+    def run_ann():
+        return knn_search_parquet(
+            spark, probe_dirs, qvec, k=10, vector_col="embedding", select=["id"]
+        ).collect()
+
+    exact_ids = {r.id for r in run_exact_c()}  # warm
+    ets = sorted(timed(run_exact_c) for _ in range(3))
+    queries["ann768_exact"] = ets[1]
+    ann_ids = {r.id for r in run_ann()}  # warm
+    ts = sorted(timed(run_ann) for _ in range(5))
+    queries["ann768"] = ts[2]
+    extras["ann768_best_sec"] = ts[0]
+    extras["ann768_recall_at_10"] = round(len(ann_ids & exact_ids) / 10, 2)
+    extras["ann768_speedup"] = round(ets[1] / ts[2], 2)
+    # the scale-honest signal: a probe reads nprobe/C of the bytes; on a
+    # cluster that fraction IS the speedup (locally the fixed per-job
+    # floor of a few hundred ms compresses the wall-clock ratio)
+    extras["ann768_bytes_fraction"] = round(NPROBE / C, 4)
+    print(f"  ann768: {ts} recall={extras['ann768_recall_at_10']} speedup={extras['ann768_speedup']}", file=sys.stderr)
 
     total = round(sum(queries.values()), 4)
     print(

@@ -240,6 +240,10 @@ def _arrow_scored(
     """
     import pyarrow as pa
 
+    from laion_spark.session import _ship_package
+
+    _ship_package(df.sparkSession)
+
     pruned = df.select(*cols, vector_col)
     out_fields = [pruned.schema[c] for c in cols]
     out_schema = (
@@ -283,7 +287,7 @@ def _arrow_scored(
 
 def knn_search_parquet(
     spark,
-    path: str,
+    path: str | Sequence[str],
     query_vec: Sequence[float],
     k: int = 10,
     vector_col: str = "image_embedding",
@@ -311,15 +315,25 @@ def knn_search_parquet(
     — thousands of independent splits, no shuffle, O(splits * k) rows
     to the final reduce. Filters belong in the codegen/arrow paths (or
     at ingest); this path is the unfiltered-scan fast lane.
+
+    ``path`` may be a list of directories — that is the ANN hook: an
+    index layer (e.g. IVFIndex partition dirs, ``ivf_cluster=K``)
+    passes only the probed partitions and this scorer reads
+    ~nprobe/C of the bytes, the plain-parquet analog of the
+    reference's Annoy table.
     """
     if metric not in _METRICS:
         raise ValueError(f"metric must be one of {_METRICS}, got {metric!r}")
     import pyarrow.parquet as pq
 
-    base = spark.read.parquet(path)
+    from laion_spark.session import _ship_package
+
+    _ship_package(spark)  # worker closures unpickle laion_spark by module ref
+    paths = [path] if isinstance(path, str) else list(path)
+    base = spark.read.parquet(*paths)
     files = sorted(base.inputFiles())
     if not files:
-        raise ValueError(f"no parquet files under {path}")
+        raise ValueError(f"no parquet files under {paths}")
     cols = list(select) if select is not None else [c for c in base.columns if c != vector_col]
 
     def _local(f: str) -> str:

@@ -56,6 +56,9 @@ def knn_join(
     """
     if metric not in ("l2", "cosine"):
         raise ValueError("metric must be l2|cosine")
+    from laion_spark.session import _ship_package
+
+    _ship_package(corpus.sparkSession)  # scorer closure imports laion_spark on workers
     q_rows = queries.select(query_id, query_vec).limit(max_queries + 1).collect()
     if len(q_rows) > max_queries:
         raise ValueError(
@@ -358,6 +361,10 @@ class IVFIndex:
 
     def _assign(self, df: DataFrame, vector_col: str, cents: list[list[float]]) -> DataFrame:
         import pyarrow as pa
+
+        from laion_spark.session import _ship_package
+
+        _ship_package(df.sparkSession)
 
         fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
         out_schema = fields + ", ivf_cluster int"

@@ -76,6 +76,21 @@ def test_knn_parquet_scan_parity(spark, emb, sf_dir):
         assert [(r.vec_id, round(r.score, 6)) for r in a] == [(r.vec_id, round(r.score, 6)) for r in b], metric
 
 
+def test_knn_parquet_scan_partition_dirs(spark, emb, tmp_path):
+    """A list of partition dirs is the ANN hook: scanning only the
+    probed partitions must equal brute force over the same subset."""
+    from laion_spark.operators.knn import knn_search_parquet
+
+    path = str(tmp_path / "by_label")
+    emb.write.partitionBy("label").parquet(path)
+    dirs = [f"{path}/label=1", f"{path}/label=3"]
+    got = knn_search_parquet(spark, dirs, QVEC, k=5, vector_col="embedding", select=["vec_id"]).collect()
+    want = knn_search(
+        emb.filter("label IN (1, 3)"), QVEC, k=5, vector_col="embedding", select=["vec_id"], tiebreak=["vec_id"]
+    ).collect()
+    assert [(r.vec_id, round(r.score, 6)) for r in got] == [(r.vec_id, round(r.score, 6)) for r in want]
+
+
 def test_flat_matrix_guards():
     import pyarrow as pa
 
