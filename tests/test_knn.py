@@ -76,6 +76,26 @@ def test_knn_parquet_scan_parity(spark, emb, sf_dir):
         assert [(r.vec_id, round(r.score, 6)) for r in a] == [(r.vec_id, round(r.score, 6)) for r in b], metric
 
 
+def test_knn_parquet_scan_multi_row_groups(spark, emb, tmp_path):
+    """Split enumeration is per (file, row_group): a file with many row
+    groups fans out into independent splits and still scores exactly."""
+    import pyarrow.parquet as pq
+
+    from laion_spark.operators.knn import knn_search_parquet
+
+    path = str(tmp_path / "rg")
+    emb.coalesce(1).write.parquet(path)
+    import glob
+
+    f = glob.glob(f"{path}/part-*.parquet")[0]
+    small = str(tmp_path / "rg_small.parquet")
+    pq.write_table(pq.read_table(f), small, row_group_size=100)
+    assert pq.ParquetFile(small).metadata.num_row_groups > 3
+    got = knn_search_parquet(spark, small, QVEC, k=7, vector_col="embedding", select=["vec_id"]).collect()
+    want = knn_search(emb, QVEC, k=7, vector_col="embedding", select=["vec_id"], tiebreak=["vec_id"]).collect()
+    assert [(r.vec_id, round(r.score, 6)) for r in got] == [(r.vec_id, round(r.score, 6)) for r in want]
+
+
 def test_knn_parquet_scan_partition_dirs(spark, emb, tmp_path):
     """A list of partition dirs is the ANN hook: scanning only the
     probed partitions must equal brute force over the same subset."""
