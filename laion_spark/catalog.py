@@ -1894,6 +1894,34 @@ def s04_streaming_dedup(spark, sf_dir):
 
 
 @query(
+    "s05_streaming_enrich_join",
+    oracle=f"""
+    SELECT c.c_mktsegment, e.event_type, count(*) AS n,
+           {_dsum_sql('e.value')} AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    ORDER BY c.c_mktsegment, e.event_type
+    """,
+    note="stream-static broadcast-join enrichment: per-micro-batch dimension "
+    "lookup (stateless join, no stream state) feeding a running aggregate; "
+    "the batch twin is the plain join — at scale the static side stays "
+    "broadcast so the stream never shuffles",
+)
+def s05_streaming_enrich_join(spark, sf_dir):
+    from laion_spark.streaming.windows import replay_as_stream, run_to_completion
+
+    tune_session(spark)
+    stream = replay_as_stream(spark, f"{sf_dir}/events.parquet", n_splits=4)
+    cust = F.broadcast(t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"))
+    joined = stream.join(cust, stream.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n"), dsum("value", "total_value")
+    )
+    out = run_to_completion(agg, "cat_s05_enrich")
+    return out.orderBy("c_mktsegment", "event_type")
+
+
+@query(
     "a02_ann_ivf_topk",
     oracle=None,  # approximate by construction, like a01; recall vs
     # brute force asserted in tests/test_similarity.py::test_ivf_recall_and_pruning
