@@ -296,6 +296,7 @@ def knn_search_parquet(
     score_col: str = "score",
     batch_rows: int = 32768,
     n_partitions: int | None = None,
+    pa_filter=None,
 ) -> DataFrame:
     """Brute-force top-k over a parquet table via a *scan-side* scorer:
     each Spark task opens its (file, row_group) split directly with
@@ -321,6 +322,12 @@ def knn_search_parquet(
     passes only the probed partitions and this scorer reads
     ~nprobe/C of the bytes, the plain-parquet analog of the
     reference's Annoy table.
+
+    ``pa_filter`` (a ``pyarrow.compute`` field expression, e.g.
+    ``pc.field("label") == 3``) pushes a predicate into the Arrow
+    parquet reader: row groups whose statistics exclude the predicate
+    are skipped entirely and the residual filter runs vectorized before
+    scoring — the scan-path equivalent of Catalyst's PushedFilters.
     """
     if metric not in _METRICS:
         raise ValueError(f"metric must be one of {_METRICS}, got {metric!r}")
@@ -367,14 +374,25 @@ def knn_search_parquet(
             paths = rb.column(0).to_pylist()
             groups = rb.column(1).to_pylist()
             for fpath, rg in zip(paths, groups):
-                pf = pq.ParquetFile(fpath)
-                cand_s: list = []
-                cand_cols: list[list] = [[] for _ in cols]  # typed pa chunks
                 # use_threads=False: every core is already running its
                 # own task; per-task decode threads only fight each other
-                for b in pf.iter_batches(
-                    batch_size=batch_rows, row_groups=[rg], columns=read_cols, use_threads=False
-                ):
+                if pa_filter is not None:
+                    import pyarrow.dataset as pads
+                    from pyarrow.fs import LocalFileSystem
+
+                    frag = pads.ParquetFileFormat().make_fragment(
+                        fpath, filesystem=LocalFileSystem(), row_groups=[rg]
+                    )
+                    batch_iter = frag.to_batches(
+                        columns=read_cols, filter=pa_filter, batch_size=batch_rows, use_threads=False
+                    )
+                else:
+                    batch_iter = pq.ParquetFile(fpath).iter_batches(
+                        batch_size=batch_rows, row_groups=[rg], columns=read_cols, use_threads=False
+                    )
+                cand_s: list = []
+                cand_cols: list[list] = [[] for _ in cols]  # typed pa chunks
+                for b in batch_iter:
                     vcol = b.column(b.schema.get_field_index(vector_col))
                     n = len(vcol)
                     if n == 0:

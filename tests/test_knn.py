@@ -96,6 +96,28 @@ def test_knn_parquet_scan_multi_row_groups(spark, emb, tmp_path):
     assert [(r.vec_id, round(r.score, 6)) for r in got] == [(r.vec_id, round(r.score, 6)) for r in want]
 
 
+def test_knn_parquet_scan_filter_pushdown(spark, emb, sf_dir):
+    """pa_filter pushes the predicate into the Arrow reader (row-group
+    stats skip + vectorized residual) and must equal the codegen path
+    with the same Spark filter."""
+    import pyarrow.compute as pc
+
+    from laion_spark.operators.knn import knn_search_parquet
+
+    path = f"{sf_dir}/embeddings.parquet"
+    a = knn_search(
+        emb, QVEC, k=7, vector_col="embedding", filter="label = 3", select=["vec_id", "label"], tiebreak=["vec_id"]
+    ).collect()
+    b = knn_search_parquet(
+        spark, path, QVEC, k=7, vector_col="embedding", select=["vec_id", "label"], pa_filter=pc.field("label") == 3
+    ).collect()
+    assert [(r.vec_id, round(r.score, 6)) for r in a] == [(r.vec_id, round(r.score, 6)) for r in b]
+    empty = knn_search_parquet(
+        spark, path, QVEC, k=7, vector_col="embedding", select=["vec_id"], pa_filter=pc.field("label") == 10**6
+    ).collect()
+    assert empty == []
+
+
 def test_knn_parquet_scan_partition_dirs(spark, emb, tmp_path):
     """A list of partition dirs is the ANN hook: scanning only the
     probed partitions must equal brute force over the same subset."""
