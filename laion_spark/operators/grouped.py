@@ -79,6 +79,40 @@ def grouped_centroid(
     return sums.select(group_col, "n", cent.alias(out_col)).orderBy(group_col)
 
 
+def centroid_grouped_agg(
+    df: DataFrame,
+    group_col: str = "label",
+    vector_col: str = "embedding",
+    out_col: str = "centroid",
+) -> DataFrame:
+    """The GROUPED_AGG ``pandas_udf`` form of ``grouped_centroid`` —
+    a custom aggregate usable directly inside ``groupBy().agg(...)``
+    next to built-ins (count, max, ...), same exact-int64 contract.
+    Unlike built-in aggregates it has no partial aggregation (whole
+    groups shuffle), so prefer ``centroids_algebraic`` at scale."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def vec_sum(q: pd.Series) -> list:
+        import numpy as np
+
+        return np.stack(q.to_numpy()).astype(np.int64).sum(axis=0).tolist()
+
+    # Spark disallows mixing a GROUPED_AGG pandas UDF with non-pandas
+    # aggregates in one agg(), so the count is a pandas UDF too
+    @F.pandas_udf(T.LongType())
+    def pcount(q: pd.Series) -> int:
+        return len(q)
+
+    sums = (
+        _quantized(df, group_col, vector_col)
+        .groupBy(group_col)
+        .agg(pcount("_q").alias("n"), vec_sum("_q").alias("_s"))
+    )
+    cent = F.transform(F.col("_s"), lambda s: F.round(s / (F.col("n") * F.lit(float(_SCALE))), 6))
+    return sums.select(group_col, "n", cent.alias(out_col)).orderBy(group_col)
+
+
 def centroids_algebraic(
     df: DataFrame,
     group_col: str = "label",

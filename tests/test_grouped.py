@@ -1,14 +1,20 @@
 """U4 grouped custom aggregation: applyInPandas centroid vs its
 algebraic (partial-aggregating) twin and vs the DuckDB oracle."""
 
-from laion_spark.operators.grouped import centroids_algebraic, grouped_centroid
+from laion_spark.operators.grouped import (
+    centroid_grouped_agg,
+    centroids_algebraic,
+    grouped_centroid,
+)
 
 
 def test_centroid_impls_agree(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     a = grouped_centroid(emb, "label", "embedding").collect()
     b = centroids_algebraic(emb, "label", "embedding").collect()
+    c = centroid_grouped_agg(emb, "label", "embedding").collect()
     assert [(r.label, r.n, r.centroid) for r in a] == [(r.label, r.n, r.centroid) for r in b]
+    assert [(r.label, r.n, r.centroid) for r in a] == [(r.label, r.n, r.centroid) for r in c]
     assert len(a) > 1
     assert all(len(r.centroid) == 64 for r in a)
 
