@@ -88,6 +88,12 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--vector-col", default="")
         p.add_argument("--select", default="", help="comma-separated output columns")
         p.add_argument("--html", default="", help="also write the HTML result grid here")
+        p.add_argument(
+            "--impl",
+            choices=("auto", "codegen", "scan"),
+            default="auto",
+            help="auto = scan-side Arrow+BLAS scorer for unfiltered text search, codegen otherwise",
+        )
 
     search_p = sub.add_parser("search", help="search using text or images")
     add_common(search_p, ("--text", "--image"))
@@ -151,7 +157,33 @@ def main(argv: list[str] | None = None) -> int:
         vector_col=vector_col,
         tiebreak=[select[0]] if select else (),
     )
-    if args.command == "concept_math":
+    use_scan = args.impl == "scan" or (
+        args.impl == "auto" and not args.filter and args.command == "search" and not is_image
+    )
+    if use_scan and args.command == "search" and not is_image:
+        # fast lane: scan-side Arrow+BLAS scorer straight off the parquet
+        import time as _time
+
+        from laion_spark.operators.knn import knn_search_parquet
+        from laion_spark.operators.search import SearchResult
+
+        query = args.text
+        t0 = _time.perf_counter()
+        qvec = enc.encode(query)
+        gen_time = _time.perf_counter() - t0
+        plan = knn_search_parquet(
+            spark, path, qvec, k=args.limit, vector_col=vector_col, select=select
+        )
+        t0 = _time.perf_counter()
+        rows = plan.collect()
+        result = SearchResult(
+            rows=rows,
+            generation_time=round(gen_time, 3),
+            query_time=round(_time.perf_counter() - t0, 3),
+            k=args.limit,
+            scored_column=vector_col,
+        )
+    elif args.command == "concept_math":
         query = args.text
         result = search_concept(df, query, enc, **kwargs)
     elif is_image:

@@ -31,6 +31,18 @@ def test_cli_search_text(spark, capsys, tmp_path):
     assert "query_time" in content and "score" in content
 
 
+def test_cli_scan_and_codegen_impls_agree(spark, capsys):
+    """--impl auto routes unfiltered text search to the scan scorer;
+    results must equal the codegen path."""
+    args = [
+        "search", "--text", "same query", "--table", "embeddings",
+        "--data-dir", SF_DIR, "--limit", "4", "--select", "vec_id",
+    ]
+    scan_out = run(capsys, *args, "--impl", "scan")
+    code_out = run(capsys, *args, "--impl", "codegen")
+    assert scan_out[1:5] == code_out[1:5]
+
+
 def test_cli_search_with_filter(spark, capsys):
     out = run(
         capsys,
