@@ -101,6 +101,37 @@ def test_l2_metric_axioms_spark(spark, a, b):
     assert r.ab == pytest.approx(want, rel=1e-9)
 
 
+@settings(max_examples=6, deadline=None)
+@given(
+    seed=st.integers(0, 10**6),
+    n=st.integers(5, 60),
+    dim=st.sampled_from([3, 17, 64]),
+    k=st.integers(1, 12),
+)
+def test_scan_scorer_matches_hof_for_random_tables(spark, tmp_path_factory, seed, n, dim, k):
+    """The two-stage f32-select/f64-rescore scan scorer must reproduce
+    the pure-Catalyst HOF path for arbitrary shapes, dims, and k —
+    including k > n and adversarial near-tie values."""
+    import numpy as np
+
+    from laion_spark.operators.knn import knn_search, knn_search_parquet
+
+    rng = np.random.default_rng(seed)
+    mat = (rng.random((n, dim), dtype=np.float32) * 2 - 1) * rng.choice([1e-3, 1.0, 50.0])
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "id int, embedding array<float>")
+    path = str(tmp_path_factory.mktemp("scan") / "t.parquet")
+    df.repartition(3).write.parquet(path)
+    a = knn_search(
+        spark.read.parquet(path), [float(x) for x in mat[0]], k=k,
+        vector_col="embedding", select=["id"], tiebreak=["id"], impl="hof",
+    ).collect()
+    b = knn_search_parquet(
+        spark, path, [float(x) for x in mat[0]], k=k, vector_col="embedding", select=["id"]
+    ).collect()
+    assert [(r.id, round(r.score, 6)) for r in a] == [(r.id, round(r.score, 6)) for r in b]
+
+
 def test_topk_stable_under_partitioning(spark, sf_dir):
     """The same top-k must come back for any physical row layout
     (partition count / order is an execution detail, not a semantic)."""
