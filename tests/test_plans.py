@@ -173,3 +173,33 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_q30_broadcasts_dim_and_takes_ordered(spark, sf_dir):
+    """TPC-H Q3 shape: the filtered customer dim must broadcast (no
+    shuffle of the fact side for it) and the top-N must be
+    TakeOrderedAndProject, not a global sort."""
+    from laion_spark.catalog import REGISTRY
+
+    p = plan_str(REGISTRY["q30_shipping_priority"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_q31_scalar_max_is_broadcast(spark, sf_dir):
+    """Q15 shape: the 1-row MAX side joins via broadcast, never a
+    shuffle of the revenue view against one row."""
+    from laion_spark.catalog import REGISTRY
+
+    p = plan_str(REGISTRY["q31_top_supplier"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+
+
+def test_q32_sample_predicate_prunes_columns(spark, sf_dir):
+    """Deterministic sampling must stay a scan-level predicate over a
+    pruned schema (3 columns), not a wide read."""
+    from laion_spark.catalog import REGISTRY
+
+    p = plan_str(REGISTRY["q32_deterministic_sample"].fn(spark, sf_dir))
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert rs and "o_orderdate" not in rs[0], rs
