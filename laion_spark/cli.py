@@ -157,15 +157,20 @@ def main(argv: list[str] | None = None) -> int:
         vector_col=vector_col,
         tiebreak=[select[0]] if select else (),
     )
-    use_scan = args.impl == "scan" or (
-        args.impl == "auto" and not args.filter and args.command == "search" and not is_image
+    if args.impl == "scan" and args.filter:
+        raise SystemExit(
+            "--impl scan does not apply --filter (the scan lane reads files "
+            "directly); drop --filter or use --impl codegen"
+        )
+    use_scan = (args.impl == "scan" or (args.impl == "auto" and not args.filter)) and (
+        args.command == "search" and not is_image
     )
-    if use_scan and args.command == "search" and not is_image:
+    if use_scan:
         # fast lane: scan-side Arrow+BLAS scorer straight off the parquet
         import time as _time
 
         from laion_spark.operators.knn import knn_search_parquet
-        from laion_spark.operators.search import SearchResult
+        from laion_spark.operators.search import collect_result
 
         query = args.text
         t0 = _time.perf_counter()
@@ -174,15 +179,7 @@ def main(argv: list[str] | None = None) -> int:
         plan = knn_search_parquet(
             spark, path, qvec, k=args.limit, vector_col=vector_col, select=select
         )
-        t0 = _time.perf_counter()
-        rows = plan.collect()
-        result = SearchResult(
-            rows=rows,
-            generation_time=round(gen_time, 3),
-            query_time=round(_time.perf_counter() - t0, 3),
-            k=args.limit,
-            scored_column=vector_col,
-        )
+        result = collect_result(plan, gen_time, args.limit, vector_col)
     elif args.command == "concept_math":
         query = args.text
         result = search_concept(df, query, enc, **kwargs)

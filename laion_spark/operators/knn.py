@@ -113,17 +113,22 @@ def knn_search(
             raw = dot(F.col(vector_col), q)
         scored = df.select(*cols, raw.alias("_raw"))
 
+    return _finish_topk(scored, metric, k, score_col, tiebreak)
+
+
+def _finish_topk(
+    scored: DataFrame, metric: str, k: int, score_col: str, tiebreak: Sequence[str]
+) -> DataFrame:
+    """Shared ordering/finishing tail for every scorer: NULL scores
+    last (NULL embeddings must not displace real neighbors — Spark's
+    plain asc is NULLS FIRST), sqrt applied to the k survivors only."""
     if metric == "l2":
-        # asc_nulls_last: NULL embeddings (passed through by
-        # validate_embeddings) score NULL and must not displace real
-        # neighbors (Spark's plain asc is NULLS FIRST)
         order = [F.col("_raw").asc_nulls_last()]
         finish = F.sqrt(F.col("_raw"))
     else:
         order = [F.col("_raw").desc_nulls_last()]
         finish = F.col("_raw")
     order += [F.col(c).asc() for c in tiebreak]
-
     topk = scored.orderBy(*order).limit(k)
     return topk.withColumn(score_col, finish).drop("_raw")
 
@@ -255,11 +260,24 @@ def _arrow_scored(
 
     def score(batches):
         import numpy as np
+        import pyarrow.compute as pc
 
         q = np.asarray(qvec, dtype=np.float64)
         qq = float(q @ q)
         for rb in batches:
             vcol = rb.column(rb.schema.get_field_index(vector_col))
+            if vcol.null_count:
+                # NULL embeddings score NULL (ranked last by the shared
+                # finishing tail) — same contract as the codegen/hof
+                # paths, instead of flat_matrix's hard error
+                mask = vcol.is_valid()
+                null_rb = rb.filter(pc.invert(mask))
+                if len(null_rb):
+                    arrays = [null_rb.column(null_rb.schema.get_field_index(c)) for c in cols]
+                    arrays.append(pa.nulls(len(null_rb), pa.float64()))
+                    yield pa.RecordBatch.from_arrays(arrays, list(cols) + ["_raw"])
+                rb = rb.filter(mask)
+                vcol = rb.column(rb.schema.get_field_index(vector_col))
             n = len(vcol)
             if n == 0:
                 continue
@@ -341,25 +359,56 @@ def knn_search_parquet(
     files = sorted(base.inputFiles())
     if not files:
         raise ValueError(f"no parquet files under {paths}")
-    cols = list(select) if select is not None else [c for c in base.columns if c != vector_col]
 
     def _local(f: str) -> str:
         return f[7:] if f.startswith("file:///") else f[5:] if f.startswith("file:") else f
 
-    tasks = []
     for f in files:
-        lf = _local(f)
-        try:
-            n_rg = pq.ParquetFile(lf).metadata.num_row_groups
-        except OSError:
-            n_rg = 1
-        tasks.extend((lf, g) for g in range(n_rg))
+        if "://" in f and not f.startswith("file:"):
+            raise NotImplementedError(
+                f"knn_search_parquet reads files with pyarrow's local filesystem; "
+                f"{f!r} is remote — use impl='codegen'/'arrow' (JVM scan) for "
+                "non-local storage, or mount it"
+            )
+
+    # partition columns (Hive dirs) exist in base.columns but not in the
+    # physical files — the worker-side reader can only produce physical
+    # columns. Prune them from a default select; reject an explicit one.
+    phys = set(pq.ParquetFile(_local(files[0])).schema_arrow.names)
+    if vector_col not in phys:
+        raise ValueError(f"vector column {vector_col!r} not in parquet files ({sorted(phys)})")
+    if select is not None:
+        missing = [c for c in select if c not in phys]
+        if missing:
+            raise ValueError(
+                f"column(s) {missing} are not in the parquet files (partition "
+                "columns?) — the scan scorer reads files directly; select "
+                "physical columns, or pass the partition dirs as `path` instead"
+            )
+        cols = list(select)
+    else:
+        cols = [c for c in base.columns if c != vector_col and c in phys]
+
+    # Bound the driver-side serial footer enumeration: row-group splits
+    # only matter when files are few and huge; with many files, one task
+    # per file already saturates the cluster.
+    tasks: list[tuple[str, int]] = []
+    if len(files) <= 256:
+        for f in files:
+            lf = _local(f)
+            try:
+                n_rg = pq.ParquetFile(lf).metadata.num_row_groups
+            except OSError:
+                n_rg = 1
+            tasks.extend((lf, g) for g in range(n_rg))
+    else:
+        tasks = [(_local(f), -1) for f in files]  # -1 = whole file
 
     qvec = [float(x) for x in query_vec]
     out_fields = [base.schema[c] for c in cols]
     out_schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
     out_schema = (out_schema + ", " if out_schema else "") + "_raw double"
-    read_cols = list(cols) + [vector_col]
+    read_cols = list(cols) + ([vector_col] if vector_col not in cols else [])
     kk = k
 
     def score_split(batches):
@@ -376,19 +425,24 @@ def knn_search_parquet(
             for fpath, rg in zip(paths, groups):
                 # use_threads=False: every core is already running its
                 # own task; per-task decode threads only fight each other
+                rgs = None if rg < 0 else [rg]
                 if pa_filter is not None:
                     import pyarrow.dataset as pads
                     from pyarrow.fs import LocalFileSystem
 
                     frag = pads.ParquetFileFormat().make_fragment(
-                        fpath, filesystem=LocalFileSystem(), row_groups=[rg]
+                        fpath, filesystem=LocalFileSystem(), row_groups=rgs
                     )
                     batch_iter = frag.to_batches(
                         columns=read_cols, filter=pa_filter, batch_size=batch_rows, use_threads=False
                     )
                 else:
-                    batch_iter = pq.ParquetFile(fpath).iter_batches(
-                        batch_size=batch_rows, row_groups=[rg], columns=read_cols, use_threads=False
+                    pf = pq.ParquetFile(fpath)
+                    batch_iter = pf.iter_batches(
+                        batch_size=batch_rows,
+                        row_groups=rgs if rgs is not None else range(pf.metadata.num_row_groups),
+                        columns=read_cols,
+                        use_threads=False,
                     )
                 cand_s: list = []
                 cand_cols: list[list] = [[] for _ in cols]  # typed pa chunks
@@ -413,9 +467,17 @@ def knn_search_parquet(
                         q32 = q.astype(np.float32)
                         nrm = np.einsum("ij,ij->i", mat32, mat32, dtype=np.float32)
                         raw32 = nrm - 2.0 * (mat32 @ q32) + np.float32(qq)
+                        # NaN/inf elements (out-of-contract but must not
+                        # silently drop the whole batch): select as +inf
+                        # so they rank last; a NaN kth would make the
+                        # <= comparison all-False
+                        finite = np.isfinite(raw32)
+                        if not finite.all():
+                            raw32 = np.where(finite, raw32, np.float32(np.inf))
                         kth = np.partition(raw32, top - 1)[top - 1]
                         u32 = 6.0e-8
-                        eps = dim * u32 * (np.sqrt(float(nrm.max())) + np.sqrt(qq)) ** 2
+                        max_nrm = float(nrm[finite].max()) if finite.any() else 0.0
+                        eps = dim * u32 * (np.sqrt(max_nrm) + np.sqrt(qq)) ** 2
                         cand = np.flatnonzero(raw32 <= kth + 4.0 * eps)
                         d = mat32[cand].astype(np.float64) - q
                         raw = np.einsum("ij,ij->i", d, d)
@@ -457,16 +519,12 @@ def knn_search_parquet(
         spark.sparkContext.parallelize(tasks, n_parts), "path string, row_group int"
     )
     partial = task_df.mapInArrow(score_split, out_schema)
-
-    if metric == "l2":
-        order = [F.col("_raw").asc_nulls_last()]
-        finish = F.sqrt(F.col("_raw"))
-    else:
-        order = [F.col("_raw").desc_nulls_last()]
-        finish = F.col("_raw")
-    order += [F.col(c).asc() for c in cols]
-    topk = partial.orderBy(*order).limit(k)
-    return topk.withColumn(score_col, finish).drop("_raw")
+    if metric == "cosine":
+        # zero-norm vectors score NaN, and NaN sorts ABOVE every double
+        # under desc — null it so desc_nulls_last ranks it last (same
+        # guard as _arrow_scored)
+        partial = partial.withColumn("_raw", F.when(~F.isnan("_raw"), F.col("_raw")))
+    return _finish_topk(partial, metric, k, score_col, tiebreak=cols)
 
 
 def topk_by_score(df: DataFrame, score: Column, k: int, ascending: bool = True, tiebreak: Sequence[str] = ()) -> DataFrame:

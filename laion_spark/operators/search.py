@@ -48,6 +48,21 @@ class SearchResult:
         return out
 
 
+def collect_result(plan: DataFrame, gen_time: float, k: int, vector_col: str) -> SearchResult:
+    """Execute a prepared top-k plan and wrap rows + the reference's
+    stat-box timings (search.py:35,43-45). Shared by the df-based
+    search functions and the CLI's scan-path lane."""
+    t0 = time.perf_counter()
+    rows = plan.collect()
+    return SearchResult(
+        rows=rows,
+        generation_time=round(gen_time, 3),
+        query_time=round(time.perf_counter() - t0, 3),
+        k=k,
+        scored_column=vector_col,
+    )
+
+
 def _run(
     df: DataFrame,
     qvec: Sequence[float],
@@ -61,15 +76,7 @@ def _run(
     plan = knn_search(
         df, qvec, k=k, vector_col=vector_col, filter=filter, select=select, tiebreak=tiebreak
     )
-    t0 = time.perf_counter()
-    rows = plan.collect()
-    return SearchResult(
-        rows=rows,
-        generation_time=round(gen_time, 3),
-        query_time=round(time.perf_counter() - t0, 3),
-        k=k,
-        scored_column=vector_col,
-    )
+    return collect_result(plan, gen_time, k, vector_col)
 
 
 def search_text(

@@ -43,6 +43,18 @@ def test_cli_scan_and_codegen_impls_agree(spark, capsys):
     assert scan_out[1:5] == code_out[1:5]
 
 
+def test_cli_scan_with_filter_is_rejected(spark, capsys):
+    """--impl scan silently ignoring --filter would return wrong rows;
+    it must exit with a clear error instead."""
+    import pytest
+
+    with pytest.raises(SystemExit, match="filter"):
+        main([
+            "search", "--text", "x", "--table", "embeddings", "--data-dir", SF_DIR,
+            "--filter", "label = 3", "--impl", "scan",
+        ])
+
+
 def test_cli_search_with_filter(spark, capsys):
     out = run(
         capsys,

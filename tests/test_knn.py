@@ -133,6 +133,64 @@ def test_knn_parquet_scan_partition_dirs(spark, emb, tmp_path):
     assert [(r.vec_id, round(r.score, 6)) for r in got] == [(r.vec_id, round(r.score, 6)) for r in want]
 
 
+def test_knn_parquet_scan_partitioned_root(spark, emb, tmp_path):
+    """Scanning the ROOT of a Hive-partitioned table must work: the
+    partition column is pruned from a default select (it is not in the
+    physical files) and an explicit select of it raises clearly."""
+    from laion_spark.operators.knn import knn_search_parquet
+
+    path = str(tmp_path / "proot")
+    emb.write.partitionBy("label").parquet(path)
+    got = knn_search_parquet(spark, path, QVEC, k=5, vector_col="embedding").collect()
+    want = knn_search(emb, QVEC, k=5, vector_col="embedding", select=["vec_id"], tiebreak=["vec_id"]).collect()
+    assert [(r.vec_id, round(r.score, 6)) for r in got] == [(r.vec_id, round(r.score, 6)) for r in want]
+    with pytest.raises(ValueError, match="partition"):
+        knn_search_parquet(spark, path, QVEC, k=5, vector_col="embedding", select=["vec_id", "label"])
+
+
+def test_knn_parquet_scan_cosine_zero_vector_ranks_last(spark, tmp_path):
+    """A zero-norm vector scores NaN in cosine; NaN sorts ABOVE every
+    double under desc in Spark, so it must be nulled and ranked last."""
+    from laion_spark.operators.knn import knn_search_parquet
+
+    rows = [(0, [0.0, 0.0, 0.0]), (1, [1.0, 2.0, 3.0]), (2, [3.0, 2.0, 1.0])]
+    df = spark.createDataFrame(rows, "id int, embedding array<float>")
+    path = str(tmp_path / "zv.parquet")
+    df.coalesce(1).write.parquet(path)
+    got = knn_search_parquet(spark, path, [1.0, 2.0, 3.0], k=3, vector_col="embedding", metric="cosine").collect()
+    assert [r.id for r in got] == [1, 2, 0]
+    assert got[-1].score is None
+
+
+def test_knn_parquet_scan_nan_element_does_not_drop_batch(spark, tmp_path):
+    """One NaN element must not make the f32 selection drop every row
+    of its batch (a NaN k-th threshold compares all-False)."""
+    from laion_spark.operators.knn import knn_search_parquet
+
+    rows = [(0, [float("nan"), 1.0]), (1, [1.0, 1.0]), (2, [2.0, 2.0]), (3, [3.0, 3.0])]
+    df = spark.createDataFrame(rows, "id int, embedding array<float>")
+    path = str(tmp_path / "nan.parquet")
+    df.coalesce(1).write.parquet(path)
+    got = knn_search_parquet(spark, path, [1.0, 1.0], k=2, vector_col="embedding").collect()
+    assert [r.id for r in got] == [1, 2]
+
+
+def test_knn_arrow_impl_null_embedding_scores_null(spark, emb):
+    """impl=arrow must match the codegen/hof NULL contract: NULL
+    embeddings get a NULL score ranked last, not a hard error."""
+    with_null = emb.select("vec_id", "embedding").unionAll(
+        spark.sql("SELECT -1 AS vec_id, CAST(NULL AS array<float>) AS embedding")
+    )
+    out = knn_search(
+        with_null, QVEC, k=10, vector_col="embedding", select=["vec_id"], tiebreak=["vec_id"], impl="arrow"
+    ).collect()
+    assert all(r.vec_id != -1 for r in out)
+    ref = knn_search(
+        with_null, QVEC, k=10, vector_col="embedding", select=["vec_id"], tiebreak=["vec_id"], impl="codegen"
+    ).collect()
+    assert [(r.vec_id, round(r.score, 6)) for r in out] == [(r.vec_id, round(r.score, 6)) for r in ref]
+
+
 def test_flat_matrix_guards():
     import pyarrow as pa
 
