@@ -2149,3 +2149,37 @@ def q33_quantiles(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q34_clickhouse_sql_compat",
+    oracle=f"""
+    SELECT vec_id,
+           round(sqrt({_L2_EMB}), 6) AS score,
+           CAST(year(CAST('2024-03-05' AS TIMESTAMP)) AS INTEGER) AS yr
+    FROM embeddings
+    ORDER BY score, vec_id
+    LIMIT 10
+    """,
+    note="switch-and-run surface: the reference's generated ClickHouse SQL "
+    "(search.py:20-26 L2Distance / toYear names) executes verbatim via the "
+    "SQL-UDF compat layer (functions/sqlcompat.py), inlined to JVM "
+    "expressions — no Python node in the plan",
+)
+def q34_clickhouse_sql_compat(spark, sf_dir):
+    from laion_spark.functions.sqlcompat import register_clickhouse_sql
+
+    tune_session(spark)
+    register_clickhouse_sql(spark)
+    t(spark, sf_dir, "embeddings").createOrReplaceTempView("laion_compat")
+    qlit = ", ".join(str(x) for x in QVEC64)
+    return spark.sql(
+        f"""
+        SELECT vec_id,
+               round(L2Distance(embedding, array({qlit})), 6) AS score,
+               toYear(TIMESTAMP '2024-03-05 00:00:00') AS yr
+        FROM laion_compat
+        ORDER BY score ASC, vec_id
+        LIMIT 10
+        """
+    )

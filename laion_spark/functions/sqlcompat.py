@@ -1,0 +1,118 @@
+"""ClickHouse-compatible SQL function layer (switch-and-run surface).
+
+A user of the reference writes ClickHouse SQL — ``L2Distance(emb,
+[...])``, ``toYear(ts)``, ``JSONExtractString(exif, 'Model')``
+(reference search.py:20-26 generates exactly such SQL). This module
+registers those names as Spark **SQL UDFs** (``CREATE TEMPORARY
+FUNCTION ... RETURN <expr>``), which Catalyst inlines into the plan —
+pure JVM expressions, no Python boundary, fully optimizable
+(pushdown/codegen apply as if the user had written the Spark builtin).
+
+Coverage: the function classes the reference exercises (SURVEY.md §2.7
+F1-F6 + the §2.3 vector class) plus the everyday ClickHouse names a
+LAION-table user reaches for. Names that collide with Spark builtins of
+identical semantics (``round``, ``sqrt``, ``lower``, ``concat``) are
+not re-registered.
+
+Limitations: ClickHouse lambda combinators (``arrayMap(x -> ..., a)``)
+are syntax, not a function — users rewrite them as Spark's
+``transform(a, x -> ...)`` (same semantics, argument order swapped).
+"""
+
+from __future__ import annotations
+
+#: name -> (typed arg list, return type, body expression)
+_FUNCTIONS: dict[str, tuple[str, str, str]] = {
+    # --- vector distances (§2.3; reference search.py:23) ------------------
+    "L2Distance": (
+        "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+        "DOUBLE",
+        "sqrt(aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))",
+    ),
+    "L2SquaredDistance": (
+        "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+        "DOUBLE",
+        "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)",
+    ),
+    "L1Distance": (
+        "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+        "DOUBLE",
+        "aggregate(zip_with(a, b, (x, y) -> abs(x - y)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)",
+    ),
+    "LinfDistance": (
+        "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+        "DOUBLE",
+        "array_max(zip_with(a, b, (x, y) -> abs(x - y)))",
+    ),
+    "dotProduct": (
+        "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+        "DOUBLE",
+        "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)",
+    ),
+    "L2Norm": (
+        "a ARRAY<DOUBLE>",
+        "DOUBLE",
+        "sqrt(aggregate(a, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v))",
+    ),
+    "cosineDistance": (
+        "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+        "DOUBLE",
+        "1.0 - aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        " / (sqrt(aggregate(a, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v))"
+        " * sqrt(aggregate(b, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v * v)))",
+    ),
+    # --- array helpers ----------------------------------------------------
+    "arraySum": ("a ARRAY<DOUBLE>", "DOUBLE", "aggregate(a, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"),
+    "arrayAvg": (
+        "a ARRAY<DOUBLE>",
+        "DOUBLE",
+        "aggregate(a, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / size(a)",
+    ),
+    "arrayMin": ("a ARRAY<DOUBLE>", "DOUBLE", "array_min(a)"),
+    "arrayMax": ("a ARRAY<DOUBLE>", "DOUBLE", "array_max(a)"),
+    "arrayElement": ("a ARRAY<DOUBLE>, i INT", "DOUBLE", "element_at(a, i)"),
+    "has": ("a ARRAY<STRING>, x STRING", "BOOLEAN", "array_contains(a, x)"),
+    "indexOf": ("a ARRAY<STRING>, x STRING", "INT", "CAST(array_position(a, x) AS INT)"),
+    # --- date/time (toYear-family) ----------------------------------------
+    "toYear": ("t TIMESTAMP", "INT", "year(t)"),
+    "toMonth": ("t TIMESTAMP", "INT", "month(t)"),
+    "toDayOfMonth": ("t TIMESTAMP", "INT", "day(t)"),
+    "toHour": ("t TIMESTAMP", "INT", "hour(t)"),
+    "toDate": ("t TIMESTAMP", "DATE", "CAST(t AS DATE)"),
+    "toStartOfDay": ("t TIMESTAMP", "TIMESTAMP", "date_trunc('day', t)"),
+    "toStartOfMonth": ("t TIMESTAMP", "DATE", "CAST(date_trunc('month', t) AS DATE)"),
+    "toStartOfHour": ("t TIMESTAMP", "TIMESTAMP", "date_trunc('hour', t)"),
+    # --- arithmetic -------------------------------------------------------
+    # floor division in exact integer arithmetic (a DIV b truncates;
+    # correct it toward -inf when signs differ and there is a remainder)
+    "intDiv": ("a BIGINT, b BIGINT", "BIGINT", "a DIV b - CAST(((a % b) != 0 AND ((a < 0) != (b < 0))) AS BIGINT)"),
+    "modulo": ("a BIGINT, b BIGINT", "BIGINT", "a % b"),
+    "plus": ("a DOUBLE, b DOUBLE", "DOUBLE", "a + b"),
+    "minus": ("a DOUBLE, b DOUBLE", "DOUBLE", "a - b"),
+    "multiply": ("a DOUBLE, b DOUBLE", "DOUBLE", "a * b"),
+    "divide": ("a DOUBLE, b DOUBLE", "DOUBLE", "a / b"),
+    # --- strings (F4) -----------------------------------------------------
+    "replaceAll": ("s STRING, f STRING, r STRING", "STRING", "replace(s, f, r)"),
+    "replaceRegexpAll": ("s STRING, p STRING, r STRING", "STRING", "regexp_replace(s, p, r)"),
+    "empty": ("s STRING", "BOOLEAN", "s IS NULL OR length(s) = 0"),
+    "notEmpty": ("s STRING", "BOOLEAN", "s IS NOT NULL AND length(s) > 0"),
+    "lengthUTF8": ("s STRING", "INT", "length(s)"),
+    "toString": ("x DOUBLE", "STRING", "CAST(x AS STRING)"),
+    # --- JSON (F5; reference process.py:76 exif) --------------------------
+    "JSONExtractString": ("j STRING, k STRING", "STRING", "get_json_object(j, concat('$.', k))"),
+    "JSONExtractInt": ("j STRING, k STRING", "BIGINT", "CAST(get_json_object(j, concat('$.', k)) AS BIGINT)"),
+    "JSONExtractFloat": ("j STRING, k STRING", "DOUBLE", "CAST(get_json_object(j, concat('$.', k)) AS DOUBLE)"),
+    "JSONHas": ("j STRING, k STRING", "BOOLEAN", "get_json_object(j, concat('$.', k)) IS NOT NULL"),
+}
+
+
+def register_clickhouse_sql(spark) -> list[str]:
+    """Register the ClickHouse-name SQL functions on ``spark``;
+    returns the registered names. Idempotent (CREATE OR REPLACE)."""
+    for name, (args, ret, body) in _FUNCTIONS.items():
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({args}) RETURNS {ret} RETURN {body}"
+        )
+    return list(_FUNCTIONS)

@@ -332,8 +332,8 @@ def knn_search_parquet(
 
     At 100 TB the same plan holds: the task table is (file, row_group)
     — thousands of independent splits, no shuffle, O(splits * k) rows
-    to the final reduce. Filters belong in the codegen/arrow paths (or
-    at ingest); this path is the unfiltered-scan fast lane.
+    to the final reduce. Spark-SQL string filters belong in the
+    codegen/arrow paths; this path takes predicates as ``pa_filter``.
 
     ``path`` may be a list of directories — that is the ANN hook: an
     index layer (e.g. IVFIndex partition dirs, ``ivf_cluster=K``)

@@ -1,0 +1,86 @@
+"""ClickHouse-name SQL function layer: a reference user's SQL runs
+verbatim on the engine, inlined to JVM expressions (no Python node)."""
+
+import math
+
+import pytest
+
+from laion_spark.functions.sqlcompat import register_clickhouse_sql
+
+
+@pytest.fixture(scope="module", autouse=True)
+def compat(spark):
+    register_clickhouse_sql(spark)
+
+
+def one(spark, expr):
+    return spark.sql(f"SELECT {expr} AS v").collect()[0].v
+
+
+def test_vector_distances(spark):
+    assert one(spark, "L2Distance(array(1.0d,2.0d), array(4.0d,6.0d))") == 5.0
+    assert one(spark, "L2SquaredDistance(array(0.0d,0.0d), array(3.0d,4.0d))") == 25.0
+    assert one(spark, "L1Distance(array(1.0d,2.0d), array(4.0d,6.0d))") == 7.0
+    assert one(spark, "LinfDistance(array(1.0d,2.0d), array(4.0d,6.0d))") == 4.0
+    assert one(spark, "dotProduct(array(1.0d,2.0d), array(3.0d,4.0d))") == 11.0
+    assert one(spark, "L2Norm(array(3.0d,4.0d))") == 5.0
+    assert one(spark, "cosineDistance(array(1.0d,0.0d), array(1.0d,0.0d))") == pytest.approx(0.0)
+    assert one(spark, "cosineDistance(array(1.0d,0.0d), array(0.0d,1.0d))") == pytest.approx(1.0)
+
+
+def test_reference_canonical_query_shape(spark, sf_dir):
+    """The reference's generated SQL (search.py:20-26) runs as-is, with
+    the float embedding column implicitly cast to the DOUBLE params."""
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView("laion")
+    q = ", ".join(str(round(((j * 37) % 19 - 9) / 10.0, 1)) for j in range(64))
+    rows = spark.sql(
+        f"SELECT vec_id, L2Distance(embedding, array({q})) AS score "
+        "FROM laion ORDER BY score ASC, vec_id LIMIT 5"
+    ).collect()
+    assert len(rows) == 5
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores)
+    # matches the engine's knn operator
+    from laion_spark.operators.knn import knn_search
+
+    QVEC = [round(((j * 37) % 19 - 9) / 10.0, 1) for j in range(64)]
+    want = knn_search(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), QVEC, k=5,
+        vector_col="embedding", select=["vec_id"], tiebreak=["vec_id"],
+    ).collect()
+    assert [(r.vec_id, round(r.score, 6)) for r in rows] == [(r.vec_id, round(r.score, 6)) for r in want]
+
+
+def test_sql_udfs_stay_jvm_side(spark):
+    plan = (
+        spark.sql("SELECT L2Distance(array(1.0d), array(2.0d)) AS v")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan
+
+
+def test_dates_and_arithmetic(spark):
+    assert one(spark, "toYear(TIMESTAMP '2024-03-05 10:11:12')") == 2024
+    assert one(spark, "toMonth(TIMESTAMP '2024-03-05 10:11:12')") == 3
+    assert one(spark, "toDayOfMonth(TIMESTAMP '2024-03-05 10:11:12')") == 5
+    assert str(one(spark, "toStartOfMonth(TIMESTAMP '2024-03-05 10:11:12')")) == "2024-03-01"
+    assert one(spark, "intDiv(7, 2)") == 3
+    assert one(spark, "intDiv(-7, 2)") == -4  # floor, not truncate
+    assert one(spark, "modulo(7, 3)") == 1
+    assert one(spark, "divide(7.0, 2.0)") == 3.5
+
+
+def test_strings_and_json(spark):
+    assert one(spark, "replaceAll('a-b-c', '-', '+')") == "a+b+c"
+    assert one(spark, "replaceRegexpAll('a1b22c', '[0-9]+', '#')") == "a#b#c"
+    assert one(spark, "empty('')") is True
+    assert one(spark, "notEmpty('x')") is True
+    assert one(spark, """JSONExtractString('{"Model":"iPhone"}', 'Model')""") == "iPhone"
+    assert one(spark, """JSONExtractInt('{"w": 512}', 'w')""") == 512
+    assert one(spark, """JSONExtractFloat('{"f": 2.5}', 'f')""") == 2.5
+    assert one(spark, """JSONHas('{"a":1}', 'b')""") is False
+
+
+def test_math_consistency_with_python(spark):
+    got = one(spark, "L2Norm(array(1.0d, 2.0d, 3.0d))")
+    assert got == pytest.approx(math.sqrt(14.0))
