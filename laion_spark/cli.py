@@ -100,6 +100,15 @@ def main(argv: list[str] | None = None) -> int:
     concept_p = sub.add_parser("concept_math", help="search a concept-math expression")
     add_common(concept_p, ("--text",))
 
+    sql_p = sub.add_parser(
+        "sql",
+        help="run SQL over the data-dir tables (ClickHouse function names available)",
+    )
+    sql_p.add_argument("query", help="SQL text; parquet tables in --data-dir are registered as views")
+    sql_p.add_argument("--data-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+    sql_p.add_argument("--limit", type=int, default=100, help="max rows to print (0 = all)")
+    sql_p.add_argument("--json", action="store_true", help="print one JSON object per row instead of a table")
+
     gen_p = sub.add_parser("generate", help="generate embeddings for text, an image ref, or a file of lines")
     g = gen_p.add_mutually_exclusive_group(required=True)
     g.add_argument("--text")
@@ -110,6 +119,33 @@ def main(argv: list[str] | None = None) -> int:
     gen_p.add_argument("--output", default="output.txt", help="--file mode output path")
 
     args = parser.parse_args(argv)
+
+    if args.command == "sql":
+        import glob
+        import json as _json
+
+        from laion_spark.functions.sqlcompat import register_clickhouse_sql
+        from laion_spark.session import get_session, tune_session
+
+        spark = get_session("laion_spark_cli")
+        tune_session(spark)
+        register_clickhouse_sql(spark)
+        for p in sorted(glob.glob(os.path.join(args.data_dir, "*.parquet"))):
+            name = os.path.splitext(os.path.basename(p))[0]
+            spark.read.parquet(p).createOrReplaceTempView(name)
+        df = spark.sql(args.query)
+        rows = df.collect() if args.limit == 0 else df.limit(args.limit).collect()
+        if args.json:
+            for r in rows:
+                print(_json.dumps(r.asDict(), default=str))
+        elif rows:
+            cols_ = df.columns
+            widths = {c: max(len(c), *(len(str(r[c])) for r in rows)) for c in cols_}
+            print("  ".join(c.ljust(widths[c]) for c in cols_))
+            for r in rows:
+                print("  ".join(str(r[c]).ljust(widths[c]) for c in cols_))
+        print(f"{len(rows)} row(s)", file=sys.stderr)
+        return 0
 
     if args.command == "generate":
         if args.file:

@@ -74,6 +74,30 @@ def test_cli_concept_math(spark, capsys):
     assert len(out) == 4  # header + 2 rows + stats
 
 
+def test_cli_sql_with_clickhouse_functions(spark, capsys):
+    """The sql subcommand registers data-dir tables and the ClickHouse
+    function names — a reference user's SQL runs verbatim."""
+    out = run(
+        capsys,
+        "sql",
+        "SELECT vec_id, round(L2Distance(embedding, transform(embedding, x -> CAST(0.0 AS DOUBLE))), 4) AS nrm "
+        "FROM embeddings ORDER BY vec_id LIMIT 3",
+        "--data-dir", SF_DIR,
+    )
+    assert out[0].split() == ["vec_id", "nrm"]
+    assert len(out) == 4
+
+
+def test_cli_sql_json_mode(spark, capsys):
+    import json
+
+    out = run(
+        capsys,
+        "sql", "SELECT count(*) AS n FROM orders", "--data-dir", SF_DIR, "--json",
+    )
+    assert json.loads(out[0])["n"] > 0
+
+
 def test_cli_generate_text(capsys):
     out = run(capsys, "generate", "--text", "hello world", "--dim", "8")
     vec = ast.literal_eval(out[0])
