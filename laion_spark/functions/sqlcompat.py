@@ -100,6 +100,19 @@ _FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "notEmpty": ("s STRING", "BOOLEAN", "s IS NOT NULL AND length(s) > 0"),
     "lengthUTF8": ("s STRING", "INT", "length(s)"),
     "toString": ("x DOUBLE", "STRING", "CAST(x AS STRING)"),
+    "lowerUTF8": ("s STRING", "STRING", "lower(s)"),
+    "upperUTF8": ("s STRING", "STRING", "upper(s)"),
+    "substringUTF8": ("s STRING, o INT, l INT", "STRING", "substring(s, o, l)"),
+    # NOTE: ClickHouse position(haystack, needle) cannot be provided —
+    # Spark has a builtin `position(substr, str)` (reversed args) that
+    # SQL UDFs may not replace; users keep Spark's instr(h, n).
+    "arrayStringConcat": ("a ARRAY<STRING>, sep STRING", "STRING", "array_join(a, sep)"),
+    "splitByChar": ("sep STRING, s STRING", "ARRAY<STRING>", r"split(s, concat('\\Q', sep, '\\E'))"),
+    # --- casts ------------------------------------------------------------
+    "toInt32": ("x STRING", "INT", "CAST(x AS INT)"),
+    "toInt64": ("x STRING", "BIGINT", "CAST(x AS BIGINT)"),
+    "toFloat32": ("x STRING", "FLOAT", "CAST(x AS FLOAT)"),
+    "toFloat64": ("x STRING", "DOUBLE", "CAST(x AS DOUBLE)"),
     # --- JSON (F5; reference process.py:76 exif) --------------------------
     "JSONExtractString": ("j STRING, k STRING", "STRING", "get_json_object(j, concat('$.', k))"),
     "JSONExtractInt": ("j STRING, k STRING", "BIGINT", "CAST(get_json_object(j, concat('$.', k)) AS BIGINT)"),

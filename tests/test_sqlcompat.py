@@ -81,6 +81,16 @@ def test_strings_and_json(spark):
     assert one(spark, """JSONHas('{"a":1}', 'b')""") is False
 
 
+def test_string_helpers_and_casts(spark):
+    assert one(spark, "lowerUTF8('AbC')") == "abc"
+    assert one(spark, "substringUTF8('hello', 2, 3)") == "ell"
+    assert one(spark, "arrayStringConcat(array('a','b','c'), '-')") == "a-b-c"
+    assert one(spark, "splitByChar('.', 'a.b.c')") == ["a", "b", "c"]
+    assert one(spark, "splitByChar('|', 'a|b')") == ["a", "b"]  # regex metachar escaped
+    assert one(spark, "toInt64('42')") == 42
+    assert one(spark, "toFloat64('2.5')") == 2.5
+
+
 def test_math_consistency_with_python(spark):
     got = one(spark, "L2Norm(array(1.0d, 2.0d, 3.0d))")
     assert got == pytest.approx(math.sqrt(14.0))
