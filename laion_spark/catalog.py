@@ -2183,3 +2183,78 @@ def q34_clickhouse_sql_compat(spark, sf_dir):
         LIMIT 10
         """
     )
+
+
+@query(
+    "q35_window_distribution",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_mktsegment, c_acctbal, c_custkey
+    LIMIT 400
+    """,
+    note="Q11 window surface completion: ntile / percent_rank / cume_dist "
+    "over a total-ordered frame (acctbal ties broken by custkey so ranks "
+    "are engine-identical)",
+)
+def q35_window_distribution(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+        )
+        .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+        .limit(400)
+        .drop("c_acctbal")
+    )
+
+
+@query(
+    "q36_correlated_exists",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_suppkey = s.s_suppkey AND l2.l_discount > 0.09
+    )
+    ORDER BY s.s_suppkey
+    """,
+    note="correlated EXISTS / NOT EXISTS (Catalyst rewrites to left-semi + "
+    "left-anti joins — the de-correlation the reference delegates to "
+    "ClickHouse's planner), via spark.sql on registered views",
+)
+def q36_correlated_exists(spark, sf_dir):
+    tune_session(spark)
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("v_supplier")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT s.s_suppkey, s.s_name, s.s_acctbal
+        FROM v_supplier s
+        WHERE EXISTS (
+          SELECT 1 FROM v_lineitem l
+          WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM v_lineitem l2
+          WHERE l2.l_suppkey = s.s_suppkey AND l2.l_discount > 0.09
+        )
+        ORDER BY s.s_suppkey
+        """
+    )
