@@ -187,6 +187,9 @@ def main() -> None:
     # ann768_speedup is the BASELINE-ratio analog; recall@10 reported.
     from laion_spark.operators.similarity import IVFIndex
 
+    # nprobe=8 is the measured knee: recall@10 stays 0.9 from nprobe=8
+    # through 16 (the one missed neighbor sits in a far cluster — a
+    # property of the quantizer/noise, not probe count)
     C, NPROBE = 64, 8
     vecs_c = synth_vectors(spark, N_VEC, DIM, clustered=True)
     cpath = f"/tmp/laion_bench_{N_VEC}x{DIM}_clustered.parquet"

@@ -148,3 +148,19 @@ def test_topk_stable_under_partitioning(spark, sf_dir):
     assert base == ids(emb.repartition(17))
     assert base == ids(emb.repartition(3, "label"))
     assert base == ids(emb.orderBy(F.desc("vec_id")))
+
+
+def test_approx_percentile_error_budget(spark, sf_dir):
+    """q33's scale note says swap exact percentile for approx_percentile
+    at 100 TB 'with a documented error budget' — document it: at
+    accuracy 10000 the approx p50/p99 land within 0.5% relative of the
+    exact interpolated quantile on lineitem prices."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = li.selectExpr(
+        "percentile(l_extendedprice, 0.5) AS e50",
+        "percentile(l_extendedprice, 0.99) AS e99",
+        "approx_percentile(l_extendedprice, 0.5, 10000) AS a50",
+        "approx_percentile(l_extendedprice, 0.99, 10000) AS a99",
+    ).collect()[0]
+    assert abs(row.a50 - row.e50) / row.e50 < 0.005
+    assert abs(row.a99 - row.e99) / row.e99 < 0.005
