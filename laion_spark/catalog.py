@@ -2258,3 +2258,41 @@ def q36_correlated_exists(spark, sf_dir):
         ORDER BY s.s_suppkey
         """
     )
+
+
+@query(
+    "d08_dedup_components",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents WHERE doc_id < 100
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT da, db
+      FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.4
+    ), edges AS (
+      SELECT da AS a, db AS b FROM pairs UNION ALL SELECT db, da FROM pairs
+    ), reach AS (
+      SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS id, min(b) AS comp FROM reach GROUP BY a ORDER BY a
+    """,
+    note="near-dup pairs -> dedup clusters via min-label-propagation "
+    "connected components (the 'keep one per group' step after candidate "
+    "pairs); oracle is a WITH RECURSIVE transitive closure — the iterative "
+    "Spark fixpoint and the recursive SQL must agree exactly",
+)
+def d08_dedup_components(spark, sf_dir):
+    from laion_spark.operators.dedup import connected_components, jaccard_similar_pairs
+
+    d = t(spark, sf_dir, "documents").filter("doc_id < 100")
+    pairs = jaccard_similar_pairs(d, id_col="doc_id", text_col="text", ngram=1, threshold=0.4)
+    return connected_components(pairs, "da", "db")

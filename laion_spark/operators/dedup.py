@@ -242,6 +242,58 @@ def minhash_lsh_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "da",
+    b_col: str = "db",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Near-duplicate pairs -> dedup CLUSTERS: (id, component) for every
+    id in the pair list, component = the minimum id reachable through
+    the pair graph. The step every dedup pipeline needs after candidate
+    pairs — "drop all but one per group" is exact_dedup on ``component``.
+
+    Algorithm: min-label propagation to fixpoint — each round every node
+    takes min(own label, neighbors' labels); the component minimum
+    floods the component in O(graph diameter) rounds. Near-dup clusters
+    are shallow (diameter ~ handful), so this is a few E-sized
+    shuffle-joins; per-round ``localCheckpoint`` truncates the plan so
+    lineage doesn't grow with iterations. Deterministic: the fixpoint is
+    unique regardless of partitioning or join order.
+    """
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).cache()
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new = (
+            labels.join(nbr, labels.id == nbr.src, "left")
+            .select(
+                labels.id,
+                F.least(labels.comp, F.coalesce(F.col("ncomp"), labels.comp)).alias("comp"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iters} iterations")
+    edges.unpersist()
+    return labels.orderBy("id")
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 63, ngram: int = 2) -> DataFrame:
     """SimHash fingerprint (63-bit, sign bit unused so the result stays
     a non-negative long): sign-sum of per-shingle hash bits.

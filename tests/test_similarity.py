@@ -187,3 +187,16 @@ def test_ivf_deterministic(spark, emb):
     a = IVFIndex(dim=64, n_clusters=4, n_iters=2).fit(emb, id_col="vec_id", vector_col="embedding")
     b = IVFIndex(dim=64, n_clusters=4, n_iters=2).fit(emb, id_col="vec_id", vector_col="embedding")
     assert a.centroids == b.centroids
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 5-node chain (diameter > 1 iteration), a 2-node island, and a
+    singleton-free graph: every node gets the component minimum."""
+    from laion_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22)],
+        "da int, db int",
+    )
+    got = {r.id: r.comp for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
