@@ -203,3 +203,15 @@ def test_q32_sample_predicate_prunes_columns(spark, sf_dir):
     p = plan_str(REGISTRY["q32_deterministic_sample"].fn(spark, sf_dir))
     rs = [ln for ln in p.splitlines() if "ReadSchema" in ln]
     assert rs and "o_orderdate" not in rs[0], rs
+
+
+def test_minhash_base_array_computed_once(spark, sf_dir):
+    """The 41x round-2 fix: the shingle+hash base array must appear ONCE
+    behind a Project boundary, not be re-inlined into all 64 min-hash
+    expressions (CollapseProject keeps non-cheap aliases referenced >1x,
+    but a refactor could silently lose the boundary)."""
+    from laion_spark.operators.dedup import minhash_signatures
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_str(minhash_signatures(d, "doc_id", "text", num_hashes=64, ngram=3))
+    assert p.count("xxhash64") <= 3, f"base hash array re-inlined {p.count('xxhash64')}x"
