@@ -1922,6 +1922,38 @@ def s05_streaming_enrich_join(spark, sf_dir):
 
 
 @query(
+    "s06_stateful_user_stats",
+    oracle="""
+    SELECT user_id, count(*) AS n,
+           CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+             / 1000000 AS total
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    note="custom stateful operator (applyInPandasWithState): per-user "
+    "GroupState (n, total) maintained across micro-batches, emitted in "
+    "update mode; final state per user (max-n update) must equal the "
+    "batch aggregate — int64 micro-unit accumulation makes the float "
+    "path batching-order-proof",
+)
+def s06_stateful_user_stats(spark, sf_dir):
+    from laion_spark.streaming.windows import (
+        latest_update_per_user,
+        replay_as_stream,
+        run_to_completion,
+        stateful_user_stats,
+    )
+
+    tune_session(spark)
+    stream = replay_as_stream(spark, f"{sf_dir}/events.parquet", n_splits=4)
+    updates = run_to_completion(
+        stateful_user_stats(stream), "cat_s06_stateful", output_mode="update"
+    )
+    return latest_update_per_user(updates).orderBy("user_id")
+
+
+@query(
     "a02_ann_ivf_topk",
     oracle=None,  # approximate by construction, like a01; recall vs
     # brute force asserted in tests/test_similarity.py::test_ivf_recall_and_pruning

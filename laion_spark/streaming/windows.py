@@ -126,3 +126,80 @@ def streaming_dedup(df: DataFrame, keys: list[str], watermark: str = "1 hour") -
     if df.isStreaming:
         return df.withWatermark("ts_t", watermark).dropDuplicatesWithinWatermark(keys)
     return df.dropDuplicates(keys)
+
+
+def stateful_user_stats(df: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (the
+    north star's escape hatch for aggregations the built-in windowed
+    operators can't express — SURVEY.md §2.9/U4's streaming face).
+
+    Maintains an explicit per-user GroupState ``(n, total)`` across
+    micro-batches and emits the running totals in ``update`` mode after
+    each batch that touches the key. State is the raw float64
+    accumulator; rounding happens only at emit, so late batches keep
+    full precision.
+
+    The emitted ``n`` is monotone per user, so "latest update per user"
+    == "update with max n" — that selection (done by the caller at
+    stream end) must equal the batch twin, a plain groupBy aggregate.
+    This is the batch-equivalence contract for stateful ops: final
+    state == the aggregate over everything the stream delivered.
+
+    Cross-engine float determinism: ``value`` is quantized to int64
+    micro-units IN CATALYST (``F.round`` = HALF_UP = DuckDB ``round``),
+    the state accumulates only exact int64 sums, and the division back
+    to double happens at emit — so the result is bit-identical no
+    matter how the stream batches the rows (never sum floats in
+    accumulation order you don't control).
+
+    At scale: state is one 16-byte tuple per distinct user (bounded by
+    key cardinality, not stream length); each micro-batch shuffles only
+    its own rows to the state partitions — the same single-shuffle
+    shape as the built-in streaming aggs.
+
+    Batch twin: ``groupBy(user_id).agg(count, sum(value_micros)/1e6)``.
+    """
+    value_i = F.round(F.col("value") * 1_000_000, 0).cast("long")
+    if not df.isStreaming:
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            (F.sum(value_i) / 1_000_000).alias("total"),
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total_i = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total_i += int(pdf["value_i"].sum())
+        state.update((n, total_i))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "total": [total_i / 1_000_000]}
+        )
+
+    return (
+        df.withColumn("value_i", value_i)
+        .withWatermark("ts_t", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, n bigint, total double",
+            stateStructType="n bigint, total_i bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def latest_update_per_user(updates: DataFrame) -> DataFrame:
+    """Collapse an update-mode memory-sink log to the final row per
+    user: ``n`` is monotone, so max-n is the last emitted state."""
+    w = W.partitionBy("user_id").orderBy(F.col("n").desc())
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -143,3 +143,20 @@ def test_late_data_dropped_past_watermark(spark, tmp_path):
         .collect()[0].n
     )
     assert batch_n == 3
+
+
+def test_stateful_user_stats_parity(spark, events_batch, events_stream):
+    """applyInPandasWithState: the final per-user state (max-n update
+    in the update-mode log) must equal the batch groupBy aggregate —
+    exactly, because both sides accumulate int64 micro-units."""
+    from laion_spark.streaming.windows import latest_update_per_user, stateful_user_stats
+
+    updates = run_to_completion(
+        stateful_user_stats(events_stream), "t_stateful", output_mode="update"
+    )
+    got = latest_update_per_user(updates)
+    want = stateful_user_stats(events_batch)
+    cols = ["user_id", "n", "total"]
+    assert canon(got, cols) == canon(want, cols)
+    # the log shows true incremental emission: more update rows than users
+    assert updates.count() > got.count()
