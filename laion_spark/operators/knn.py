@@ -303,6 +303,58 @@ def _arrow_scored(
     return scored
 
 
+def _fs_from_uri(uri: str):
+    """Seam over ``pyarrow.fs.FileSystem.from_uri`` (an immutable
+    C-extension classmethod — not patchable in tests directly)."""
+    from pyarrow.fs import FileSystem
+
+    return FileSystem.from_uri(uri)
+
+
+def _resolve_fs(files: list[str]):
+    """Spark ``inputFiles`` URIs -> (pyarrow FileSystem, fs-native
+    paths, is_remote).
+
+    Local URIs (``file:...``, bare paths) map to LocalFileSystem with
+    plain paths — the zero-overhead common case. Anything else resolves
+    through ``pyarrow.fs.FileSystem.from_uri`` (S3 / GCS / HDFS /
+    Azure), after normalizing Hadoop-flavored schemes to the pyarrow
+    spelling (``s3a://`` -> ``s3://``). The returned FileSystem is
+    picklable: worker tasks reopen their splits against it, so the
+    scan-side scorer runs unchanged on object storage — where a
+    1000-executor cluster would actually read its 100 TB from.
+    """
+    from pyarrow.fs import LocalFileSystem
+
+    def strip_local(f: str) -> str:
+        return f[7:] if f.startswith("file:///") else f[5:] if f.startswith("file:") else f
+
+    if all("://" not in f or f.startswith("file:") for f in files):
+        return LocalFileSystem(), [strip_local(f) for f in files], False
+
+    def norm(f: str) -> str:
+        for hadoop, arrow in (("s3a://", "s3://"), ("s3n://", "s3://")):
+            if f.startswith(hadoop):
+                return arrow + f[len(hadoop):]
+        return f
+
+    files = [norm(f) for f in files]
+    # resolve ONCE (S3 from_uri does a network region lookup per call),
+    # then map the other URIs by stripping the same scheme://authority
+    # prefix — from_uri returns the path as a suffix of the URI, so the
+    # prefix is uri[:-len(path)]
+    fs, p0 = _fs_from_uri(files[0])
+    prefix = files[0][: len(files[0]) - len(p0)]
+    paths = []
+    for f in files:
+        if not f.startswith(prefix):
+            raise ValueError(
+                f"mixed filesystems in one table: {f!r} does not share prefix {prefix!r}"
+            )
+        paths.append(f[len(prefix):])
+    return fs, paths, True
+
+
 def knn_search_parquet(
     spark,
     path: str | Sequence[str],
@@ -332,8 +384,13 @@ def knn_search_parquet(
 
     At 100 TB the same plan holds: the task table is (file, row_group)
     — thousands of independent splits, no shuffle, O(splits * k) rows
-    to the final reduce. Spark-SQL string filters belong in the
-    codegen/arrow paths; this path takes predicates as ``pa_filter``.
+    to the final reduce. Storage may be local or remote: paths resolve
+    through ``pyarrow.fs`` (S3/GCS/HDFS/Azure — see ``_resolve_fs``),
+    workers reopen their splits against the pickled FileSystem, and
+    remote reads pre-buffer (coalesced ranges) since object-store
+    latency dominates small reads. Spark-SQL string filters belong in
+    the codegen/arrow paths; this path takes predicates as
+    ``pa_filter``.
 
     ``path`` may be a list of directories — that is the ANN hook: an
     index layer (e.g. IVFIndex partition dirs, ``ivf_cluster=K``)
@@ -360,21 +417,12 @@ def knn_search_parquet(
     if not files:
         raise ValueError(f"no parquet files under {paths}")
 
-    def _local(f: str) -> str:
-        return f[7:] if f.startswith("file:///") else f[5:] if f.startswith("file:") else f
-
-    for f in files:
-        if "://" in f and not f.startswith("file:"):
-            raise NotImplementedError(
-                f"knn_search_parquet reads files with pyarrow's local filesystem; "
-                f"{f!r} is remote — use impl='codegen'/'arrow' (JVM scan) for "
-                "non-local storage, or mount it"
-            )
+    fs, files, remote = _resolve_fs(files)
 
     # partition columns (Hive dirs) exist in base.columns but not in the
     # physical files — the worker-side reader can only produce physical
     # columns. Prune them from a default select; reject an explicit one.
-    phys = set(pq.ParquetFile(_local(files[0])).schema_arrow.names)
+    phys = set(pq.ParquetFile(fs.open_input_file(files[0])).schema_arrow.names)
     if vector_col not in phys:
         raise ValueError(f"vector column {vector_col!r} not in parquet files ({sorted(phys)})")
     if select is not None:
@@ -395,14 +443,13 @@ def knn_search_parquet(
     tasks: list[tuple[str, int]] = []
     if len(files) <= 256:
         for f in files:
-            lf = _local(f)
             try:
-                n_rg = pq.ParquetFile(lf).metadata.num_row_groups
+                n_rg = pq.ParquetFile(fs.open_input_file(f)).metadata.num_row_groups
             except OSError:
                 n_rg = 1
-            tasks.extend((lf, g) for g in range(n_rg))
+            tasks.extend((f, g) for g in range(n_rg))
     else:
-        tasks = [(_local(f), -1) for f in files]  # -1 = whole file
+        tasks = [(f, -1) for f in files]  # -1 = whole file
 
     qvec = [float(x) for x in query_vec]
     out_fields = [base.schema[c] for c in cols]
@@ -428,16 +475,21 @@ def knn_search_parquet(
                 rgs = None if rg < 0 else [rg]
                 if pa_filter is not None:
                     import pyarrow.dataset as pads
-                    from pyarrow.fs import LocalFileSystem
 
-                    frag = pads.ParquetFileFormat().make_fragment(
-                        fpath, filesystem=LocalFileSystem(), row_groups=rgs
+                    # pre_buffer on remote stores coalesces the column
+                    # chunk ranges into few large GETs (object-store
+                    # latency, not bandwidth, dominates small reads)
+                    fmt = pads.ParquetFileFormat(
+                        default_fragment_scan_options=pads.ParquetFragmentScanOptions(
+                            pre_buffer=remote
+                        )
                     )
+                    frag = fmt.make_fragment(fpath, filesystem=fs, row_groups=rgs)
                     batch_iter = frag.to_batches(
                         columns=read_cols, filter=pa_filter, batch_size=batch_rows, use_threads=False
                     )
                 else:
-                    pf = pq.ParquetFile(fpath)
+                    pf = pq.ParquetFile(fs.open_input_file(fpath), pre_buffer=remote)
                     batch_iter = pf.iter_batches(
                         batch_size=batch_rows,
                         row_groups=rgs if rgs is not None else range(pf.metadata.num_row_groups),

@@ -214,3 +214,33 @@ def test_knn_cosine_and_dot(spark, emb):
         assert len(out) == 5
         scores = [r.score for r in out]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_resolve_fs_local_and_remote(monkeypatch):
+    """_resolve_fs: local URIs stay on LocalFileSystem with no network;
+    remote URIs resolve ONCE (S3 region lookup is a network call per
+    from_uri) and the rest map by prefix stripping."""
+    import pyarrow.fs as pafs
+
+    import laion_spark.operators.knn as knn_mod
+    from laion_spark.operators.knn import _resolve_fs
+
+    fs, paths, remote = _resolve_fs(["file:///tmp/a.parquet", "/tmp/b.parquet"])
+    assert isinstance(fs, pafs.LocalFileSystem)
+    assert paths == ["/tmp/a.parquet", "/tmp/b.parquet"] and not remote
+
+    calls = []
+
+    def fake(uri):
+        calls.append(uri)
+        return pafs.LocalFileSystem(), uri[len("s3://"):]
+
+    monkeypatch.setattr(knn_mod, "_fs_from_uri", fake)
+    fs, paths, remote = _resolve_fs(["s3a://bkt/x.parquet", "s3://bkt/sub/y.parquet"])
+    assert remote and paths == ["bkt/x.parquet", "bkt/sub/y.parquet"]
+    assert calls == ["s3://bkt/x.parquet"]  # exactly one resolution
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mixed filesystems"):
+        _resolve_fs(["s3://bkt/x.parquet", "gs://other/y.parquet"])
