@@ -2328,3 +2328,110 @@ def d08_dedup_components(spark, sf_dir):
     d = t(spark, sf_dir, "documents").filter("doc_id < 100")
     pairs = jaccard_similar_pairs(d, id_col="doc_id", text_col="text", ngram=1, threshold=0.4)
     return connected_components(pairs, "da", "db")
+
+
+_FUNNEL_W_US = 3_600_000_000  # 1 hour
+
+
+@query(
+    "e06_window_funnel",
+    oracle=f"""
+    WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type
+               FROM events),
+    l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+    l2 AS (SELECT DISTINCT v.user_id
+           FROM e v JOIN e c ON c.user_id = v.user_id
+            AND v.event_type = 'view' AND c.event_type = 'click'
+            AND c.t > v.t AND c.t - v.t <= {_FUNNEL_W_US}),
+    l3 AS (SELECT DISTINCT v.user_id
+           FROM e v
+           JOIN e c ON c.user_id = v.user_id AND v.event_type = 'view'
+            AND c.event_type = 'click' AND c.t > v.t AND c.t - v.t <= {_FUNNEL_W_US}
+           JOIN e p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+            AND p.t > c.t AND p.t - v.t <= {_FUNNEL_W_US})
+    SELECT u.user_id,
+           CASE WHEN l3.user_id IS NOT NULL THEN 3
+                WHEN l2.user_id IS NOT NULL THEN 2
+                WHEN l1.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS level
+    FROM (SELECT DISTINCT user_id FROM e
+          WHERE event_type IN ('view', 'click', 'purchase')) u
+    LEFT JOIN l1 ON u.user_id = l1.user_id
+    LEFT JOIN l2 ON u.user_id = l2.user_id
+    LEFT JOIN l3 ON u.user_id = l3.user_id
+    ORDER BY u.user_id
+    """,
+    note="ClickHouse windowFunnel parity: max ordered view->click->purchase "
+    "chain depth within 1h of the chain start, per user — one shuffle + a "
+    "single HOF fold with O(steps) state; the oracle is the existential "
+    "join formulation, which the latest-viable-chain-start fold provably "
+    "equals",
+)
+def e06_window_funnel(spark, sf_dir):
+    from laion_spark.operators.funnel import window_funnel
+
+    return window_funnel(
+        ev(spark, sf_dir), ["view", "click", "purchase"], _FUNNEL_W_US
+    ).orderBy("user_id")
+
+
+@query(
+    "e07_retention",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             max(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-01' THEN 1 ELSE 0 END) AS f1,
+             max(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-02' THEN 1 ELSE 0 END) AS f2,
+             max(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-08' THEN 1 ELSE 0 END) AS f3
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, f1 AS r1, f1 * f2 AS r2, f1 * f3 AS r3
+    FROM f ORDER BY user_id
+    """,
+    note="ClickHouse retention parity: day-0 / next-day / next-week cohort "
+    "flags per user, conditional aggregates over one shuffle",
+)
+def e07_retention(spark, sf_dir):
+    from laion_spark.operators.funnel import retention
+
+    d = F.to_date("ts_t")
+    return retention(
+        ev(spark, sf_dir),
+        [d == F.lit("2024-01-01"), d == F.lit("2024-01-02"), d == F.lit("2024-01-08")],
+    ).orderBy("user_id")
+
+
+@query(
+    "q37_argmax_grouparray",
+    oracle="""
+    SELECT event_type,
+           arg_max(user_id, CAST(round(value * 100) AS BIGINT) * 1000000 + user_id) AS top_user,
+           arg_min(user_id, CAST(round(value * 100) AS BIGINT) * 1000000 + user_id) AS bottom_user,
+           round(max(value), 6) AS max_value,
+           coalesce(list_sort(list(DISTINCT user_id) FILTER (WHERE value > 450)),
+                    []) AS big_spenders
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    note="ClickHouse argMax/argMin/groupArray parity: deterministic arg "
+    "extremes via a composite integer key (value ties broken by user_id — "
+    "bare max_by/arg_max is tie-nondeterministic across engines) and a "
+    "sorted distinct-collect; Spark max_by/min_by/collect_set are the "
+    "direct analogs",
+)
+def q37_argmax_grouparray(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    key = F.round(F.col("value") * 100, 0).cast("long") * 1_000_000 + F.col("user_id")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.max_by("user_id", key).alias("top_user"),
+            F.min_by("user_id", key).alias("bottom_user"),
+            F.round(F.max("value"), 6).alias("max_value"),
+            F.array_sort(
+                F.collect_set(F.when(F.col("value") > 450, F.col("user_id")))
+            ).alias("big_spenders"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,109 @@
+"""Ordered-event analytics: funnel and retention (ClickHouse's
+``windowFunnel`` / ``retention`` aggregate combinators, re-expressed
+Spark-first — SURVEY.md §2.8's analytic family; the reference engine
+ships these as native aggregate functions for event-stream analysis).
+
+Both operators are a single shuffle on the user key followed by pure
+Catalyst expressions — no Python at runtime, no second shuffle:
+
+- ``window_funnel``: per-user events are gathered time-sorted
+  (``sort_array(collect_list(struct(t, step)))``) and folded by ONE
+  higher-order ``aggregate`` lambda implementing the sliding-chain
+  automaton. State per user is N-1 chain-start timestamps — O(steps),
+  not O(events) — the same bounded-state trick ClickHouse uses.
+- ``retention``: per-user boolean flags, one conditional aggregate
+  per condition, ANDed against the base condition.
+
+At 100 TB: both group by the user key once; the fold state is bytes per
+user, so skew only matters if a single user has pathological event
+counts (cap with a per-user event limit upstream if so).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def window_funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    window_us: int,
+    user_col: str = "user_id",
+    time_col: str = "ts_us",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Max funnel level reached per user: the deepest ``k`` such that
+    events matching ``steps[0..k-1]`` occur in strictly increasing time
+    order with the whole chain inside ``window_us`` of its first event.
+
+    Algorithm (equivalent to the existential SQL semantics — keeping
+    the LATEST viable chain start at each level dominates: a later
+    start always leaves more window slack for the next step, and time-
+    sorted processing guarantees step order): fold events in time
+    order; on a step-1 event set ``s1 = t``; on a step-i event, if
+    ``s_{i-1}`` is set and ``t - s_{i-1} <= window`` then
+    ``s_i = max(s_i, s_{i-1})``. Level = deepest set ``s_i``.
+
+    Returns (user_col, level int).
+    """
+    n = len(steps)
+    if n < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    step_code = F.when(F.col(type_col) == steps[0], 1)
+    for i, s in enumerate(steps[1:], start=2):
+        step_code = step_code.when(F.col(type_col) == s, i)
+
+    ev = df.select(
+        F.col(user_col),
+        F.col(time_col).cast("long").alias("t"),
+        step_code.alias("step"),
+    ).filter(F.col("step").isNotNull())
+
+    per_user = ev.groupBy(user_col).agg(
+        F.sort_array(F.collect_list(F.struct("t", "step"))).alias("evs")
+    )
+
+    zero = "named_struct(" + ", ".join(f"'s{i}', CAST(-1 AS BIGINT)" for i in range(1, n + 1)) + ")"
+    upd = ["'s1', CASE WHEN e.step = 1 THEN e.t ELSE a.s1 END"]
+    for i in range(2, n + 1):
+        upd.append(
+            f"'s{i}', CASE WHEN e.step = {i} AND a.s{i-1} >= 0 AND e.t > a.s{i-1} "
+            f"AND e.t - a.s{i-1} <= {int(window_us)} "
+            f"THEN greatest(a.s{i}, a.s{i-1}) ELSE a.s{i} END"
+        )
+    finish = "CASE " + " ".join(
+        f"WHEN a.s{i} >= 0 THEN {i}" for i in range(n, 0, -1)
+    ) + " ELSE 0 END"
+    fold = (
+        f"aggregate(evs, {zero}, (a, e) -> named_struct({', '.join(upd)}), "
+        f"a -> CAST({finish} AS INT))"
+    )
+    return per_user.select(user_col, F.expr(fold).alias("level"))
+
+
+def retention(
+    df: DataFrame,
+    conds: Sequence[Column | str],
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Per-user retention flags (ClickHouse ``retention``): ``r1`` is
+    whether the base condition ever held; ``r_i`` (i>1) is whether BOTH
+    the base and condition i held — the classic cohort-retention row,
+    one conditional aggregate per condition, single shuffle.
+
+    Returns (user_col, r1 int, r2 int, ..., rN int).
+    """
+    if not conds:
+        raise ValueError("retention needs at least one condition")
+    cols = [F.expr(c) if isinstance(c, str) else c for c in conds]
+    flags = [
+        F.max(F.when(c, F.lit(1)).otherwise(F.lit(0))).alias(f"_f{i}")
+        for i, c in enumerate(cols, start=1)
+    ]
+    agg = df.groupBy(user_col).agg(*flags)
+    out = [F.col("_f1").alias("r1")] + [
+        (F.col("_f1") * F.col(f"_f{i}")).alias(f"r{i}") for i in range(2, len(cols) + 1)
+    ]
+    return agg.select(user_col, *out)

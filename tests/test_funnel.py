@@ -1,0 +1,69 @@
+"""window_funnel / retention edge semantics (ClickHouse-parity
+operators) — the fixture oracle (e06/e07) checks the aggregate answer;
+these pin the automaton's boundary behavior on constructed inputs."""
+
+from pyspark.sql import functions as F
+
+from laion_spark.operators.funnel import retention, window_funnel
+
+W = 1000  # window in "us" for these toy timelines
+
+
+def _levels(spark, rows):
+    df = spark.createDataFrame(rows, "user_id int, ts_us long, event_type string")
+    out = window_funnel(df, ["view", "click", "purchase"], W)
+    return {r.user_id: r.level for r in out.collect()}
+
+
+def test_funnel_window_and_order(spark):
+    got = _levels(
+        spark,
+        [
+            # u1: full chain inside the window
+            (1, 0, "view"), (1, 10, "click"), (1, 20, "purchase"),
+            # u2: click lands outside the window -> level 1
+            (2, 0, "view"), (2, W + 1, "click"),
+            # u3: purchase BEFORE the click -> order violated -> level 2
+            (3, 0, "view"), (3, 5, "purchase"), (3, 10, "click"),
+            # u4: no step-1 event at all -> level 0
+            (4, 0, "click"), (4, 5, "purchase"),
+        ],
+    )
+    assert got == {1: 3, 2: 1, 3: 2, 4: 0}
+
+
+def test_funnel_latest_chain_start_dominates(spark):
+    # the early chain (view@0, click@5) cannot reach the purchase at
+    # W+8; the later restart (view@10, click@15) can — the fold must
+    # carry the LATEST viable chain start forward
+    got = _levels(
+        spark,
+        [
+            (1, 0, "view"), (1, 5, "click"),
+            (1, 10, "view"), (1, 15, "click"),
+            (1, W + 8, "purchase"),
+        ],
+    )
+    assert got == {1: 3}
+
+
+def test_funnel_chain_must_share_window(spark):
+    # each adjacent pair fits a window but the whole chain does not:
+    # purchase is within W of the click yet outside W of the view
+    got = _levels(
+        spark,
+        [(1, 0, "view"), (1, W - 10, "click"), (1, W + 500, "purchase")],
+    )
+    assert got == {1: 2}
+
+
+def test_retention_flags(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 2), (3, 1), (3, 8)], "user_id int, day int"
+    )
+    out = retention(
+        df, [F.col("day") == 1, F.col("day") == 2, F.col("day") == 8]
+    )
+    got = {r.user_id: (r.r1, r.r2, r.r3) for r in out.collect()}
+    # u2 was active on day 2 but not day 1: base condition gates all flags
+    assert got == {1: (1, 1, 0), 2: (0, 0, 0), 3: (1, 0, 1)}
