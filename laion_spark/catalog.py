@@ -2401,6 +2401,85 @@ def e07_retention(spark, sf_dir):
     ).orderBy("user_id")
 
 
+def _lineitem_shards(spark, sf_dir):
+    """Two disjoint 'arrival shards' of lineitem (orderkey parity) —
+    the incremental-MV scenario: day-1 data and day-2 data aggregated
+    independently, merged without rescanning."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter("l_orderkey % 2 = 0"), li.filter("l_orderkey % 2 = 1")
+
+
+@query(
+    "q38_incremental_agg_merge",
+    oracle="""
+    SELECT l_returnflag,
+           count(l_quantity) AS l_quantity_count,
+           CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS l_quantity_sum,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(l_quantity), 6) AS l_quantity_avg,
+           min(l_quantity) AS l_quantity_min,
+           max(l_quantity) AS l_quantity_max,
+           count(l_extendedprice) AS l_extendedprice_count,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS l_extendedprice_sum,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                 / count(l_extendedprice), 6) AS l_extendedprice_avg,
+           min(l_extendedprice) AS l_extendedprice_min,
+           max(l_extendedprice) AS l_extendedprice_max
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    note="ClickHouse -State/-Merge + AggregatingMergeTree parity: lineitem "
+    "split into two arrival shards, each partial-aggregated to a mergeable "
+    "state row (count/sum/min/max, DECIMAL-exact sums), states merged and "
+    "finalized WITHOUT rescanning raw rows — must equal the one-pass "
+    "aggregate over everything (the oracle)",
+)
+def q38_incremental_agg_merge(spark, sf_dir):
+    from laion_spark.operators.aggstate import agg_state, finalize, merge_states
+
+    measures = ["l_quantity", "l_extendedprice"]
+    s1, s2 = _lineitem_shards(spark, sf_dir)
+    st1 = agg_state(s1, ["l_returnflag"], measures)
+    st2 = agg_state(s2, ["l_returnflag"], measures)
+    merged = merge_states(st1.unionAll(st2), ["l_returnflag"], measures)
+    out = finalize(merged, ["l_returnflag"], measures)
+    return out.select(
+        "l_returnflag",
+        *[
+            F.round(c, 6).alias(c) if c.endswith("_avg") else F.col(c)
+            for m in measures
+            for c in (f"{m}_count", f"{m}_sum", f"{m}_avg", f"{m}_min", f"{m}_max")
+        ],
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "a03_sketch_state_merge",
+    oracle=None,  # Datasketches HLL estimates have no DuckDB twin; the
+    # stronger property — merge-of-partial-sketches == single-pass sketch,
+    # EXACTLY, plus estimate-vs-exact tolerance — is asserted in
+    # tests/test_aggstate.py
+    note="ClickHouse uniqCombinedState/-Merge parity: per-shard HLL "
+    "sketches of events.user_id unioned into per-event_type estimates — "
+    "sketch states are ordinary binary columns, persistable as parquet "
+    "(the AggregatingMergeTree distinct-count story)",
+)
+def a03_sketch_state_merge(spark, sf_dir):
+    from laion_spark.operators.aggstate import agg_state, finalize, merge_states
+
+    e = t(spark, sf_dir, "events")
+    s1, s2 = e.filter("event_id % 2 = 0"), e.filter("event_id % 2 = 1")
+    st1 = agg_state(s1, ["event_type"], [], distinct_cols=["user_id"])
+    st2 = agg_state(s2, ["event_type"], [], distinct_cols=["user_id"])
+    merged = merge_states(st1.unionAll(st2), ["event_type"], [], distinct_cols=["user_id"])
+    return (
+        finalize(merged, ["event_type"], [], distinct_cols=["user_id"])
+        .select("event_type", F.col("user_id_uniq").cast("bigint").alias("uniq_users"))
+        .orderBy("event_type")
+    )
+
+
 @query(
     "q37_argmax_grouparray",
     oracle="""
