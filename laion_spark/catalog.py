@@ -2481,6 +2481,29 @@ def a03_sketch_state_merge(spark, sf_dir):
 
 
 @query(
+    "t07_topk_approx",
+    oracle="""
+    SELECT token AS item, count(*) AS n, 0 AS err
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, item
+    LIMIT 20
+    """,
+    note="ClickHouse topK parity (SpaceSaving): per-partition bounded "
+    "sketch via mapInPandas, counter-only shuffle, k-row TakeOrdered; "
+    "capacity >= vocabulary here so no eviction occurs and the sketch is "
+    "provably exact — the oracle checks that regime; the approximate "
+    "regime (small capacity, zipf skew) is pinned in tests/test_topk.py",
+)
+def t07_topk_approx(spark, sf_dir):
+    from laion_spark.operators.topk import topk_approx
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("token"))
+    return topk_approx(toks, "token", k=20, capacity=4096)
+
+
+@query(
     "q37_argmax_grouparray",
     oracle="""
     SELECT event_type,
