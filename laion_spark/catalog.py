@@ -1954,6 +1954,43 @@ def s06_stateful_user_stats(spark, sf_dir):
 
 
 @query(
+    "s07_streaming_incremental_mv",
+    oracle="""
+    SELECT event_type,
+           count(value) AS value_count,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum,
+           min(value) AS value_min,
+           max(value) AS value_max
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    note="ClickHouse MATERIALIZED VIEW -> AggregatingMergeTree parity: "
+    "each micro-batch partial-aggregates to mergeable state rows appended "
+    "to a parquet state table (epoch-partitioned, idempotent per batch); "
+    "merge+finalize over states — never the raw history — must equal the "
+    "one-pass aggregate (the oracle)",
+)
+def s07_streaming_incremental_mv(spark, sf_dir):
+    import tempfile
+
+    from laion_spark.operators.aggstate import finalize, merge_states
+    from laion_spark.streaming.windows import incremental_mv, replay_as_stream
+
+    tune_session(spark)
+    stream = replay_as_stream(spark, f"{sf_dir}/events.parquet", n_splits=4)
+    state_path = tempfile.mkdtemp(prefix="laion_mv_") + "/state"
+    incremental_mv(stream, state_path, ["event_type"], ["value"], query_name="cat_s07_mv")
+    states = spark.read.parquet(state_path).drop("_epoch")
+    out = finalize(
+        merge_states(states, ["event_type"], ["value"]), ["event_type"], ["value"]
+    )
+    return out.select(
+        "event_type", "value_count", "value_sum", "value_min", "value_max"
+    ).orderBy("event_type")
+
+
+@query(
     "a02_ann_ivf_topk",
     oracle=None,  # approximate by construction, like a01; recall vs
     # brute force asserted in tests/test_similarity.py::test_ivf_recall_and_pruning

@@ -194,6 +194,50 @@ def stateful_user_stats(df: DataFrame, watermark: str = "30 minutes") -> DataFra
     )
 
 
+def incremental_mv(
+    stream_df: DataFrame,
+    state_path: str,
+    keys: list[str],
+    measures: list[str],
+    query_name: str = "laion_mv",
+) -> None:
+    """Streaming incremental materialized view — the ClickHouse
+    MATERIALIZED VIEW ... AggregatingMergeTree pattern: every incoming
+    micro-batch is partial-aggregated to mergeable state rows
+    (``operators.aggstate.agg_state``) and APPENDED to an ordinary
+    parquet state table. Readers call ``merge_states`` + ``finalize``
+    over the state table and get the aggregate-to-date without ever
+    rescanning raw history.
+
+    ``foreachBatch`` (not a stateful operator) is the right tool here:
+    the state lives in the TABLE, not the state store, so it survives
+    query restarts, is readable mid-stream by other engines, and its
+    size is O(batches x keys) — compacted by any later merge-rewrite.
+    Appends are idempotent per epoch via the batch id column: a replayed
+    micro-batch (at-least-once sinks) overwrites its own partition
+    instead of double-counting.
+    """
+    from laion_spark.operators.aggstate import agg_state
+
+    def upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            agg_state(batch_df, keys, measures)
+            .withColumn("_epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .partitionBy("_epoch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(state_path)
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(upsert)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def latest_update_per_user(updates: DataFrame) -> DataFrame:
     """Collapse an update-mode memory-sink log to the final row per
     user: ``n`` is monotone, so max-n is the last emitted state."""

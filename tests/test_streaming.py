@@ -160,3 +160,28 @@ def test_stateful_user_stats_parity(spark, events_batch, events_stream):
     assert canon(got, cols) == canon(want, cols)
     # the log shows true incremental emission: more update rows than users
     assert updates.count() > got.count()
+
+
+def test_incremental_mv_replay_idempotent(spark, events_batch, tmp_path):
+    """Re-running the whole stream against the same state table must
+    not double-count: epochs repeat, and each epoch's append is a
+    dynamic partition overwrite of itself."""
+    from laion_spark.operators.aggstate import finalize, merge_states
+    from laion_spark.streaming.windows import incremental_mv
+
+    state = str(tmp_path / "state")
+    for i in range(2):  # second pass replays every epoch
+        stream = replay_as_stream(spark, f"{SF_DIR}/events.parquet", n_splits=4)
+        incremental_mv(stream, state, ["event_type"], ["value"], query_name=f"t_mv{i}")
+
+    got = finalize(
+        merge_states(spark.read.parquet(state).drop("_epoch"), ["event_type"], ["value"]),
+        ["event_type"], ["value"],
+    ).select("event_type", "value_count", "value_sum")
+    want = events_batch.groupBy("event_type").agg(
+        F.count("value").alias("value_count"),
+        F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("value_sum"),
+    )
+    assert canon(got, ["event_type", "value_count", "value_sum"]) == canon(
+        want, ["event_type", "value_count", "value_sum"]
+    )
