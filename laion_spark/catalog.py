@@ -2518,6 +2518,38 @@ def a03_sketch_state_merge(spark, sf_dir):
 
 
 @query(
+    "q39_weighted_median",
+    oracle="""
+    SELECT f AS l_returnflag, round(min(v), 6) AS l_extendedprice_wq
+    FROM (
+      SELECT f, v,
+             sum(w) OVER (PARTITION BY f ORDER BY v) AS cum,
+             sum(w) OVER (PARTITION BY f) AS tot
+      FROM (SELECT l_returnflag AS f, l_extendedprice AS v,
+                   sum(CAST(l_quantity AS BIGINT)) AS w
+            FROM lineitem GROUP BY 1, 2)
+    )
+    WHERE 2 * cum >= tot
+    GROUP BY f
+    ORDER BY f
+    """,
+    note="ClickHouse quantileExactWeighted parity: quantity-weighted "
+    "median price per returnflag — integer-rational threshold compare "
+    "(2*cum >= tot, long weights) so no float boundary can split the "
+    "engines; duplicate values pre-collapsed so RANGE-frame peer "
+    "semantics can't differ",
+)
+def q39_weighted_median(spark, sf_dir):
+    from laion_spark.operators.grouped import weighted_quantile
+
+    li = t(spark, sf_dir, "lineitem")
+    out = weighted_quantile(li, ["l_returnflag"], "l_extendedprice", "l_quantity")
+    return out.select(
+        "l_returnflag", F.round("l_extendedprice_wq", 6).alias("l_extendedprice_wq")
+    ).orderBy("l_returnflag")
+
+
+@query(
     "t07_topk_approx",
     oracle="""
     SELECT token AS item, count(*) AS n, 0 AS err

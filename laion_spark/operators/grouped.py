@@ -131,3 +131,43 @@ def centroids_algebraic(
     )
     cent = F.transform(F.col("ps"), lambda e: F.round(e["s"] / (F.col("n") * F.lit(float(_SCALE))), 6))
     return rows.select(group_col, "n", cent.alias(out_col)).orderBy(group_col)
+
+
+def weighted_quantile(
+    df,
+    keys,
+    value_col: str,
+    weight_col,
+    q_num: int = 1,
+    q_den: int = 2,
+):
+    """Exact weighted quantile per group (ClickHouse
+    ``quantileExactWeighted``): the smallest value v whose cumulative
+    weight reaches q of the group's total weight.
+
+    The quantile threshold is compared in INTEGER arithmetic
+    (``q_den * cum >= q_num * tot`` with long weights) — no float
+    boundary, so Spark and any SQL oracle agree bit-for-bit, which a
+    ``cum >= 0.5 * tot`` float compare cannot promise when a cumsum
+    lands exactly on the threshold.
+
+    Plan shape: pre-aggregate (keys, value) -> weight (collapses
+    duplicate values so window RANGE-frame peer semantics can never
+    differ across engines), one window cumsum over the value order,
+    then a min-per-group. Two shuffles total (group, window) on the
+    same key — at scale the second reuses the first's partitioning.
+    """
+    from pyspark.sql import Window as W, functions as F
+
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    g = df.groupBy(*keys, value_col).agg(F.sum(wcol.cast("long")).alias("_w"))
+    win = W.partitionBy(*keys).orderBy(value_col)
+    cum = F.sum("_w").over(win)
+    tot = F.sum("_w").over(W.partitionBy(*keys))
+    return (
+        g.withColumn("_cum", cum)
+        .withColumn("_tot", tot)
+        .filter(F.lit(int(q_den)) * F.col("_cum") >= F.lit(int(q_num)) * F.col("_tot"))
+        .groupBy(*keys)
+        .agg(F.min(value_col).alias(f"{value_col}_wq"))
+    )
