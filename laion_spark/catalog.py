@@ -2573,6 +2573,37 @@ def t07_topk_approx(spark, sf_dir):
 
 
 @query(
+    "e08_sequence_match",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type
+               FROM events),
+    hit AS (SELECT DISTINCT s.user_id
+            FROM e s JOIN e c ON c.user_id = s.user_id
+             AND s.event_type = 'signup' AND c.event_type = 'click'
+             AND c.t > s.t
+            JOIN e p ON p.user_id = s.user_id AND p.event_type = 'purchase'
+             AND p.t > c.t)
+    SELECT u.user_id,
+           CASE WHEN hit.user_id IS NOT NULL THEN 1 ELSE 0 END AS matched
+    FROM (SELECT DISTINCT user_id FROM e
+          WHERE event_type IN ('signup', 'click', 'purchase')) u
+    LEFT JOIN hit ON u.user_id = hit.user_id
+    ORDER BY u.user_id
+    """,
+    note="ClickHouse sequenceMatch('(?1).*(?2).*(?3)') parity: ordered "
+    "signup->click->purchase occurrence per user, no window bound — same "
+    "O(steps)-state fold as windowFunnel with an unbounded window; oracle "
+    "is the existential ordered-join formulation",
+)
+def e08_sequence_match(spark, sf_dir):
+    from laion_spark.operators.funnel import sequence_match
+
+    return sequence_match(
+        ev(spark, sf_dir), ["signup", "click", "purchase"]
+    ).orderBy("user_id")
+
+
+@query(
     "q37_argmax_grouparray",
     oracle="""
     SELECT event_type,

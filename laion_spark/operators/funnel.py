@@ -83,6 +83,29 @@ def window_funnel(
     return per_user.select(user_col, F.expr(fold).alias("level"))
 
 
+def sequence_match(
+    df: DataFrame,
+    steps: Sequence[str],
+    window_us: int | None = None,
+    user_col: str = "user_id",
+    time_col: str = "ts_us",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1).*(?2)...')`` parity: TRUE per
+    user iff the steps occur in strictly increasing time order —
+    optionally with the whole chain inside ``window_us`` (ClickHouse's
+    pattern has no window; pass None for exact parity). Same fold as
+    ``window_funnel``; match == reaching the deepest level.
+
+    Returns (user_col, matched int 0/1).
+    """
+    w = int(window_us) if window_us is not None else (1 << 62)
+    lv = window_funnel(df, steps, w, user_col, time_col, type_col)
+    return lv.select(
+        user_col, (F.col("level") == len(steps)).cast("int").alias("matched")
+    )
+
+
 def retention(
     df: DataFrame,
     conds: Sequence[Column | str],

@@ -67,3 +67,51 @@ def test_retention_flags(spark):
     got = {r.user_id: (r.r1, r.r2, r.r3) for r in out.collect()}
     # u2 was active on day 2 but not day 1: base condition gates all flags
     assert got == {1: (1, 1, 0), 2: (0, 0, 0), 3: (1, 0, 1)}
+
+
+def test_funnel_matches_bruteforce_on_random_streams(spark):
+    """Randomized adversarial check: the O(steps)-state fold must equal
+    the existential definition (some chain v<c<p inside the window of
+    its first event) computed by brute force, across 300 random users."""
+    import itertools
+    import random
+
+    rng = random.Random(99)
+    types = ["view", "click", "purchase", "noise"]
+    rows, truth = [], {}
+    for u in range(300):
+        n = rng.randint(0, 12)
+        evs = sorted(
+            (rng.randint(0, 3 * W), rng.choice(types)) for _ in range(n)
+        )
+        # drop duplicate timestamps (the operator contract assumes
+        # distinct event times per user; fixture sanity-checked too)
+        seen, dedup = set(), []
+        for t_, ty in evs:
+            if t_ not in seen:
+                seen.add(t_)
+                dedup.append((t_, ty))
+        rows += [(u, t_, ty) for t_, ty in dedup]
+
+        vs = [t_ for t_, ty in dedup if ty == "view"]
+        cs = [t_ for t_, ty in dedup if ty == "click"]
+        ps = [t_ for t_, ty in dedup if ty == "purchase"]
+        lvl = 0
+        if vs:
+            lvl = 1
+            if any(v < c <= v + W for v, c in itertools.product(vs, cs)):
+                lvl = 2
+                if any(
+                    v < c < p <= v + W
+                    for v, c, p in itertools.product(vs, cs, ps)
+                ):
+                    lvl = 3
+        if dedup:
+            truth[u] = lvl
+
+    got = _levels(spark, rows)
+    # users with only noise events produce no funnel row; compare the rest
+    want = {u: lvl for u, lvl in truth.items() if u in got}
+    assert got == want
+    mismatch = {u for u in truth if truth[u] > 0 and u not in got}
+    assert not mismatch  # every user with a step event must be present
