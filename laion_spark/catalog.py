@@ -2573,6 +2573,54 @@ def t07_topk_approx(spark, sf_dir):
 
 
 @query(
+    "e09_gap_fill",
+    oracle="""
+    WITH grid AS (
+      SELECT gs AS h FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                          TIMESTAMP '2024-01-03 23:00:00',
+                                          INTERVAL 1 HOUR) t(gs)
+    ), c AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, count(*) AS n
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    )
+    SELECT epoch_us(grid.h) // 1000000 AS h_s, coalesce(c.n, 0) AS n
+    FROM grid LEFT JOIN c ON grid.h = c.h
+    ORDER BY h_s
+    """,
+    note="ClickHouse ORDER BY ... WITH FILL parity: dense hourly grid "
+    "(sequence + explode — generated, not scanned) left-joined to sparse "
+    "hourly purchase counts, gaps zero-filled; at scale the grid side is "
+    "tiny and broadcast, the fact side aggregates before the join",
+)
+def e09_gap_fill(spark, sf_dir):
+    counts = (
+        ev(spark, sf_dir)
+        .filter("event_type = 'purchase'")
+        .withColumn("h", F.date_trunc("hour", "ts_t"))
+        .groupBy("h")
+        .agg(F.count("*").alias("n"))
+    )
+    grid = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                F.lit("2024-01-03 23:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("h")
+    )
+    return (
+        grid.join(counts, "h", "left")
+        .select(
+            (F.unix_micros("h") / 1_000_000).cast("bigint").alias("h_s"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+        .orderBy("h_s")
+    )
+
+
+@query(
     "e08_sequence_match",
     oracle="""
     WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type

@@ -154,8 +154,10 @@ def weighted_quantile(
     Plan shape: pre-aggregate (keys, value) -> weight (collapses
     duplicate values so window RANGE-frame peer semantics can never
     differ across engines), one window cumsum over the value order,
-    then a min-per-group. Two shuffles total (group, window) on the
-    same key — at scale the second reuses the first's partitioning.
+    then a min-per-group. Two shuffles: the grouping one hashes on
+    (keys, value) — map-side combine shrinks it to one row per
+    distinct value — and the window one re-hashes the already-reduced
+    rows on keys alone, so only distinct-value rows ever move twice.
     """
     from pyspark.sql import Window as W, functions as F
 

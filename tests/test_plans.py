@@ -215,3 +215,50 @@ def test_minhash_base_array_computed_once(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     p = plan_str(minhash_signatures(d, "doc_id", "text", num_hashes=64, ngram=3))
     assert p.count("xxhash64") <= 3, f"base hash array re-inlined {p.count('xxhash64')}x"
+
+
+def test_funnel_is_single_shuffle(spark, sf_dir):
+    """windowFunnel: one Exchange on the user key, then a pure
+    projection fold — a second shuffle or a Python node would mean the
+    automaton left Catalyst."""
+    from laion_spark.operators.funnel import window_funnel
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.expr("ts div 1000").alias("ts_us"), "event_type"
+    )
+    df = window_funnel(e, ["view", "click", "purchase"], 3_600_000_000)
+    p = plan_str(df, "simple")
+    assert p.count("Exchange") == 1, p
+    assert "hashpartitioning(user_id" in p, p
+    assert "Python" not in p and "ArrowEval" not in p, p  # fold stays JVM-side
+
+
+def test_topk_approx_shuffles_counters_only(spark, sf_dir):
+    """SpaceSaving topK: raw tokens must NOT shuffle — the only
+    Exchange sits above the sketch (mapInPandas) and carries the
+    (_item, _n, _err) counter rows; top-k is a TakeOrdered, not a
+    global sort."""
+    from laion_spark.operators.topk import topk_approx
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select(F.explode(F.split("text", " ")).alias("token"))
+    p = plan_str(topk_approx(toks, "token", k=10), "simple")
+    assert p.count("Exchange") == 1, p
+    assert "MapInPandas" in p and "TakeOrderedAndProject" in p, p
+    # the exchange's output is the counter triple, not the token stream
+    ex_line = [l for l in p.splitlines() if "Exchange" in l][0]
+    assert "_item" in ex_line or "hashpartitioning(_item" in ex_line, ex_line
+
+
+def test_weighted_quantile_two_exchanges_no_global_sort(spark, sf_dir):
+    """(keys,value) pre-agg shuffle + keys window shuffle; the final
+    min-per-group must REUSE the window's partitioning (no third
+    Exchange) and nothing global-sorts."""
+    from laion_spark.operators.grouped import weighted_quantile
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = plan_str(
+        weighted_quantile(li, ["l_returnflag"], "l_extendedprice", "l_quantity"), "simple"
+    )
+    assert p.count("Exchange") == 2, p
+    assert "rangepartitioning" not in p, p  # Sort inside windows is per-partition
