@@ -54,7 +54,10 @@ HEADLINERS = [
     "q10_window_rank",
     "q30_shipping_priority",
     "e02_sessionization",
+    "e06_window_funnel",
     "t02_top_tokens",
+    "t07_topk_approx",
+    "q38_incremental_agg_merge",
     "d03_jaccard_similar_pairs",
 ]
 

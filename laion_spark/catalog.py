@@ -2621,6 +2621,40 @@ def e09_gap_fill(spark, sf_dir):
 
 
 @query(
+    "e10_asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) AS ts_us,
+           v.event_id AS event_id_asof,
+           round(v.value, 6) AS value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND epoch_us(CAST(p.ts AS TIMESTAMP)) > epoch_us(CAST(v.ts AS TIMESTAMP))
+    ORDER BY p.event_id
+    """,
+    note="ClickHouse ASOF JOIN parity (two-stream trade/quote matching): "
+    "each purchase picks the latest STRICTLY-prior view per user via the "
+    "union+window trick — no range-join blowup, one shuffle on the key; "
+    "the oracle is DuckDB's native ASOF LEFT JOIN",
+)
+def e10_asof_join(spark, sf_dir):
+    from laion_spark.operators.asof import asof_join
+
+    e = ev(spark, sf_dir)
+    p = e.filter("event_type = 'purchase'").select("event_id", "user_id", "ts_us")
+    v = e.filter("event_type = 'view'").select("event_id", "user_id", "ts_us", "value")
+    out = asof_join(p, v, on="user_id", right_cols=["event_id", "value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "event_id_asof",
+        F.round("value_asof", 6).alias("value_asof"),
+    ).orderBy("event_id")
+
+
+@query(
     "e08_sequence_match",
     oracle="""
     WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type

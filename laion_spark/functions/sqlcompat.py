@@ -108,6 +108,12 @@ _FUNCTIONS: dict[str, tuple[str, str, str]] = {
     # SQL UDFs may not replace; users keep Spark's instr(h, n).
     "arrayStringConcat": ("a ARRAY<STRING>, sep STRING", "STRING", "array_join(a, sep)"),
     "splitByChar": ("sep STRING, s STRING", "ARRAY<STRING>", r"split(s, concat('\\Q', sep, '\\E'))"),
+    "trimBoth": ("s STRING", "STRING", "trim(s)"),
+    # --- bit / time scalars ----------------------------------------------
+    "bitCount": ("x BIGINT", "INT", "bit_count(x)"),
+    # ClickHouse toDayOfWeek: Monday=1..Sunday=7; Spark dayofweek: Sunday=1
+    "toDayOfWeek": ("d DATE", "INT", "((dayofweek(d) + 5) % 7) + 1"),
+    "toUnixTimestamp": ("t TIMESTAMP", "BIGINT", "unix_seconds(t)"),
     # --- casts ------------------------------------------------------------
     "toInt32": ("x STRING", "INT", "CAST(x AS INT)"),
     "toInt64": ("x STRING", "BIGINT", "CAST(x AS BIGINT)"),

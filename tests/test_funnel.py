@@ -115,3 +115,31 @@ def test_funnel_matches_bruteforce_on_random_streams(spark):
     assert got == want
     mismatch = {u for u in truth if truth[u] > 0 and u not in got}
     assert not mismatch  # every user with a step event must be present
+
+
+def test_asof_join_strict_vs_nonstrict_ties(spark):
+    """Equal timestamps are where ASOF semantics bite (the fixture has
+    no ties): strict (>) must NOT match a same-instant right row,
+    non-strict (>=) must."""
+    from laion_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 50, "p0"), (2, 10, "p2")],
+        "user_id int, ts_us long, pid string",
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 9.0), (1, 40, 4.0), (2, 20, 2.0)],
+        "user_id int, ts_us long, value double",
+    )
+    strict = {
+        r.pid: r.value_asof
+        for r in asof_join(left, right, "user_id", right_cols=["value"]).collect()
+    }
+    assert strict == {"p1": 4.0, "p0": 4.0, "p2": None}
+    loose = {
+        r.pid: r.value_asof
+        for r in asof_join(
+            left, right, "user_id", right_cols=["value"], strict=False
+        ).collect()
+    }
+    assert loose == {"p1": 9.0, "p0": 4.0, "p2": None}

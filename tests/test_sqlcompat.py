@@ -94,3 +94,12 @@ def test_string_helpers_and_casts(spark):
 def test_math_consistency_with_python(spark):
     got = one(spark, "L2Norm(array(1.0d, 2.0d, 3.0d))")
     assert got == pytest.approx(math.sqrt(14.0))
+
+
+def test_bit_and_time_scalars(spark):
+    assert one(spark, "bitCount(7)") == 3
+    assert one(spark, "trimBoth('  x  ')") == "x"
+    # 2024-01-01 is a Monday: ClickHouse numbering says 1
+    assert one(spark, "toDayOfWeek(DATE '2024-01-01')") == 1
+    assert one(spark, "toDayOfWeek(DATE '2024-01-07')") == 7  # Sunday
+    assert one(spark, "toUnixTimestamp(TIMESTAMP '1970-01-01 00:01:00')") == 60
