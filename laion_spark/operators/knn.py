@@ -377,7 +377,13 @@ def knn_search_parquet(
     This is the engine's answer to the reference's SIMD scan loop
     (BASELINE.md: 10-48M rows/s on contiguous float arrays): Arrow's
     C++ parquet decode + numpy/BLAS per split, parallelized by Spark
-    over splits. Per-split candidates are exact (float64 accumulation,
+    over splits. The decode itself is the floor — measured (this host,
+    200k x 768 f32): plain list<float> ~190-210 MB/s/thread and
+    neither ``byte_stream_split`` encoding, ``fixed_size_list``
+    layout, nor snappy/uncompressed moved it more than ~5%, so
+    re-encoding the table buys nothing; the wins live in reading
+    fewer bytes (partition pruning via the ANN path, pa_filter
+    row-group skipping). Per-split candidates are exact (float64 accumulation,
     same direct sum((a-q)^2) form as the oracle), so the final global
     TakeOrdered over n_splits*k rows reproduces ``knn_search`` results
     bit-for-bit at the round(6) grain.
