@@ -2719,3 +2719,313 @@ def q37_argmax_grouparray(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# =============================================================================
+# Round-2 continuation: LIMIT BY / dictGet / sequenceCount / INTERPOLATE /
+# URL functions / histogram / TPC-H Q5 composite (SURVEY §2.10 R13-R17)
+# =============================================================================
+
+
+@query(
+    "q40_limit_by",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 6) AS o_totalprice
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 2
+    ORDER BY o_custkey, o_orderkey
+    """,
+    note="ClickHouse LIMIT n BY expr parity: top-2 orders per customer by "
+    "price (orderkey tie-break) — one shuffle on the BY key, row_number "
+    "window eligible for WindowGroupLimit pushdown",
+)
+def q40_limit_by(spark, sf_dir):
+    from laion_spark.operators.relational import limit_by
+
+    o = t(spark, sf_dir, "orders")
+    out = limit_by(
+        o, ["o_custkey"], 2, [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", F.round("o_totalprice", 6).alias("o_totalprice")
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "q41_dict_get",
+    oracle="""
+    SELECT c.c_custkey, c.c_nationkey,
+           coalesce(n.n_name, 'UNKNOWN') AS nation_name
+    FROM customer c
+    LEFT JOIN (SELECT * FROM nation WHERE n_nationkey < 20) n
+      ON c.c_nationkey = n.n_nationkey
+    ORDER BY c.c_custkey
+    """,
+    note="ClickHouse dictGetOrDefault parity: per-row attribute lookup "
+    "from a RAM-resident dictionary -> broadcast left join with a declared "
+    "default for misses (dictionary deliberately missing keys 20-24); the "
+    "fact side never shuffles",
+)
+def q41_dict_get(spark, sf_dir):
+    from laion_spark.operators.relational import dict_get
+
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = t(spark, sf_dir, "nation").filter("n_nationkey < 20")
+    out = dict_get(
+        cust,
+        nat,
+        key="c_nationkey",
+        dict_key="n_nationkey",
+        attrs={"n_name": "nation_name"},
+        defaults={"nation_name": "UNKNOWN"},
+    )
+    return out.orderBy("c_custkey")
+
+
+@query(
+    "e11_sequence_count",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+                                         CASE event_type WHEN 'view' THEN 1
+                                              WHEN 'click' THEN 2
+                                              WHEN 'purchase' THEN 3 END) AS idx,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                             WHEN 'purchase' THEN 3 END AS step
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ), fold AS (
+      SELECT user_id, 0 AS idx, 0 AS lv, CAST(-1 AS BIGINT) AS lt, 0 AS c
+      FROM (SELECT DISTINCT user_id FROM e)
+      UNION ALL
+      SELECT f.user_id, f.idx + 1,
+             CASE WHEN ev.step = f.lv + 1 AND (f.lv = 0 OR ev.t > f.lt)
+                  THEN CASE WHEN f.lv + 1 = 3 THEN 0 ELSE f.lv + 1 END
+                  ELSE f.lv END,
+             CASE WHEN ev.step = f.lv + 1 AND (f.lv = 0 OR ev.t > f.lt)
+                  THEN ev.t ELSE f.lt END,
+             CASE WHEN ev.step = f.lv + 1 AND (f.lv = 0 OR ev.t > f.lt)
+                       AND f.lv + 1 = 3
+                  THEN f.c + 1 ELSE f.c END
+      FROM fold f JOIN e ev ON ev.user_id = f.user_id AND ev.idx = f.idx + 1
+    )
+    SELECT user_id, c AS n_matches
+    FROM (SELECT user_id, c,
+                 row_number() OVER (PARTITION BY user_id ORDER BY idx DESC) AS rn
+          FROM fold)
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+    note="ClickHouse sequenceCount parity: greedy non-overlapping "
+    "view->click->purchase chains per user (restart after each complete "
+    "match). Spark side is the O(1)-state HOF fold; the oracle replays "
+    "the same automaton spec as a DuckDB recursive-CTE iteration — two "
+    "independent implementations of one written spec. (A list_reduce "
+    "oracle was rejected: DuckDB 1.0 returns wrong accumulators when the "
+    "lambda runs vectorized over multiple rows)",
+)
+def e11_sequence_count(spark, sf_dir):
+    from laion_spark.operators.funnel import sequence_count
+
+    return sequence_count(
+        ev(spark, sf_dir), ["view", "click", "purchase"]
+    ).orderBy("user_id")
+
+
+@query(
+    "e12_gap_fill_interpolate",
+    oracle="""
+    WITH grid AS (
+      SELECT gs AS h FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                          TIMESTAMP '2024-01-03 23:00:00',
+                                          INTERVAL 1 HOUR) t(gs)
+    ), c AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*), 6) AS v
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    )
+    SELECT epoch_us(grid.h) // 1000000 AS h_s,
+           coalesce(last_value(c.v IGNORE NULLS)
+                      OVER (ORDER BY grid.h
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    0.0) AS v_fill
+    FROM grid LEFT JOIN c ON grid.h = c.h
+    ORDER BY h_s
+    """,
+    note="ClickHouse WITH FILL ... INTERPOLATE (carry-forward) parity: "
+    "dense hourly grid, gaps take the last observed hourly avg purchase "
+    "value (0.0 before the first observation). Values are rounded BEFORE "
+    "the fill so both engines carry identical doubles; the grid is "
+    "generated (never scanned) and the single-partition window only ever "
+    "sees grid-sized data",
+)
+def e12_gap_fill_interpolate(spark, sf_dir):
+    vals = (
+        ev(spark, sf_dir)
+        .filter("event_type = 'purchase'")
+        .withColumn("h", F.date_trunc("hour", "ts_t"))
+        .groupBy("h")
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("v")
+        )
+    )
+    grid = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                F.lit("2024-01-03 23:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("h")
+    )
+    w = W.orderBy("h").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        grid.join(vals, "h", "left")
+        .select(
+            (F.unix_micros("h") / 1_000_000).cast("bigint").alias("h_s"),
+            F.coalesce(F.last("v", ignorenulls=True).over(w), F.lit(0.0)).alias(
+                "v_fill"
+            ),
+        )
+        .orderBy("h_s")
+    )
+
+
+@query(
+    "q42_url_functions",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || doc_id
+               || '?lang=' || lang || '&len=' || n_chars AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^([a-z0-9+.-]+)://', 1) AS protocol,
+           regexp_extract(url, '^[a-z0-9+.-]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z0-9+.-]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+           regexp_extract(regexp_extract(url, '^[a-z0-9+.-]+://([^/?#]+)', 1),
+                          '\\.([a-z]+)$', 1) AS tld
+    FROM u
+    ORDER BY doc_id
+    """,
+    note="ClickHouse URL function family (protocol/domain/path/"
+    "extractURLParameter/topLevelDomain) parity: URLs synthesized "
+    "identically in both engines from documents columns, then parsed by "
+    "Spark's JVM parse_url builtin vs an independent regexp decomposition "
+    "in the oracle — pure codegen'd expressions, no UDFs",
+)
+def q42_url_functions(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&len="),
+        F.col("n_chars").cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.regexp_extract(
+            F.parse_url("url", F.lit("HOST")), r"\.([a-z]+)$", 1
+        ).alias("tld"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q43_histogram",
+    oracle="""
+    SELECT bucket, bucket * 5000.0 AS lo, (bucket + 1) * 5000.0 AS hi, n
+    FROM (
+      SELECT CAST(least(greatest(floor(l_extendedprice / 5000.0), 0), 21)
+                  AS INT) AS bucket,
+             count(*) AS n
+      FROM lineitem GROUP BY 1
+    )
+    ORDER BY bucket
+    """,
+    note="Deterministic histogram twin of ClickHouse histogram(N)(x): "
+    "fixed-width buckets over [0, 110000) in 22 bins (adaptive bin edges "
+    "are estimation-order-dependent and can never hash-match across "
+    "engines — same declaration as Q9's approx_count_distinct); one "
+    "shuffle of (bucket, partial count) pairs only",
+)
+def q43_histogram(spark, sf_dir):
+    from laion_spark.operators.relational import histogram_fixed
+
+    li = t(spark, sf_dir, "lineitem")
+    return histogram_fixed(li, "l_extendedprice", 0.0, 110000.0, 22).orderBy(
+        "bucket"
+    )
+
+
+@query(
+    "q44_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+    note="TPC-H Q5 composite shape: 6-table join with the local-supplier "
+    "correlation (c_nationkey = s_nationkey). Date filter pushed to the "
+    "orders scan; nation/region broadcast (never shuffled); the big "
+    "lineitem⋈orders join shuffles on orderkey once — the canonical "
+    "100 TB plan",
+)
+def q44_local_supplier_volume(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter("r_name = 'ASIA'")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(rev, "revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )

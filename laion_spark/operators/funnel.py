@@ -106,6 +106,56 @@ def sequence_match(
     )
 
 
+def sequence_count(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    time_col: str = "ts_us",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """ClickHouse ``sequenceCount('(?1).*(?2)...')`` parity: the number
+    of NON-OVERLAPPING complete step chains per user, scanning events in
+    time order and restarting the search after each completed chain
+    (ClickHouse: "starts to search for the next chain after the current
+    chain is matched" — greedy left-to-right, not maximum-disjoint).
+
+    Same single-shuffle shape as ``window_funnel``: one fold, state is
+    (current level, last matched time, count) — O(1) per user. A step
+    advances only on a strictly later timestamp than the previously
+    matched step, mirroring ``sequence_match``.
+
+    Returns (user_col, n_matches int).
+    """
+    n = len(steps)
+    if n < 2:
+        raise ValueError("sequence_count needs at least 2 steps")
+    step_code = F.when(F.col(type_col) == steps[0], 1)
+    for i, s in enumerate(steps[1:], start=2):
+        step_code = step_code.when(F.col(type_col) == s, i)
+
+    ev = df.select(
+        F.col(user_col),
+        F.col(time_col).cast("long").alias("t"),
+        step_code.alias("step"),
+    ).filter(F.col("step").isNotNull())
+
+    per_user = ev.groupBy(user_col).agg(
+        F.sort_array(F.collect_list(F.struct("t", "step"))).alias("evs")
+    )
+
+    zero = "named_struct('lv', 0, 'lt', CAST(-1 AS BIGINT), 'c', 0)"
+    advance = "e.step = a.lv + 1 AND (a.lv = 0 OR e.t > a.lt)"
+    upd = (
+        f"CASE WHEN {advance} AND a.lv + 1 = {n} "
+        "THEN named_struct('lv', 0, 'lt', e.t, 'c', a.c + 1) "
+        f"WHEN {advance} "
+        "THEN named_struct('lv', a.lv + 1, 'lt', e.t, 'c', a.c) "
+        "ELSE a END"
+    )
+    fold = f"aggregate(evs, {zero}, (a, e) -> {upd}, a -> a.c)"
+    return per_user.select(user_col, F.expr(fold).alias("n_matches"))
+
+
 def retention(
     df: DataFrame,
     conds: Sequence[Column | str],

@@ -117,6 +117,55 @@ def test_funnel_matches_bruteforce_on_random_streams(spark):
     assert not mismatch  # every user with a step event must be present
 
 
+def test_sequence_count_greedy_restart(spark):
+    """ClickHouse sequenceCount restarts AFTER a completed chain — it
+    does not maximize disjoint matches. A A B B yields 1 (the second A
+    is ignored mid-chain), not the max-disjoint 2."""
+    from laion_spark.operators.funnel import sequence_count
+
+    df = spark.createDataFrame(
+        [(1, 0, "view"), (1, 1, "view"), (1, 2, "click"), (1, 3, "click")],
+        "user_id int, ts_us long, event_type string",
+    )
+    out = sequence_count(df, ["view", "click"])
+    assert {r.user_id: r.n_matches for r in out.collect()} == {1: 1}
+
+
+def test_sequence_count_matches_bruteforce_on_random_streams(spark):
+    """The HOF fold must equal the written greedy-automaton spec run in
+    plain Python over 300 random users."""
+    import random
+
+    from laion_spark.operators.funnel import sequence_count
+
+    rng = random.Random(7)
+    types = ["view", "click", "purchase", "noise"]
+    steps = ["view", "click", "purchase"]
+    rows, truth = [], {}
+    for u in range(300):
+        n = rng.randint(0, 14)
+        evs = sorted(
+            {rng.randint(0, 40) for _ in range(n)}
+        )  # distinct times
+        stream = [(t_, rng.choice(types)) for t_ in evs]
+        rows += [(u, t_, ty) for t_, ty in stream]
+        lv, lt, c = 0, -1, 0
+        for t_, ty in stream:
+            if ty in steps and steps.index(ty) == lv and (lv == 0 or t_ > lt):
+                lv, lt = lv + 1, t_
+                if lv == len(steps):
+                    lv, c = 0, c + 1
+        if any(ty in steps for _, ty in stream):
+            truth[u] = c
+
+    out = sequence_count(
+        spark.createDataFrame(rows, "user_id int, ts_us long, event_type string"),
+        steps,
+    )
+    got = {r.user_id: r.n_matches for r in out.collect()}
+    assert got == truth
+
+
 def test_asof_join_strict_vs_nonstrict_ties(spark):
     """Equal timestamps are where ASOF semantics bite (the fixture has
     no ties): strict (>) must NOT match a same-instant right row,
