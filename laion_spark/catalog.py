@@ -3029,3 +3029,173 @@ def q44_local_supplier_volume(spark, sf_dir):
         .agg(dsum(rev, "revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
+
+
+@query(
+    "q45_bit_aggregates",
+    oracle="""
+    SELECT o_orderpriority,
+           bit_and(o_orderkey) AS key_and,
+           bit_or(o_orderkey) AS key_or,
+           bit_xor(o_orderkey) AS key_xor,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    note="ClickHouse groupBitAnd/groupBitOr/groupBitXor parity: bitwise "
+    "aggregate fold over int64 keys — associative + commutative, so "
+    "partial aggregation and any partition order give identical bits",
+)
+def q45_bit_aggregates(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.bit_and("o_orderkey").alias("key_and"),
+            F.bit_or("o_orderkey").alias("key_or"),
+            F.bit_xor("o_orderkey").alias("key_xor"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q46_moments_regression",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx2,
+             CAST(sum(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx3,
+             CAST(sum(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx4,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           round(sx / n, 6) AS mean_qty,
+           round(sx2 / n - (sx / n) ^ 2, 6) AS var_pop,
+           round((sx3 / n - 3 * (sx / n) * (sx2 / n) + 2 * (sx / n) ^ 3)
+                 / ((sx2 / n - (sx / n) ^ 2) ^ 1.5), 6) AS skew_pop,
+           round((sxy / n - (sx / n) * (sy / n)), 6) AS covar_pop,
+           round((sxy - sx * sy / n) / (sx2 - sx * sx / n), 6) AS slope
+    FROM s
+    ORDER BY l_returnflag
+    """,
+    note="ClickHouse skewPop/varPop/covarPop/simpleLinearRegression "
+    "parity, computed the way ClickHouse computes them: exact power "
+    "sums (l_quantity is integer-valued and l_extendedprice has 2 dp, "
+    "so every power/product is exact in both double and DECIMAL(38,6) "
+    "— no rounding tie can occur), moments derived in float from the "
+    "identical exact sums. Single partial+final aggregate, no second "
+    "pass (vs the naive mean-then-deviations two-scan)",
+)
+def q46_moments_regression(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+
+    def esum(col, alias):
+        return F.sum(col.cast("decimal(38,6)")).cast("double").alias(alias)
+
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        esum(x, "sx"),
+        esum(x * x, "sx2"),
+        esum(x * x * x, "sx3"),
+        esum(x * x * x * x, "sx4"),
+        esum(y, "sy"),
+        esum(x * y, "sxy"),
+    )
+    n, sx, sx2, sx3 = F.col("n"), F.col("sx"), F.col("sx2"), F.col("sx3")
+    sy, sxy = F.col("sy"), F.col("sxy")
+    mean = sx / n
+    var = sx2 / n - mean * mean
+    skew = (sx3 / n - 3 * mean * (sx2 / n) + 2 * mean * mean * mean) / F.pow(var, 1.5)
+    covar = sxy / n - mean * (sy / n)
+    slope = (sxy - sx * sy / n) / (sx2 - sx * sx / n)
+    return s.select(
+        "l_returnflag",
+        F.round(mean, 6).alias("mean_qty"),
+        F.round(var, 6).alias("var_pop"),
+        F.round(skew, 6).alias("skew_pop"),
+        F.round(covar, 6).alias("covar_pop"),
+        F.round(slope, 6).alias("slope"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "q47_summap",
+    oracle="""
+    SELECT user_id, event_type,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+    note="ClickHouse sumMap parity: each row contributes a single-entry "
+    "map {event_type: value}; sum_map unions keys per user with exact "
+    "key-wise sums and re-assembles a map column (explode -> narrow "
+    "(group,key) shuffle -> map_from_entries — never a whole-map "
+    "shuffle). The entry explodes the result map back to rows so the "
+    "oracle compares scalar cells",
+)
+def q47_summap(spark, sf_dir):
+    from laion_spark.operators.relational import sum_map
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id", F.create_map(F.col("event_type"), F.col("value")).alias("m")
+    )
+    out = sum_map(e, ["user_id"], "m")
+    return (
+        out.select("user_id", F.explode("m").alias("event_type", "total"))
+        .select("user_id", "event_type", F.round("total", 6).alias("total"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+@query(
+    "e13_max_intersections",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS pt, 1 AS delta
+      FROM events
+      UNION ALL
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               + CAST(round(value * 1000) AS BIGINT) AS pt,
+             -1 AS delta
+      FROM events
+    ), sweep AS (
+      SELECT event_type,
+             sum(delta) OVER (PARTITION BY event_type ORDER BY pt, delta
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS open
+      FROM pts
+    )
+    SELECT event_type, CAST(max(open) AS INT) AS max_intersections
+    FROM sweep
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    note="ClickHouse maxIntersections parity: peak number of "
+    "concurrently-open half-open intervals [ts, ts + value ms) per "
+    "event type — +1/-1 sweep with ends-before-starts tie order, one "
+    "shuffle, running max invariant under tied same-sign permutations",
+)
+def e13_max_intersections(spark, sf_dir):
+    from laion_spark.operators.funnel import max_intersections
+
+    e = ev(spark, sf_dir).select(
+        "event_type",
+        F.col("ts_us").alias("start_us"),
+        (F.col("ts_us") + F.round(F.col("value") * 1000, 0).cast("long")).alias(
+            "end_us"
+        ),
+    )
+    return max_intersections(e, "start_us", "end_us", by=["event_type"]).orderBy(
+        "event_type"
+    )

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 
 def window_funnel(
@@ -154,6 +154,46 @@ def sequence_count(
     )
     fold = f"aggregate(evs, {zero}, (a, e) -> {upd}, a -> a.c)"
     return per_user.select(user_col, F.expr(fold).alias("n_matches"))
+
+
+def max_intersections(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """ClickHouse ``maxIntersections(start, end)`` parity: the maximum
+    number of simultaneously-open half-open intervals ``[start, end)``
+    (an interval ending at t does not overlap one starting at t).
+
+    Classic sweep: unpivot each interval to (+1 at start, -1 at end)
+    deltas, running-sum them in (point, delta) order — ends sort before
+    starts at the same instant, which is exactly the half-open rule —
+    and take the max. One shuffle on the ``by`` keys; the running max
+    is invariant to orderings within tied (point, delta) groups because
+    all tied deltas share a sign, so the result is deterministic.
+
+    Returns ``by`` + (max_intersections int); one row per group (a
+    single global row when ``by`` is empty).
+    """
+    keys = list(by)
+    pts = df.select(
+        *keys, F.col(start_col).cast("long").alias("pt"), F.lit(1).alias("delta")
+    ).unionAll(
+        df.select(
+            *keys, F.col(end_col).cast("long").alias("pt"), F.lit(-1).alias("delta")
+        )
+    )
+    w = (
+        (W.partitionBy(*keys) if keys else W.partitionBy())
+        .orderBy("pt", "delta")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    open_ = F.sum("delta").over(w)
+    agg = pts.select(*keys, open_.alias("open"))
+    if keys:
+        return agg.groupBy(*keys).agg(F.max("open").cast("int").alias("max_intersections"))
+    return agg.agg(F.max("open").cast("int").alias("max_intersections"))
 
 
 def retention(

@@ -110,6 +110,41 @@ def dict_get(
     return joined.select(*df.columns, *out)
 
 
+def sum_map(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    map_col: str,
+    exact: bool = True,
+) -> DataFrame:
+    """ClickHouse ``sumMap`` parity: per-group, sum map values key-wise
+    across rows, producing one map whose keys are the union of input
+    keys. Spark-first shape: explode → partial-aggregating groupBy on
+    (group, key) → re-assemble with ``map_from_entries`` over a sorted
+    entry list. Two shuffles, both on narrow (group, key) pairs — never
+    a whole-map shuffle; map-side partial aggregation collapses repeated
+    keys before the exchange.
+
+    ``exact=True`` accumulates through DECIMAL(18,6) (order-independent
+    across partitions — the engine-wide money-sum rule); ``False`` keeps
+    native double sums for throughput.
+
+    Returns ``group_cols`` + (``map_col`` map<key, double-sum>).
+    """
+    keys = list(group_cols)
+    kv = df.select(*keys, F.explode(F.col(map_col)).alias("_k", "_v"))
+    total = (
+        F.sum(F.col("_v").cast("decimal(18,6)")).cast("double")
+        if exact
+        else F.sum("_v")
+    )
+    per_key = kv.groupBy(*keys, "_k").agg(total.alias("_total"))
+    return per_key.groupBy(*keys).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("_k", "_total")))
+        ).alias(map_col)
+    )
+
+
 def histogram_fixed(
     df: DataFrame,
     value: str | Column,

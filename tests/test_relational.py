@@ -75,3 +75,31 @@ def test_histogram_rejects_bad_args(spark):
         histogram_fixed(df, "x", 0.0, 10.0, 0)
     with pytest.raises(ValueError):
         histogram_fixed(df, "x", 10.0, 10.0, 4)
+
+
+def test_sum_map_unions_keys(spark):
+    df = spark.createDataFrame(
+        [(1, {"a": 1.0, "b": 2.0}), (1, {"b": 3.0}), (2, {"c": 4.0})],
+        "g int, m map<string,double>",
+    )
+    from laion_spark.operators.relational import sum_map
+
+    out = sum_map(df, ["g"], "m")
+    got = {r.g: dict(r.m) for r in out.collect()}
+    assert got == {1: {"a": 1.0, "b": 5.0}, 2: {"c": 4.0}}
+
+
+def test_max_intersections_half_open(spark):
+    """An interval ending at t must not overlap one starting at t."""
+    from laion_spark.operators.funnel import max_intersections
+
+    df = spark.createDataFrame(
+        [("a", 0, 10), ("a", 10, 20), ("a", 5, 15), ("b", 0, 1)],
+        "k string, s long, e long",
+    )
+    out = max_intersections(df, "s", "e", by=["k"])
+    got = {r.k: r.max_intersections for r in out.collect()}
+    # 'a': [0,10) and [5,15) overlap (2); [10,20) starts exactly as [0,10) ends
+    assert got == {"a": 2, "b": 1}
+    glob = max_intersections(df, "s", "e").collect()
+    assert glob[0].max_intersections == 2
