@@ -124,6 +124,44 @@ _FUNCTIONS: dict[str, tuple[str, str, str]] = {
     "JSONExtractInt": ("j STRING, k STRING", "BIGINT", "CAST(get_json_object(j, concat('$.', k)) AS BIGINT)"),
     "JSONExtractFloat": ("j STRING, k STRING", "DOUBLE", "CAST(get_json_object(j, concat('$.', k)) AS DOUBLE)"),
     "JSONHas": ("j STRING, k STRING", "BOOLEAN", "get_json_object(j, concat('$.', k)) IS NOT NULL"),
+    # --- URL functions (ClickHouse URL family; all JVM parse_url) ---------
+    "protocol": ("u STRING", "STRING", "parse_url(u, 'PROTOCOL')"),
+    "domain": ("u STRING", "STRING", "parse_url(u, 'HOST')"),
+    "domainWithoutWWW": (
+        "u STRING",
+        "STRING",
+        "regexp_replace(parse_url(u, 'HOST'), '^www\\\\.', '')",
+    ),
+    "topLevelDomain": (
+        "u STRING",
+        "STRING",
+        "regexp_extract(parse_url(u, 'HOST'), '\\\\.([a-zA-Z0-9-]+)$', 1)",
+    ),
+    "path": ("u STRING", "STRING", "parse_url(u, 'PATH')"),
+    "queryString": ("u STRING", "STRING", "parse_url(u, 'QUERY')"),
+    "extractURLParameter": (
+        "u STRING, p STRING",
+        "STRING",
+        "parse_url(u, 'QUERY', p)",
+    ),
+    "cutQueryString": ("u STRING", "STRING", "regexp_replace(u, '\\\\?.*$', '')"),
+    # --- date sugar -------------------------------------------------------
+    "toQuarter": ("t TIMESTAMP", "INT", "quarter(t)"),
+    "toYYYYMM": ("t TIMESTAMP", "INT", "year(t) * 100 + month(t)"),
+    # --- display helpers (clickhouse-client conveniences) -----------------
+    "bar": (
+        "x DOUBLE, lo DOUBLE, hi DOUBLE, w DOUBLE",
+        "STRING",
+        "repeat('#', CAST(greatest(least(round((x - lo) / (hi - lo) * w), w), 0) AS INT))",
+    ),
+    "formatReadableSize": (
+        "x DOUBLE",
+        "STRING",
+        "CASE WHEN x >= 1073741824 THEN concat(CAST(round(x / 1073741824, 2) AS STRING), ' GiB') "
+        "WHEN x >= 1048576 THEN concat(CAST(round(x / 1048576, 2) AS STRING), ' MiB') "
+        "WHEN x >= 1024 THEN concat(CAST(round(x / 1024, 2) AS STRING), ' KiB') "
+        "ELSE concat(CAST(round(x, 2) AS STRING), ' B') END",
+    ),
 }
 
 

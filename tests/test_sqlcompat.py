@@ -103,3 +103,35 @@ def test_bit_and_time_scalars(spark):
     assert one(spark, "toDayOfWeek(DATE '2024-01-01')") == 1
     assert one(spark, "toDayOfWeek(DATE '2024-01-07')") == 7  # Sunday
     assert one(spark, "toUnixTimestamp(TIMESTAMP '1970-01-01 00:01:00')") == 60
+
+
+def test_url_functions(spark):
+    u = "'https://www.sub.example.com/a/b?lang=en&x=1'"
+    assert one(spark, f"protocol({u})") == "https"
+    assert one(spark, f"domain({u})") == "www.sub.example.com"
+    assert one(spark, f"domainWithoutWWW({u})") == "sub.example.com"
+    assert one(spark, f"topLevelDomain({u})") == "com"
+    assert one(spark, f"path({u})") == "/a/b"
+    assert one(spark, f"queryString({u})") == "lang=en&x=1"
+    assert one(spark, f"extractURLParameter({u}, 'lang')") == "en"
+    assert one(spark, f"cutQueryString({u})") == "https://www.sub.example.com/a/b"
+
+
+def test_date_sugar_and_display(spark):
+    assert one(spark, "toQuarter(TIMESTAMP '2024-05-01 00:00:00')") == 2
+    assert one(spark, "toYYYYMM(TIMESTAMP '2024-05-01 00:00:00')") == 202405
+    assert one(spark, "bar(5.0d, 0.0d, 10.0d, 10.0d)") == "#####"
+    assert one(spark, "bar(-1.0d, 0.0d, 10.0d, 10.0d)") == ""
+    assert one(spark, "formatReadableSize(1536.0d)") == "1.5 KiB"
+    assert one(spark, "formatReadableSize(3.0d)") == "3.0 B"
+    assert one(spark, "formatReadableSize(2147483648.0d)") == "2.0 GiB"
+
+
+def test_url_functions_stay_jvm_side(spark):
+    """The compat layer must inline to Catalyst expressions — no Python
+    evaluation node may appear in the plan."""
+    df = spark.sql(
+        "SELECT domain(u) AS d FROM (SELECT 'https://example.com/x' AS u)"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
