@@ -3199,3 +3199,40 @@ def e13_max_intersections(spark, sf_dir):
     return max_intersections(e, "start_us", "end_us", by=["event_type"]).orderBy(
         "event_type"
     )
+
+
+@query(
+    "s08_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id
+    FROM events p JOIN events v
+      ON p.user_id = v.user_id
+     AND p.event_type = 'purchase' AND v.event_type = 'view'
+     AND epoch_us(CAST(v.ts AS TIMESTAMP)) < epoch_us(CAST(p.ts AS TIMESTAMP))
+     AND epoch_us(CAST(v.ts AS TIMESTAMP))
+         >= epoch_us(CAST(p.ts AS TIMESTAMP)) - 3600000000
+    ORDER BY purchase_id, view_id
+    """,
+    note="stream-stream watermarked interval join (attribution shape): "
+    "purchases pair with same-user views strictly before them within "
+    "1 hour; both sides watermarked so join state is bounded by "
+    "watermark+window time, not stream length. Inner-join matches emit "
+    "eagerly, so the finite replay's append output is the complete pair "
+    "set — the SQL oracle is the equivalent batch range join",
+)
+def s08_stream_stream_join(spark, sf_dir):
+    from laion_spark.streaming.windows import (
+        interval_pair_join,
+        replay_as_stream,
+        run_to_completion,
+    )
+
+    tune_session(spark)
+    stream = replay_as_stream(spark, f"{sf_dir}/events.parquet", n_splits=4)
+    p = stream.filter("event_type = 'purchase'")
+    v = stream.filter("event_type = 'view'")
+    pairs = interval_pair_join(p, v, window="1 hour", watermark="2 hours")
+    out = run_to_completion(pairs, "cat_s08_ssj", output_mode="append")
+    return out.select(
+        F.col("left_id").alias("purchase_id"), F.col("right_id").alias("view_id")
+    ).orderBy("purchase_id", "view_id")

@@ -194,6 +194,54 @@ def stateful_user_stats(df: DataFrame, watermark: str = "30 minutes") -> DataFra
     )
 
 
+def interval_pair_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "event_id",
+    right_id: str = "event_id",
+    user_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: every left event pairs with the
+    right events of the same user that happened STRICTLY before it and
+    within ``window`` of it (the trade-enrichment / attribution shape).
+
+    Streaming semantics: both sides carry a watermark, and the join
+    condition bounds right-event time relative to left-event time, so
+    Spark can size the join state by time — each side buffers only
+    ``watermark + window`` of history, not the whole stream (the state
+    contract that makes a stream-stream join run forever at 100 TB/day).
+    Inner joins emit each match as soon as both rows exist, so with a
+    finite replay the append-mode output is the complete pair set and
+    must equal the batch twin (same join on the batch frames).
+
+    Column hygiene: sides are projected to disjoint names BEFORE the
+    watermark so the event-time column survives into the join
+    unambiguously. Returns (left_id, right_id) pairs.
+    """
+    l = left.select(
+        F.col(user_col).alias("_l_user"),
+        F.col("ts_t").alias("_l_ts"),
+        F.col(left_id).alias("left_id"),
+    )
+    r = right.select(
+        F.col(user_col).alias("_r_user"),
+        F.col("ts_t").alias("_r_ts"),
+        F.col(right_id).alias("right_id"),
+    )
+    if left.isStreaming:
+        l = l.withWatermark("_l_ts", watermark)
+    if right.isStreaming:
+        r = r.withWatermark("_r_ts", watermark)
+    cond = (
+        (F.col("_l_user") == F.col("_r_user"))
+        & (F.col("_r_ts") < F.col("_l_ts"))
+        & (F.col("_r_ts") >= F.expr(f"_l_ts - INTERVAL {window}"))
+    )
+    return l.join(r, cond, "inner").select("left_id", "right_id")
+
+
 def incremental_mv(
     stream_df: DataFrame,
     state_path: str,

@@ -185,3 +185,23 @@ def test_incremental_mv_replay_idempotent(spark, events_batch, tmp_path):
     assert canon(got, ["event_type", "value_count", "value_sum"]) == canon(
         want, ["event_type", "value_count", "value_sum"]
     )
+
+
+def test_stream_stream_join_parity(spark, events_batch, events_stream):
+    """The watermarked stream-stream interval join must emit exactly the
+    batch range-join pair set (inner matches emit eagerly; the finite
+    replay leaves nothing buffered unmatched)."""
+    from laion_spark.streaming.windows import interval_pair_join
+
+    sp = events_stream.filter("event_type = 'purchase'")
+    sv = events_stream.filter("event_type = 'view'")
+    got = canon(
+        run_to_completion(
+            interval_pair_join(sp, sv), "t_ssj", output_mode="append"
+        ),
+        ["left_id", "right_id"],
+    )
+    bp = events_batch.filter("event_type = 'purchase'")
+    bv = events_batch.filter("event_type = 'view'")
+    want = canon(interval_pair_join(bp, bv), ["left_id", "right_id"])
+    assert got == want and len(want) > 0
