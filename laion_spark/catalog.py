@@ -3236,3 +3236,83 @@ def s08_stream_stream_join(spark, sf_dir):
     return out.select(
         F.col("left_id").alias("purchase_id"), F.col("right_id").alias("view_id")
     ).orderBy("purchase_id", "view_id")
+
+
+@query(
+    "q48_array_cumulative",
+    oracle="""
+    SELECT vec_id,
+           list_transform(range(1, 9),
+             i -> round(list_aggregate((CAST(embedding AS DOUBLE[]))[1:i], 'sum'), 6)
+           ) AS cum,
+           list_transform(range(1, 9),
+             i -> CASE WHEN i = 1 THEN 0.0
+                       ELSE round(CAST(embedding[i] AS DOUBLE)
+                                  - CAST(embedding[i-1] AS DOUBLE), 6) END
+           ) AS diff
+    FROM embeddings
+    WHERE vec_id % 20 = 0
+    ORDER BY vec_id
+    """,
+    note="ClickHouse arrayCumSum/arrayDifference parity over the first 8 "
+    "embedding dims: pure HOF expressions (transform over an index "
+    "sequence + left-to-right slice folds — IEEE-identical order in both "
+    "engines), codegen'd, zero Python. O(d^2) per row on a constant d",
+)
+def q48_array_cumulative(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings").filter("vec_id % 20 = 0")
+    a = F.expr("transform(slice(embedding, 1, 8), x -> CAST(x AS DOUBLE))")
+    cum = F.expr(
+        "transform(sequence(1, 8), i -> "
+        "round(aggregate(slice(_a, 1, i), CAST(0.0 AS DOUBLE), (s, x) -> s + x), 6))"
+    )
+    diff = F.expr(
+        "transform(sequence(1, 8), i -> "
+        "IF(i = 1, CAST(0.0 AS DOUBLE), round(element_at(_a, i) - element_at(_a, i - 1), 6)))"
+    )
+    return (
+        e.select("vec_id", a.alias("_a"))
+        .select("vec_id", cum.alias("cum"), diff.alias("diff"))
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "e14_delta_sum",
+    oracle="""
+    SELECT user_id,
+           CAST(sum(CAST(round(d, 6) AS DECIMAL(18,6))) FILTER (WHERE d > 0)
+                AS DOUBLE) AS delta_sum
+    FROM (
+      SELECT user_id,
+             value - lag(value) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+                                               event_id) AS d
+      FROM events
+    )
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    note="ClickHouse deltaSum parity: per user in event-time order, sum "
+    "of positive value increments (first row contributes nothing, "
+    "negative deltas ignored). Raw-double lag diffs are IEEE-identical "
+    "across engines; each positive diff is rounded to 6 dp (HALF_UP in "
+    "both) and summed exactly in DECIMAL so partition order can't move "
+    "a rounding boundary. One shuffle on user_id",
+)
+def e14_delta_sum(spark, sf_dir):
+    e = ev(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    d = F.col("value") - F.lag("value").over(w)
+    return (
+        e.select("user_id", d.alias("d"))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("d") > 0, F.round("d", 6).cast("decimal(18,6)"))
+            )
+            .cast("double")
+            .alias("delta_sum")
+        )
+        .orderBy("user_id")
+    )

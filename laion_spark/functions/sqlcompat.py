@@ -148,6 +148,21 @@ _FUNCTIONS: dict[str, tuple[str, str, str]] = {
     # --- date sugar -------------------------------------------------------
     "toQuarter": ("t TIMESTAMP", "INT", "quarter(t)"),
     "toYYYYMM": ("t TIMESTAMP", "INT", "year(t) * 100 + month(t)"),
+    # --- IP functions -----------------------------------------------------
+    "IPv4NumToString": (
+        "n BIGINT",
+        "STRING",
+        "concat(CAST(n div 16777216 % 256 AS STRING), '.', "
+        "CAST(n div 65536 % 256 AS STRING), '.', "
+        "CAST(n div 256 % 256 AS STRING), '.', CAST(n % 256 AS STRING))",
+    ),
+    "IPv4StringToNum": (
+        "s STRING",
+        "BIGINT",
+        "CAST(split(s, '\\\\.')[0] AS BIGINT) * 16777216 + "
+        "CAST(split(s, '\\\\.')[1] AS BIGINT) * 65536 + "
+        "CAST(split(s, '\\\\.')[2] AS BIGINT) * 256 + CAST(split(s, '\\\\.')[3] AS BIGINT)",
+    ),
     # --- display helpers (clickhouse-client conveniences) -----------------
     "bar": (
         "x DOUBLE, lo DOUBLE, hi DOUBLE, w DOUBLE",

@@ -262,3 +262,60 @@ def test_weighted_quantile_two_exchanges_no_global_sort(spark, sf_dir):
     )
     assert p.count("Exchange") == 2, p
     assert "rangepartitioning" not in p, p  # Sort inside windows is per-partition
+
+
+def test_q44_pushdown_pruning_no_nested_loop(spark, sf_dir):
+    """TPC-H Q5 shape, size-invariant properties: every join is hash-
+    based (broadcast at this SF; AQE may pick SMJ at scale — never a
+    nested loop), the order-date filter reaches the orders scan, and the
+    lineitem scan reads only its 4 needed columns out of 11."""
+    from laion_spark.catalog import REGISTRY
+
+    p = plan_str(REGISTRY["q44_local_supplier_volume"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "GreaterThanOrEqual(o_orderdate" in p, "date filter not pushed"
+    li_schemas = [
+        ln for ln in p.splitlines() if "ReadSchema" in ln and "l_orderkey" in ln
+    ]
+    assert li_schemas and all(
+        "l_shipdate" not in ln and "l_partkey" not in ln for ln in li_schemas
+    ), li_schemas
+
+
+def test_limit_by_single_exchange_group_limit(spark, sf_dir):
+    """LIMIT n BY k: one shuffle on the BY key, and Spark's
+    WindowGroupLimit must push the rank filter below the sort so no
+    group is fully materialized."""
+    from laion_spark.operators.relational import limit_by
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = limit_by(o, ["o_custkey"], 2, [F.desc("o_totalprice"), F.asc("o_orderkey")])
+    p = plan_str(out, "simple")
+    assert p.count("Exchange") == 1, p
+    assert "WindowGroupLimit" in p, p
+
+
+def test_moments_single_aggregate_pass(spark, sf_dir):
+    """All seven power sums must come from ONE partial+final aggregate
+    (a second scan/aggregate would double the 100 TB read)."""
+    from laion_spark.catalog import REGISTRY
+
+    p = plan_str(REGISTRY["q46_moments_regression"].fn(spark, sf_dir), "simple")
+    # one exchange for the group key, one possible final sort for ORDER BY
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("Scan parquet") == 1, p
+
+
+def test_sum_map_shuffles_narrow_pairs_only(spark, sf_dir):
+    """sumMap: shuffles carry (group, key, partial-sum) rows, never the
+    assembled maps; map_from_entries runs after the final aggregate."""
+    from laion_spark.operators.relational import sum_map
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.create_map(F.col("event_type"), F.col("value")).alias("m")
+    )
+    p = plan_str(sum_map(e, ["user_id"], "m"), "simple")
+    assert p.count("Exchange") == 2, p
+    assert "map_from_entries" not in p.split("Exchange")[-1], (
+        "map assembly must happen above the last exchange, not below it"
+    )

@@ -135,3 +135,10 @@ def test_url_functions_stay_jvm_side(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ipv4_roundtrip(spark):
+    assert one(spark, "IPv4NumToString(3232235777)") == "192.168.1.1"
+    assert one(spark, "IPv4StringToNum('192.168.1.1')") == 3232235777
+    assert one(spark, "IPv4NumToString(IPv4StringToNum('10.0.255.7'))") == "10.0.255.7"
+    assert one(spark, "IPv4NumToString(0)") == "0.0.0.0"
