@@ -58,6 +58,7 @@ HEADLINERS = [
     "t02_top_tokens",
     "t07_topk_approx",
     "q38_incremental_agg_merge",
+    "q44_local_supplier_volume",
     "d03_jaccard_similar_pairs",
 ]
 

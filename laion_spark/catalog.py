@@ -3316,3 +3316,79 @@ def e14_delta_sum(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q49_with_totals",
+    oracle="""
+    SELECT coalesce(event_type, 'TOTALS') AS event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), ())
+    ORDER BY event_type
+    """,
+    note="ClickHouse GROUP BY ... WITH TOTALS parity: the per-group rows "
+    "plus one grand-total row from a single scan via GROUPING SETS — "
+    "Spark expands the set in the partial aggregate, so totals cost no "
+    "second pass",
+)
+def q49_with_totals(spark, sf_dir):
+    t(spark, sf_dir, "events").createOrReplaceTempView("cat_q49_events")
+    return spark.sql(
+        """
+        SELECT coalesce(event_type, 'TOTALS') AS event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM cat_q49_events
+        GROUP BY GROUPING SETS ((event_type), ())
+        ORDER BY event_type
+        """
+    )
+
+
+@query(
+    "e15_interval_length_sum",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS pt, 1 AS delta
+      FROM events
+      UNION ALL
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               + CAST(round(value * 1000) AS BIGINT) AS pt,
+             -1 AS delta
+      FROM events
+    ), sweep AS (
+      SELECT event_type,
+             sum(delta) OVER w - delta > 0 AS open_before,
+             pt - lag(pt) OVER w AS seg
+      FROM pts
+      WINDOW w AS (PARTITION BY event_type ORDER BY pt, delta
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type,
+           coalesce(sum(seg) FILTER (WHERE open_before), 0) AS covered
+    FROM sweep
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    note="ClickHouse intervalLengthSum parity: per event type, the total "
+    "time covered by the union of [ts, ts + value ms) intervals with "
+    "overlaps merged — the maxIntersections sweep reused with a "
+    "segment-between-points accumulator; all-integer arithmetic, exact "
+    "and partition-order-proof",
+)
+def e15_interval_length_sum(spark, sf_dir):
+    from laion_spark.operators.funnel import interval_length_sum
+
+    e = ev(spark, sf_dir).select(
+        "event_type",
+        F.col("ts_us").alias("start_us"),
+        (F.col("ts_us") + F.round(F.col("value") * 1000, 0).cast("long")).alias(
+            "end_us"
+        ),
+    )
+    return interval_length_sum(e, "start_us", "end_us", by=["event_type"]).orderBy(
+        "event_type"
+    )

@@ -196,6 +196,49 @@ def max_intersections(
     return agg.agg(F.max("open").cast("int").alias("max_intersections"))
 
 
+def interval_length_sum(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """ClickHouse ``intervalLengthSum(start, end)`` parity: total length
+    covered by the UNION of the intervals (overlaps merged, half-open
+    ``[start, end)`` so touching intervals join seamlessly).
+
+    Same +1/−1 sweep as ``max_intersections``: between consecutive sweep
+    points, the segment counts iff at least one interval was open before
+    it. All arithmetic is integer, so the per-group sum is exact and
+    partition-order-proof. Ties contribute zero-length segments, making
+    the result deterministic under tied-point permutations. One shuffle
+    on the ``by`` keys.
+
+    Returns ``by`` + (covered long).
+    """
+    keys = list(by)
+    pts = df.select(
+        *keys, F.col(start_col).cast("long").alias("pt"), F.lit(1).alias("delta")
+    ).unionAll(
+        df.select(
+            *keys, F.col(end_col).cast("long").alias("pt"), F.lit(-1).alias("delta")
+        )
+    )
+    base = (W.partitionBy(*keys) if keys else W.partitionBy()).orderBy("pt", "delta")
+    run = F.sum("delta").over(base.rowsBetween(W.unboundedPreceding, W.currentRow))
+    seg = F.col("pt") - F.lag("pt").over(base)
+    rows = pts.select(
+        *keys,
+        ((run - F.col("delta")) > 0).alias("open_before"),
+        seg.alias("seg"),
+    )
+    covered = F.coalesce(
+        F.sum(F.when(F.col("open_before"), F.col("seg"))), F.lit(0)
+    ).alias("covered")
+    if keys:
+        return rows.groupBy(*keys).agg(covered)
+    return rows.agg(covered)
+
+
 def retention(
     df: DataFrame,
     conds: Sequence[Column | str],

@@ -103,3 +103,18 @@ def test_max_intersections_half_open(spark):
     assert got == {"a": 2, "b": 1}
     glob = max_intersections(df, "s", "e").collect()
     assert glob[0].max_intersections == 2
+
+
+def test_interval_length_sum_merges_overlaps(spark):
+    from laion_spark.operators.funnel import interval_length_sum
+
+    df = spark.createDataFrame(
+        [("a", 0, 10), ("a", 5, 15), ("a", 15, 20), ("a", 30, 31), ("b", 2, 4)],
+        "k string, s long, e long",
+    )
+    out = interval_length_sum(df, "s", "e", by=["k"])
+    got = {r.k: r.covered for r in out.collect()}
+    # a: [0,15) merged with touching [15,20) = 20, plus [30,31) = 1 -> 21
+    assert got == {"a": 21, "b": 2}
+    # global union: b's [2,4) lies inside a's merged [0,20) -> 20 + 1
+    assert interval_length_sum(df, "s", "e").collect()[0].covered == 21
