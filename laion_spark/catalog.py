@@ -3392,3 +3392,355 @@ def e15_interval_length_sum(spark, sf_dir):
     return interval_length_sum(e, "start_us", "end_us", by=["event_type"]).orderBy(
         "event_type"
     )
+
+
+# =============================================================================
+# MergeTree table-engine semantics (SURVEY.md §2.10 R30)
+# =============================================================================
+
+
+@query(
+    "q50_replacing_final",
+    oracle="""
+    SELECT user_id, event_type, ts_us, value FROM (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             round(value, 6) AS value,
+             row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+    note="ClickHouse ReplacingMergeTree(version) SELECT FINAL parity: the "
+    "events changelog folds to its newest row per (user, type) key — "
+    "ClickHouse's keep-last-inserted is block-order-nondeterministic, so "
+    "the twin requires the explicit (ts, event_id) tie-break, like d01",
+)
+def q50_replacing_final(spark, sf_dir):
+    from laion_spark.operators.mergetree import replacing_final
+
+    e = ev(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_id",
+        F.round("value", 6).alias("value"),
+    )
+    out = replacing_final(
+        e, ["user_id", "event_type"], "ts_us", tiebreak=["event_id"]
+    )
+    return out.select("user_id", "event_type", "ts_us", "value").orderBy(
+        "user_id", "event_type"
+    )
+
+
+@query(
+    "q51_collapsing_final",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             event_id, round(value, 6) AS value,
+             CASE WHEN event_id % 4 = 0 THEN -1 ELSE 1 END AS sign
+      FROM events
+    ), tagged AS (
+      SELECT *,
+             sum(sign) OVER (PARTITION BY user_id, event_type) AS net,
+             row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY CASE WHEN sign > 0 THEN 0 ELSE 1 END,
+                        ts_us DESC, event_id DESC
+             ) AS rn
+      FROM ch
+    )
+    SELECT user_id, event_type, ts_us, value
+    FROM tagged WHERE net > 0 AND rn = 1 AND sign > 0
+    ORDER BY user_id, event_type
+    """,
+    note="ClickHouse CollapsingMergeTree(sign) SELECT FINAL parity: +1 "
+    "state rows and -1 cancel rows (synthesized: every 4th event is a "
+    "cancel) annihilate per key; keys with positive net keep their most "
+    "recent state row — one shuffle, net + survivor in a single window "
+    "pass, no self-join",
+)
+def q51_collapsing_final(spark, sf_dir):
+    from laion_spark.operators.mergetree import collapsing_final
+
+    e = ev(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.when(F.col("event_id") % 4 == 0, F.lit(-1))
+        .otherwise(F.lit(1))
+        .alias("sign"),
+    )
+    out = collapsing_final(
+        e, ["user_id", "event_type"], "sign", "ts_us", tiebreak=["event_id"]
+    )
+    return out.select("user_id", "event_type", "ts_us", "value").orderBy(
+        "user_id", "event_type"
+    )
+
+
+@query(
+    "q52_summing_final",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+    note="ClickHouse SummingMergeTree SELECT FINAL parity: numeric "
+    "columns pre-sum per key (DECIMAL-exact, partition-order-proof); "
+    "non-key non-sum columns are dropped — ClickHouse keeps an arbitrary "
+    "one, same nondeterminism-twin declaration as Q9 approx",
+)
+def q52_summing_final(spark, sf_dir):
+    from laion_spark.operators.mergetree import summing_final
+
+    e = ev(spark, sf_dir).select("user_id", "event_type", "value")
+    return summing_final(e, ["user_id", "event_type"], ["value"]).orderBy(
+        "user_id", "event_type"
+    )
+
+
+# =============================================================================
+# Aggregate combinators + ANY JOIN (SURVEY.md §2.10 R31/R32)
+# =============================================================================
+
+
+@query(
+    "q53_agg_combinators",
+    oracle="""
+    SELECT l_linestatus,
+           count(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_disc,
+           coalesce(CAST(sum(CAST(CASE WHEN l_returnflag = 'R'
+                  THEN l_extendedprice END AS DECIMAL(18,6))) AS DOUBLE),
+                  0.0) AS sum_ret,
+           round(CAST(sum(CAST(CASE WHEN l_linenumber = 1 THEN l_quantity END
+                  AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(CASE WHEN l_linenumber = 1 THEN 1 END), 6) AS avg_l1,
+           CAST(sum(CAST(list_aggregate([l_quantity, l_tax], 'sum')
+                  AS DECIMAL(18,6))) AS DOUBLE) AS arr_sum,
+           count(DISTINCT CASE WHEN l_quantity > 45 THEN l_partkey END)
+             AS uniq_parts_hi
+    FROM lineitem
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    note="ClickHouse aggregate-combinator family parity: countIf / sumIf "
+    "/ avgIf (conditional aggregates), sumArray (per-row HOF fold, then "
+    "DECIMAL-exact sum — both engines fold the 2-element array "
+    "left-to-right so the double is bit-identical), and countDistinctIf; "
+    "all partial-aggregate safe, one shuffle",
+)
+def q53_agg_combinators(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    arr = F.aggregate(
+        F.array("l_quantity", "l_tax"),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_disc"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("l_returnflag") == "R", F.col("l_extendedprice")
+                    ).cast("decimal(18,6)")
+                ).cast("double"),
+                F.lit(0.0),
+            ).alias("sum_ret"),
+            F.round(
+                F.sum(
+                    F.when(F.col("l_linenumber") == 1, F.col("l_quantity")).cast(
+                        "decimal(18,6)"
+                    )
+                ).cast("double")
+                / F.count(F.when(F.col("l_linenumber") == 1, 1)),
+                6,
+            ).alias("avg_l1"),
+            F.sum(arr.cast("decimal(18,6)")).cast("double").alias("arr_sum"),
+            F.count_distinct(
+                F.when(F.col("l_quantity") > 45, F.col("l_partkey"))
+            ).alias("uniq_parts_hi"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q54_any_left_join",
+    oracle="""
+    SELECT o.o_orderkey, round(o.o_totalprice, 6) AS o_totalprice,
+           f.l_linenumber, round(f.l_quantity, 6) AS l_quantity
+    FROM orders o LEFT JOIN (
+      SELECT l_orderkey, l_linenumber, l_quantity FROM (
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_linenumber, l_partkey,
+                                           l_suppkey, l_quantity) AS rn
+        FROM lineitem
+      ) WHERE rn = 1
+    ) f ON o.o_orderkey = f.l_orderkey
+    ORDER BY o.o_orderkey
+    """,
+    note="ClickHouse ANY LEFT JOIN parity: at most one right row per "
+    "left row — ClickHouse keeps whichever match a block meets first "
+    "(nondeterministic), the twin keeps the l_linenumber-first row; "
+    "right side collapses via WindowGroupLimit before a plain equi "
+    "join, so output cardinality is exactly count(orders); the survivor "
+    "order is the full unique (linenumber, partkey, suppkey, quantity) "
+    "key — l_linenumber alone is not unique in this synthetic lineitem",
+)
+def q54_any_left_join(spark, sf_dir):
+    from laion_spark.operators.relational import any_left_join
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 6).alias("o_totalprice")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+    )
+    out = any_left_join(
+        o,
+        li,
+        ["o_orderkey"],
+        [
+            F.col("l_linenumber").asc(),
+            F.col("l_partkey").asc(),
+            F.col("l_suppkey").asc(),
+            F.col("l_quantity").asc(),
+        ],
+    )
+    return out.select(
+        "o_orderkey",
+        "o_totalprice",
+        "l_linenumber",
+        F.round("l_quantity", 6).alias("l_quantity"),
+    ).orderBy("o_orderkey")
+
+
+# =============================================================================
+# Statistical-association + hypothesis-test aggregates (SURVEY.md §2.10 R33/R34)
+# =============================================================================
+
+# One SQL text for both engines (dialect intersection): identical textual
+# float expressions mean identical IEEE evaluation order, and every
+# cross-row sum is a rounded-addend DECIMAL sum, so neither partition
+# order nor engine can move a result at the rounded grain.
+_Q55_SQL = """
+    WITH cells AS (
+      SELECT event_type,
+             least(CAST(floor(value / 50) AS INT), 4) AS vb,
+             count(*) AS o
+      FROM {tbl} GROUP BY event_type, least(CAST(floor(value / 50) AS INT), 4)
+    ), marg AS (
+      SELECT CAST(o AS DOUBLE) AS o,
+             CAST(sum(o) OVER (PARTITION BY event_type) AS DOUBLE) AS r,
+             CAST(sum(o) OVER (PARTITION BY vb) AS DOUBLE) AS c,
+             CAST(sum(o) OVER () AS DOUBLE) AS n
+      FROM cells
+    ), chi AS (
+      SELECT CAST(sum(CAST(round(power(o - r * c / n, 2) / (r * c / n), 6)
+                    AS DECIMAL(18,6))) AS DOUBLE) AS chi2,
+             max(n) AS n
+      FROM marg
+    ), dims AS (
+      SELECT count(DISTINCT event_type) AS r_cnt,
+             count(DISTINCT least(CAST(floor(value / 50) AS INT), 4)) AS c_cnt,
+             count(*) AS n_rows
+      FROM {tbl}
+    ), ent AS (
+      SELECT CAST(sum(CAST(round(-(CAST(ec AS DOUBLE) / CAST(nn AS DOUBLE))
+                    * log2(CAST(ec AS DOUBLE) / CAST(nn AS DOUBLE)), 9)
+                    AS DECIMAL(20,9))) AS DOUBLE) AS entropy
+      FROM (
+        SELECT ec, sum(ec) OVER () AS nn FROM (
+          SELECT count(*) AS ec FROM {tbl} GROUP BY event_type
+        )
+      )
+    )
+    SELECT round(ent.entropy, 6) AS entropy,
+           round(sqrt(chi.chi2 / (chi.n * least(dims.r_cnt - 1,
+                 dims.c_cnt - 1))), 6) AS cramers_v,
+           dims.n_rows AS n
+    FROM ent CROSS JOIN chi CROSS JOIN dims
+"""
+
+
+@query(
+    "q55_entropy_cramers",
+    oracle=_Q55_SQL.format(tbl="events"),
+    note="ClickHouse entropy() + cramersV() parity: Shannon entropy of "
+    "the event-type distribution and Cramer's V association between "
+    "event type and a fixed-width value bucket. Counts are exact "
+    "integers; the float chi-square/entropy terms are per-cell rounded "
+    "then DECIMAL-summed, so the only cross-engine risk is a libm ULP "
+    "landing exactly on a rounding boundary (same declaration as q17)",
+)
+def q55_entropy_cramers(spark, sf_dir):
+    ev(spark, sf_dir).createOrReplaceTempView("cat_q55_events")
+    return spark.sql(_Q55_SQL.format(tbl="cat_q55_events"))
+
+
+_Q56_SQL = """
+    WITH s AS (
+      SELECT
+        count(CASE WHEN event_type = 'click' THEN 1 END) AS n1,
+        count(CASE WHEN event_type = 'view' THEN 1 END) AS n2,
+        CAST(sum(CAST(CASE WHEN event_type = 'click' THEN value END
+              AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        CAST(sum(CAST(CASE WHEN event_type = 'view' THEN value END
+              AS DECIMAL(18,6))) AS DOUBLE) AS s2,
+        CAST(sum(CAST(CASE WHEN event_type = 'click'
+              THEN round(value * value, 6) END AS DECIMAL(18,6)))
+              AS DOUBLE) AS q1,
+        CAST(sum(CAST(CASE WHEN event_type = 'view'
+              THEN round(value * value, 6) END AS DECIMAL(18,6)))
+              AS DOUBLE) AS q2
+      FROM {tbl}
+    ), d AS (
+      SELECT n1, n2,
+             s1 / n1 AS m1, s2 / n2 AS m2,
+             (q1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+             (q2 - s2 * s2 / n2) / (n2 - 1) AS v2
+      FROM s
+    )
+    SELECT n1, n2,
+      round((m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+            / (n1 + n2 - 2) * (1.0 / n1 + 1.0 / n2)), 6) AS student_t,
+      round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS welch_t,
+      round(power(v1 / n1 + v2 / n2, 2)
+            / (power(v1 / n1, 2) / (n1 - 1)
+               + power(v2 / n2, 2) / (n2 - 1)), 6) AS welch_df
+    FROM d
+"""
+
+
+@query(
+    "q56_ttest",
+    oracle=_Q56_SQL.format(tbl="events"),
+    note="ClickHouse studentTTest() / welchTTest() parity: two-sample t "
+    "statistics (click vs view event values) plus the Welch-"
+    "Satterthwaite degrees of freedom, derived from DECIMAL-exact power "
+    "sums in one pass (counts, sums, rounded squares) — the identical "
+    "textual float derivation runs in both engines, so the statistics "
+    "agree at the 6-dp grain; p-values need the incomplete beta and are "
+    "out of SQL scope in both engines",
+)
+def q56_ttest(spark, sf_dir):
+    ev(spark, sf_dir).createOrReplaceTempView("cat_q56_events")
+    return spark.sql(_Q56_SQL.format(tbl="cat_q56_events"))

@@ -182,3 +182,31 @@ def histogram_fixed(
             "n",
         )
     )
+
+
+def any_left_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    order: Sequence[Column | str],
+) -> DataFrame:
+    """ClickHouse ``ANY LEFT JOIN``: each left row pairs with *at most
+    one* right row per key instead of fanning out over all matches.
+
+    ClickHouse picks whichever right row it meets first (block order —
+    non-deterministic on a cluster); the deterministic twin requires an
+    explicit ``order`` and keeps its first row per key, mirroring the
+    d01 survivor rule. Implementation: the right side collapses to one
+    row per key with a WindowGroupLimit-eligible ``row_number`` (one
+    shuffle of the right side only), then a plain equi left join — the
+    join itself never duplicates left rows, so downstream cardinality
+    is exactly ``count(left)``.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order]
+    w = W.partitionBy(*on).orderBy(*cols)
+    first = (
+        right.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return left.join(first, on=list(on), how="left")
