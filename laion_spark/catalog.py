@@ -3744,3 +3744,130 @@ _Q56_SQL = """
 def q56_ttest(spark, sf_dir):
     ev(spark, sf_dir).createOrReplaceTempView("cat_q56_events")
     return spark.sql(_Q56_SQL.format(tbl="cat_q56_events"))
+
+
+# =============================================================================
+# Time-decayed aggregation (SURVEY.md §2.10 R35)
+# =============================================================================
+
+# ClickHouse ``exponentialMovingAverage(halflife)(value, time)`` is an
+# *aggregate*: one decayed value per group, anchored at the group's
+# latest timestamp. Anchoring at max(ts) makes the closed form
+# sum(v_i * 2^-((tmax-t_i)/halflife)) — no recursion, no truncation:
+# one window pass + one sum over the same key partitioning (a single
+# shuffle; EnsureRequirements reuses the window's hash distribution for
+# the final aggregate). Shared SQL text in both engines; weights decay
+# through identical IEEE power() calls, terms are rounded then
+# DECIMAL-summed, so partition order cannot move the result.
+_E16_SQL = """
+    WITH w AS (
+      SELECT user_id, value, {ts_us} AS ts_us,
+             max({ts_us}) OVER (PARTITION BY user_id) AS tmax
+      FROM {tbl}
+    )
+    SELECT user_id,
+           round(CAST(sum(CAST(round(value
+                 * power(2.0, -((tmax - ts_us) / 3600000000.0)), 9)
+                 AS DECIMAL(20,9))) AS DOUBLE), 6) AS ema
+    FROM w GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query(
+    "e16_exponential_moving_average",
+    oracle=_E16_SQL.format(
+        tbl="events", ts_us="epoch_us(CAST(ts AS TIMESTAMP))"
+    ),
+    note="ClickHouse exponentialMovingAverage(1h halflife) parity: "
+    "per-user time-decayed sum anchored at the user's newest event — "
+    "the closed form needs no sequential fold, so it stays a plain "
+    "window+aggregate over one shuffle",
+)
+def e16_exponential_moving_average(spark, sf_dir):
+    ev(spark, sf_dir).createOrReplaceTempView("cat_e16_events")
+    return spark.sql(_E16_SQL.format(tbl="cat_e16_events", ts_us="ts_us"))
+
+
+@query(
+    "e17_funnel_strict_order",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT user_id,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+                        coalesce(CASE event_type WHEN 'view' THEN 1
+                                 WHEN 'click' THEN 2
+                                 WHEN 'purchase' THEN 3 END, 0)) AS idx,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+             coalesce(CASE event_type WHEN 'view' THEN 1
+                      WHEN 'click' THEN 2
+                      WHEN 'purchase' THEN 3 END, 0) AS step
+      FROM events
+    ), fold AS (
+      SELECT user_id, 0 AS idx, CAST(-1 AS BIGINT) AS s1,
+             CAST(-1 AS BIGINT) AS s2, CAST(-1 AS BIGINT) AS s3, 0 AS d
+      FROM (SELECT DISTINCT user_id FROM e)
+      UNION ALL
+      SELECT f.user_id, f.idx + 1,
+        CASE WHEN f.d = 1 OR (f.s1 >= 0 AND NOT (
+               (ev.step = 2 AND f.s1 >= 0 AND ev.t > f.s1
+                AND ev.t - f.s1 <= 3600000000)
+               OR (ev.step = 3 AND f.s2 >= 0 AND ev.t > f.s2
+                   AND ev.t - f.s2 <= 3600000000)))
+             THEN f.s1
+             WHEN ev.step = 1 THEN ev.t ELSE f.s1 END,
+        CASE WHEN f.d = 1 OR (f.s1 >= 0 AND NOT (
+               (ev.step = 2 AND f.s1 >= 0 AND ev.t > f.s1
+                AND ev.t - f.s1 <= 3600000000)
+               OR (ev.step = 3 AND f.s2 >= 0 AND ev.t > f.s2
+                   AND ev.t - f.s2 <= 3600000000)))
+             THEN f.s2
+             WHEN ev.step = 2 AND f.s1 >= 0 AND ev.t > f.s1
+                  AND ev.t - f.s1 <= 3600000000
+             THEN greatest(f.s2, f.s1) ELSE f.s2 END,
+        CASE WHEN f.d = 1 OR (f.s1 >= 0 AND NOT (
+               (ev.step = 2 AND f.s1 >= 0 AND ev.t > f.s1
+                AND ev.t - f.s1 <= 3600000000)
+               OR (ev.step = 3 AND f.s2 >= 0 AND ev.t > f.s2
+                   AND ev.t - f.s2 <= 3600000000)))
+             THEN f.s3
+             WHEN ev.step = 3 AND f.s2 >= 0 AND ev.t > f.s2
+                  AND ev.t - f.s2 <= 3600000000
+             THEN greatest(f.s3, f.s2) ELSE f.s3 END,
+        CASE WHEN f.d = 1 THEN 1
+             WHEN f.s1 >= 0 AND NOT (
+               (ev.step = 2 AND f.s1 >= 0 AND ev.t > f.s1
+                AND ev.t - f.s1 <= 3600000000)
+               OR (ev.step = 3 AND f.s2 >= 0 AND ev.t > f.s2
+                   AND ev.t - f.s2 <= 3600000000))
+             THEN 1 ELSE 0 END
+      FROM fold f JOIN e ev ON ev.user_id = f.user_id AND ev.idx = f.idx + 1
+    )
+    SELECT user_id,
+           CASE WHEN s3 >= 0 THEN 3 WHEN s2 >= 0 THEN 2
+                WHEN s1 >= 0 THEN 1 ELSE 0 END AS level
+    FROM (SELECT user_id, s1, s2, s3,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY idx DESC) AS rn
+          FROM fold)
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+    note="ClickHouse windowFunnel(..., 'strict_order') parity: once a "
+    "chain starts, ANY event that does not advance it (other event "
+    "types, repeated starts, expired steps) freezes the level — the "
+    "docs' A->B->D->C example stops at D. Spark side is the e06 HOF "
+    "fold plus one dead-flag field; the oracle replays the identical "
+    "written spec as a DuckDB recursive-CTE automaton (the e11 "
+    "two-independent-implementations pattern)",
+)
+def e17_funnel_strict_order(spark, sf_dir):
+    from laion_spark.operators.funnel import window_funnel
+
+    return window_funnel(
+        ev(spark, sf_dir),
+        ["view", "click", "purchase"],
+        3_600_000_000,
+        mode="strict_order",
+    ).orderBy("user_id")

@@ -177,6 +177,24 @@ _FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "WHEN x >= 1024 THEN concat(CAST(round(x / 1024, 2) AS STRING), ' KiB') "
         "ELSE concat(CAST(round(x, 2) AS STRING), ' B') END",
     ),
+    # --- geo scalars (ClickHouse geo family; haversine, mean Earth radius
+    #     6371 km — ClickHouse's greatCircleDistance sphere model) --------
+    "greatCircleDistance": (
+        "lon1 DOUBLE, lat1 DOUBLE, lon2 DOUBLE, lat2 DOUBLE",
+        "DOUBLE",
+        "2.0 * 6371000.0 * asin(sqrt("
+        "power(sin(radians(lat2 - lat1) / 2), 2) "
+        "+ cos(radians(lat1)) * cos(radians(lat2)) "
+        "* power(sin(radians(lon2 - lon1) / 2), 2)))",
+    ),
+    "greatCircleAngle": (
+        "lon1 DOUBLE, lat1 DOUBLE, lon2 DOUBLE, lat2 DOUBLE",
+        "DOUBLE",
+        "degrees(2.0 * asin(sqrt("
+        "power(sin(radians(lat2 - lat1) / 2), 2) "
+        "+ cos(radians(lat1)) * cos(radians(lat2)) "
+        "* power(sin(radians(lon2 - lon1) / 2), 2))))",
+    ),
 }
 
 

@@ -33,6 +33,7 @@ def window_funnel(
     user_col: str = "user_id",
     time_col: str = "ts_us",
     type_col: str = "event_type",
+    mode: str | None = None,
 ) -> DataFrame:
     """Max funnel level reached per user: the deepest ``k`` such that
     events matching ``steps[0..k-1]`` occur in strictly increasing time
@@ -46,14 +47,36 @@ def window_funnel(
     ``s_{i-1}`` is set and ``t - s_{i-1} <= window`` then
     ``s_i = max(s_i, s_{i-1})``. Level = deepest set ``s_i``.
 
+    ``mode`` adds ClickHouse's strictness variants as *declared*
+    deterministic semantics (the docs' wording made precise; ClickHouse
+    itself resolves in-block ties nondeterministically — here ties
+    process in (t, step) ascending order):
+
+    - ``"strict_order"`` — all events participate (matching none of the
+      steps codes as step 0). Once a chain has started, any event that
+      does not advance an open chain — a step-0 event, a repeated
+      step-1, or a step event whose predecessor slot is unset/expired —
+      freezes processing; the level reached so far stands ("stops
+      finding A->B->C at the D").
+    - ``"strict_dedup"`` — an event for a step whose slot is already
+      set interrupts further processing (the docs' "repeating event
+      interrupts"); the level reached so far stands.
+
+    Both modes add one tinyint to the per-user fold state — still
+    O(steps) state, one shuffle, zero Python at runtime.
+
     Returns (user_col, level int).
     """
+    if mode not in (None, "strict_order", "strict_dedup"):
+        raise ValueError(f"unknown windowFunnel mode: {mode!r}")
     n = len(steps)
     if n < 2:
         raise ValueError("funnel needs at least 2 steps")
     step_code = F.when(F.col(type_col) == steps[0], 1)
     for i, s in enumerate(steps[1:], start=2):
         step_code = step_code.when(F.col(type_col) == s, i)
+    if mode == "strict_order":
+        step_code = step_code.otherwise(0)
 
     ev = df.select(
         F.col(user_col),
@@ -65,14 +88,47 @@ def window_funnel(
         F.sort_array(F.collect_list(F.struct("t", "step"))).alias("evs")
     )
 
-    zero = "named_struct(" + ", ".join(f"'s{i}', CAST(-1 AS BIGINT)" for i in range(1, n + 1)) + ")"
-    upd = ["'s1', CASE WHEN e.step = 1 THEN e.t ELSE a.s1 END"]
+    w = int(window_us)
+    adv = {
+        i: (
+            f"(e.step = {i} AND a.s{i-1} >= 0 AND e.t > a.s{i-1} "
+            f"AND e.t - a.s{i-1} <= {w})"
+        )
+        for i in range(2, n + 1)
+    }
+    if mode == "strict_order":
+        # a.s1 >= 0 already excludes chain-starting step-1 events, so
+        # "does not advance" reduces to "not an i>=2 advance"
+        adv_any = " OR ".join(adv.values())
+        frozen = f"(a.d = 1 OR (a.s1 >= 0 AND NOT ({adv_any})))"
+    elif mode == "strict_dedup":
+        dup_any = " OR ".join(
+            f"(e.step = {i} AND a.s{i} >= 0)" for i in range(1, n + 1)
+        )
+        frozen = f"(a.d = 1 OR {dup_any})"
+    else:
+        frozen = None
+
+    slots = ", ".join(f"'s{i}', CAST(-1 AS BIGINT)" for i in range(1, n + 1))
+    zero = (
+        f"named_struct({slots}, 'd', CAST(0 AS INT))"
+        if frozen
+        else f"named_struct({slots})"
+    )
+    gate = f"WHEN {frozen} THEN a.s{{i}} " if frozen else ""
+    upd = [
+        "'s1', CASE "
+        + gate.format(i=1)
+        + "WHEN e.step = 1 THEN e.t ELSE a.s1 END"
+    ]
     for i in range(2, n + 1):
         upd.append(
-            f"'s{i}', CASE WHEN e.step = {i} AND a.s{i-1} >= 0 AND e.t > a.s{i-1} "
-            f"AND e.t - a.s{i-1} <= {int(window_us)} "
-            f"THEN greatest(a.s{i}, a.s{i-1}) ELSE a.s{i} END"
+            f"'s{i}', CASE "
+            + gate.format(i=i)
+            + f"WHEN {adv[i]} THEN greatest(a.s{i}, a.s{i-1}) ELSE a.s{i} END"
         )
+    if frozen:
+        upd.append(f"'d', CASE WHEN {frozen} THEN 1 ELSE 0 END")
     finish = "CASE " + " ".join(
         f"WHEN a.s{i} >= 0 THEN {i}" for i in range(n, 0, -1)
     ) + " ELSE 0 END"

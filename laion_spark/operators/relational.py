@@ -115,28 +115,36 @@ def sum_map(
     group_cols: Sequence[str],
     map_col: str,
     exact: bool = True,
+    agg: str = "sum",
 ) -> DataFrame:
-    """ClickHouse ``sumMap`` parity: per-group, sum map values key-wise
-    across rows, producing one map whose keys are the union of input
-    keys. Spark-first shape: explode → partial-aggregating groupBy on
-    (group, key) → re-assemble with ``map_from_entries`` over a sorted
-    entry list. Two shuffles, both on narrow (group, key) pairs — never
-    a whole-map shuffle; map-side partial aggregation collapses repeated
-    keys before the exchange.
+    """ClickHouse ``sumMap`` / ``minMap`` / ``maxMap`` parity: per-group,
+    combine map values key-wise across rows, producing one map whose
+    keys are the union of input keys. Spark-first shape: explode →
+    partial-aggregating groupBy on (group, key) → re-assemble with
+    ``map_from_entries`` over a sorted entry list. Two shuffles, both on
+    narrow (group, key) pairs — never a whole-map shuffle; map-side
+    partial aggregation collapses repeated keys before the exchange.
 
-    ``exact=True`` accumulates through DECIMAL(18,6) (order-independent
-    across partitions — the engine-wide money-sum rule); ``False`` keeps
-    native double sums for throughput.
+    ``agg`` selects the combinator: ``"sum"`` (default), ``"min"``, or
+    ``"max"``. For sums, ``exact=True`` accumulates through
+    DECIMAL(18,6) (order-independent across partitions — the engine-wide
+    money-sum rule); ``False`` keeps native double sums for throughput.
+    min/max are order-independent by construction and ignore ``exact``.
 
-    Returns ``group_cols`` + (``map_col`` map<key, double-sum>).
+    Returns ``group_cols`` + (``map_col`` map<key, double>).
     """
+    if agg not in ("sum", "min", "max"):
+        raise ValueError(f"unknown map combinator: {agg!r}")
     keys = list(group_cols)
     kv = df.select(*keys, F.explode(F.col(map_col)).alias("_k", "_v"))
-    total = (
-        F.sum(F.col("_v").cast("decimal(18,6)")).cast("double")
-        if exact
-        else F.sum("_v")
-    )
+    if agg == "sum":
+        total = (
+            F.sum(F.col("_v").cast("decimal(18,6)")).cast("double")
+            if exact
+            else F.sum("_v")
+        )
+    else:
+        total = F.min("_v") if agg == "min" else F.max("_v")
     per_key = kv.groupBy(*keys, "_k").agg(total.alias("_total"))
     return per_key.groupBy(*keys).agg(
         F.map_from_entries(

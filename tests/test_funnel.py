@@ -192,3 +192,98 @@ def test_asof_join_strict_vs_nonstrict_ties(spark):
         ).collect()
     }
     assert loose == {"p1": 9.0, "p0": 4.0, "p2": None}
+
+
+def _brute_strict(evs, mode, n=3, window=W):
+    """Python reference automaton for the strict-mode spec (same written
+    spec the HOF fold and the e17 recursive-CTE oracle implement)."""
+    s = [-1] * (n + 1)
+    dead = False
+    for t_, st in evs:
+        if dead:
+            break
+        adv = {
+            i: st == i and s[i - 1] >= 0 and t_ > s[i - 1]
+            and t_ - s[i - 1] <= window
+            for i in range(2, n + 1)
+        }
+        if mode == "strict_order":
+            frozen = s[1] >= 0 and not any(adv.values())
+        else:  # strict_dedup
+            frozen = st >= 1 and s[st] >= 0
+        if frozen:
+            dead = True
+            continue
+        new = s[:]
+        if st == 1:
+            new[1] = t_
+        for i in range(2, n + 1):
+            if adv[i]:
+                new[i] = max(s[i], s[i - 1])
+        s = new
+    return max((i for i in range(1, n + 1) if s[i] >= 0), default=0)
+
+
+def test_strict_modes_match_bruteforce_on_random_streams(spark):
+    import random
+
+    rng = random.Random(1234)
+    types = ["view", "click", "purchase", "noise"]
+    code = {"view": 1, "click": 2, "purchase": 3, "noise": 0}
+    rows, streams = [], {}
+    for u in range(300):
+        n = rng.randint(0, 12)
+        evs, seen = [], set()
+        for _ in range(n):
+            t_ = rng.randint(0, 3 * W)
+            if t_ not in seen:
+                seen.add(t_)
+                evs.append((t_, rng.choice(types)))
+        evs.sort()
+        rows += [(u, t_, ty) for t_, ty in evs]
+        streams[u] = evs
+
+    df = spark.createDataFrame(rows, "user_id int, ts_us long, event_type string")
+    for mode in ("strict_order", "strict_dedup"):
+        out = window_funnel(df, ["view", "click", "purchase"], W, mode=mode)
+        got = {r.user_id: r.level for r in out.collect()}
+        for u, evs in streams.items():
+            coded = [
+                (t_, code[ty])
+                for t_, ty in evs
+                if mode == "strict_order" or code[ty] > 0
+            ]
+            if u not in got:
+                # users whose every event was filtered produce no row
+                assert not coded
+                continue
+            assert got[u] == _brute_strict(coded, mode), (mode, u, evs)
+
+
+def test_strict_dedup_freezes_on_repeat(spark):
+    rows = [
+        # u1: v c v -> repeated view interrupts AFTER level 2 -> stays 2
+        (1, 0, "view"), (1, 10, "click"), (1, 20, "view"),
+        (1, 30, "purchase"),  # ignored: frozen
+        # u2: clean v c p -> 3
+        (2, 0, "view"), (2, 10, "click"), (2, 20, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts_us long, event_type string")
+    out = window_funnel(df, ["view", "click", "purchase"], W, mode="strict_dedup")
+    got = {r.user_id: r.level for r in out.collect()}
+    assert got == {1: 2, 2: 3}
+
+
+def test_strict_order_breaks_on_intervening_event(spark):
+    rows = [
+        # u1: A B D C -> the noise D freezes at level 2 (docs' example)
+        (1, 0, "view"), (1, 10, "click"), (1, 20, "noise"), (1, 30, "purchase"),
+        # u2: A B C uninterrupted -> 3
+        (2, 0, "view"), (2, 10, "click"), (2, 20, "purchase"),
+        # u3: noise before the chain starts is ignored -> 3
+        (3, 0, "noise"), (3, 10, "view"), (3, 20, "click"), (3, 30, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts_us long, event_type string")
+    out = window_funnel(df, ["view", "click", "purchase"], W, mode="strict_order")
+    got = {r.user_id: r.level for r in out.collect()}
+    assert got == {1: 2, 2: 3, 3: 3}

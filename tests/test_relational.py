@@ -118,3 +118,20 @@ def test_interval_length_sum_merges_overlaps(spark):
     assert got == {"a": 21, "b": 2}
     # global union: b's [2,4) lies inside a's merged [0,20) -> 20 + 1
     assert interval_length_sum(df, "s", "e").collect()[0].covered == 21
+
+
+def test_min_max_map_keywise(spark):
+    from laion_spark.operators.relational import sum_map
+
+    df = spark.createDataFrame(
+        [("g", {"a": 1.0, "b": 5.0}), ("g", {"a": 3.0, "c": 2.0})],
+        "k string, m map<string,double>",
+    )
+    mn = sum_map(df, ["k"], "m", agg="min").collect()[0].m
+    mx = sum_map(df, ["k"], "m", agg="max").collect()[0].m
+    assert mn == {"a": 1.0, "b": 5.0, "c": 2.0}
+    assert mx == {"a": 3.0, "b": 5.0, "c": 2.0}
+    import pytest
+
+    with pytest.raises(ValueError):
+        sum_map(df, ["k"], "m", agg="median")

@@ -142,3 +142,18 @@ def test_ipv4_roundtrip(spark):
     assert one(spark, "IPv4StringToNum('192.168.1.1')") == 3232235777
     assert one(spark, "IPv4NumToString(IPv4StringToNum('10.0.255.7'))") == "10.0.255.7"
     assert one(spark, "IPv4NumToString(0)") == "0.0.0.0"
+
+
+def test_great_circle_distance(spark):
+    # Paris (2.3522E, 48.8566N) -> London (-0.1276E, 51.5072N): ~343.5 km
+    # on the 6371 km sphere; equator quarter-turn is exactly pi/2 * R.
+    d = one(
+        spark,
+        "greatCircleDistance(2.3522d, 48.8566d, -0.1276d, 51.5072d)",
+    )
+    assert abs(d - 343_500) < 1_500
+    q = one(spark, "greatCircleDistance(0.0d, 0.0d, 90.0d, 0.0d)")
+    assert abs(q - 6371000.0 * 3.141592653589793 / 2) < 1e-3
+    a = one(spark, "greatCircleAngle(0.0d, 0.0d, 90.0d, 0.0d)")
+    assert abs(a - 90.0) < 1e-9
+    assert one(spark, "greatCircleDistance(13.0d, 52.0d, 13.0d, 52.0d)") == 0.0
