@@ -59,6 +59,7 @@ HEADLINERS = [
     "t07_topk_approx",
     "q38_incremental_agg_merge",
     "q44_local_supplier_volume",
+    "q50_replacing_final",
     "d03_jaccard_similar_pairs",
 ]
 

@@ -319,3 +319,67 @@ def test_sum_map_shuffles_narrow_pairs_only(spark, sf_dir):
     assert "map_from_entries" not in p.split("Exchange")[-1], (
         "map assembly must happen above the last exchange, not below it"
     )
+
+
+def test_funnel_strict_mode_stays_single_shuffle(spark, sf_dir):
+    """The strict-mode dead flag is one struct field in the same fold —
+    it must not add a shuffle or leave Catalyst."""
+    from laion_spark.operators.funnel import window_funnel
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", F.expr("ts div 1000").alias("ts_us"), "event_type"
+    )
+    for mode in ("strict_order", "strict_dedup"):
+        df = window_funnel(
+            e, ["view", "click", "purchase"], 3_600_000_000, mode=mode
+        )
+        p = plan_str(df, "simple")
+        assert p.count("Exchange") == 1, p
+        assert "Python" not in p and "ArrowEval" not in p, p
+
+
+def test_replacing_final_single_shuffle(spark, sf_dir):
+    """ReplacingMergeTree FINAL: one Exchange on the key, survivor via a
+    WindowGroupLimit-eligible row_number — no agg-then-join double pass."""
+    from laion_spark.operators.mergetree import replacing_final
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type", F.expr("ts div 1000").alias("ts_us"), "event_id"
+    )
+    df = replacing_final(e, ["user_id", "event_type"], "ts_us", ["event_id"])
+    p = plan_str(df, "simple")
+    assert p.count("Exchange") == 1, p
+    assert "hashpartitioning(user_id" in p, p
+    assert "WindowGroupLimit" in p, p
+
+
+def test_collapsing_final_single_shuffle(spark, sf_dir):
+    """CollapsingMergeTree FINAL computes net + survivor in one window
+    pass over one Exchange — a self-join shape would show two."""
+    from laion_spark.operators.mergetree import collapsing_final
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id",
+        "event_type",
+        F.expr("ts div 1000").alias("ts_us"),
+        F.when(F.col("event_id") % 4 == 0, F.lit(-1)).otherwise(1).alias("sign"),
+    )
+    df = collapsing_final(e, ["user_id", "event_type"], "sign", "ts_us")
+    p = plan_str(df, "simple")
+    assert p.count("Exchange") == 1, p
+
+
+def test_ema_reuses_window_partitioning(spark, sf_dir):
+    """exponentialMovingAverage: the max-ts window and the final
+    aggregate hash-partition on the same key, so EnsureRequirements
+    must plan exactly one Exchange."""
+    from laion_spark.catalog import _E16_SQL
+
+    spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    ).createOrReplaceTempView("plans_e16_events")
+    sql = _E16_SQL.format(tbl="plans_e16_events", ts_us="ts_us")
+    df = spark.sql(sql.replace("ORDER BY user_id", ""))
+    p = plan_str(df, "simple")
+    assert p.count("Exchange") == 1, p
+    assert "hashpartitioning(user_id" in p, p
