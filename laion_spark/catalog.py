@@ -3871,3 +3871,67 @@ def e17_funnel_strict_order(spark, sf_dir):
         3_600_000_000,
         mode="strict_order",
     ).orderBy("user_id")
+
+
+# =============================================================================
+# arrayJoin / arrayEnumerate (SURVEY.md §2.10 R37)
+# =============================================================================
+
+
+@query(
+    "q57_array_join_enumerate",
+    oracle="""
+    SELECT doc_id,
+           unnest(generate_series(1, len(toks))) AS pos,
+           unnest(toks) AS tok
+    FROM (
+      SELECT doc_id, list_slice(string_split(text, ' '), 1, 5) AS toks
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    ORDER BY doc_id, pos
+    """,
+    note="ClickHouse arrayJoin + arrayEnumerate parity: row expansion "
+    "with 1-based positions — Spark posexplode (0-based, +1) vs "
+    "DuckDB's zipped unnest(generate_series)/unnest(list); both "
+    "explode lazily inside the scan stage, no shuffle before the "
+    "expansion",
+)
+def q57_array_join_enumerate(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    toks = F.slice(F.split(F.col("text"), " "), 1, 5)
+    return (
+        d.select("doc_id", F.posexplode(toks).alias("pos0", "tok"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            "tok",
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
+@query(
+    "q58_topk_weighted",
+    oracle="""
+    SELECT item, n, err FROM (
+      SELECT event_type AS item,
+             sum(CAST(floor(value) AS BIGINT)) AS n,
+             CAST(0 AS BIGINT) AS err
+      FROM events GROUP BY event_type
+    ) ORDER BY n DESC, item ASC LIMIT 3
+    """,
+    note="ClickHouse topKWeighted parity in the exact regime (capacity "
+    ">= distinct items, so no counter ever evicts and the SpaceSaving "
+    "estimate equals the true weight sum — same declaration as t07): "
+    "heaviest event types by integer floor(value) weight; only "
+    "partition-local counters shuffle, never rows. floor (not round) "
+    "keeps the weight engine-independent: Spark rounds doubles HALF_UP, "
+    "DuckDB half-even, and .5 weights exist in this fixture",
+)
+def q58_topk_weighted(spark, sf_dir):
+    from laion_spark.operators.topk import topk_approx
+
+    e = ev(spark, sf_dir).withColumn(
+        "w", F.floor(F.col("value")).cast("long")
+    )
+    return topk_approx(e, "event_type", k=3, weight_col="w")

@@ -177,6 +177,23 @@ _FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "WHEN x >= 1024 THEN concat(CAST(round(x / 1024, 2) AS STRING), ' KiB') "
         "ELSE concat(CAST(round(x, 2) AS STRING), ' B') END",
     ),
+    # --- array membership (ClickHouse array family) -----------------------
+    "has": ("a ARRAY<STRING>, x STRING", "BOOLEAN", "array_contains(a, x)"),
+    "hasAny": (
+        "a ARRAY<STRING>, b ARRAY<STRING>",
+        "BOOLEAN",
+        "arrays_overlap(a, b)",
+    ),
+    "hasAll": (
+        "a ARRAY<STRING>, b ARRAY<STRING>",
+        "BOOLEAN",
+        "size(array_except(b, a)) = 0",
+    ),
+    "multiSearchAny": (
+        "s STRING, pats ARRAY<STRING>",
+        "BOOLEAN",
+        "exists(pats, p -> contains(s, p))",
+    ),
     # --- geo scalars (ClickHouse geo family; haversine, mean Earth radius
     #     6371 km — ClickHouse's greatCircleDistance sphere model) --------
     "greatCircleDistance": (

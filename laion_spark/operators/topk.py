@@ -29,8 +29,12 @@ def topk_approx(
     col: str,
     k: int = 10,
     capacity: int = 4096,
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """Top-k items of ``df[col]`` by approximate count.
+    """Top-k items of ``df[col]`` by approximate count — or, with
+    ``weight_col``, by approximate weight sum (ClickHouse
+    ``topKWeighted``; weights are cast to non-negative BIGINT, matching
+    its UInt64 contract, so the exact-regime result stays integer).
 
     Returns (item, n, err) ordered by n desc, item asc — ``n`` is the
     merged estimate (exact when no partition evicted), ``err`` the
@@ -40,9 +44,10 @@ def topk_approx(
 
     _ship_package(df.sparkSession)
     cap = int(capacity)
-    src = df.select(F.col(col).cast("string").alias("_item")).filter(
-        F.col("_item").isNotNull()
-    )
+    cols = [F.col(col).cast("string").alias("_item")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("long").alias("_w"))
+    src = df.select(*cols).filter(F.col("_item").isNotNull())
 
     def sketch(batches):
         import pandas as pd
@@ -51,7 +56,11 @@ def topk_approx(
         for pdf in batches:
             # vectorized per-batch counting; the SpaceSaving loop runs
             # per UNIQUE item per batch, not per row
-            for item, c in pdf["_item"].value_counts().items():
+            if "_w" in pdf.columns:
+                per_item = pdf.groupby("_item")["_w"].sum()
+            else:
+                per_item = pdf["_item"].value_counts()
+            for item, c in per_item.items():
                 c = int(c)
                 if item in counters:
                     counters[item][0] += c

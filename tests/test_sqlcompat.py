@@ -157,3 +157,14 @@ def test_great_circle_distance(spark):
     a = one(spark, "greatCircleAngle(0.0d, 0.0d, 90.0d, 0.0d)")
     assert abs(a - 90.0) < 1e-9
     assert one(spark, "greatCircleDistance(13.0d, 52.0d, 13.0d, 52.0d)") == 0.0
+
+
+def test_array_membership_family(spark):
+    assert one(spark, "has(array('a','b'), 'b')") is True
+    assert one(spark, "has(array('a','b'), 'z')") is False
+    assert one(spark, "hasAny(array('a','b'), array('z','b'))") is True
+    assert one(spark, "hasAny(array('a','b'), array('z'))") is False
+    assert one(spark, "hasAll(array('a','b','c'), array('a','c'))") is True
+    assert one(spark, "hasAll(array('a','b'), array('a','z'))") is False
+    assert one(spark, "multiSearchAny('hello world', array('xyz', 'wor'))") is True
+    assert one(spark, "multiSearchAny('hello world', array('xyz'))") is False
