@@ -177,8 +177,8 @@ _FUNCTIONS: dict[str, tuple[str, str, str]] = {
         "WHEN x >= 1024 THEN concat(CAST(round(x / 1024, 2) AS STRING), ' KiB') "
         "ELSE concat(CAST(round(x, 2) AS STRING), ' B') END",
     ),
-    # --- array membership (ClickHouse array family) -----------------------
-    "has": ("a ARRAY<STRING>, x STRING", "BOOLEAN", "array_contains(a, x)"),
+    # --- array membership (ClickHouse array family; "has" itself is
+    # registered once, up with the array accessors) ------------------------
     "hasAny": (
         "a ARRAY<STRING>, b ARRAY<STRING>",
         "BOOLEAN",

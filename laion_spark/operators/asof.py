@@ -32,12 +32,19 @@ def asof_join(
     right_ts: str = "ts_us",
     right_cols: Sequence[str] = (),
     strict: bool = True,
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """For every left row: all left columns plus, for each requested
     right column c, ``c_asof`` = c from the latest right row with
     ``right.ts < left.ts`` (``<=`` when strict=False), matching on the
     equi-key ``on``. Left rows with no prior right row keep NULLs
     (ClickHouse ASOF LEFT JOIN semantics).
+
+    When several right rows share the same (key, ts), which one wins is
+    partition-order-dependent unless ``right_tiebreak`` names a right
+    column made part of the window order — pass a unique-ish column
+    (sequence number, id) to make tied right rows resolve
+    deterministically (highest tie-break value wins, i.e. "latest").
     """
     right_cols = list(right_cols)
     lcols = left.columns
@@ -49,6 +56,7 @@ def asof_join(
         F.lit(l_tag).alias("_tag"),
         *[F.col(c) for c in lcols],
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast("long").alias("_tb"),
     )
     tagged_r = right.select(
         F.col(on).alias("_k"),
@@ -56,11 +64,18 @@ def asof_join(
         F.lit(1 - l_tag).alias("_tag"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
         *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        (
+            F.col(right_tiebreak).cast("long")
+            if right_tiebreak is not None
+            else F.lit(None).cast("long")
+        ).alias("_tb"),
     )
     u = tagged_l.unionByName(tagged_r)
+    # _tb only orders tied right rows among themselves (left/right never
+    # share a _tag value); asc + last() => the highest tie-break wins
     w = (
         W.partitionBy("_k")
-        .orderBy(F.col("_t").asc(), F.col("_tag").asc())
+        .orderBy(F.col("_t").asc(), F.col("_tag").asc(), F.col("_tb").asc_nulls_first())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = u.select(

@@ -34,18 +34,33 @@ def window_funnel(
     time_col: str = "ts_us",
     type_col: str = "event_type",
     mode: str | None = None,
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """Max funnel level reached per user: the deepest ``k`` such that
     events matching ``steps[0..k-1]`` occur in strictly increasing time
     order with the whole chain inside ``window_us`` of its first event.
 
-    Algorithm (equivalent to the existential SQL semantics — keeping
-    the LATEST viable chain start at each level dominates: a later
-    start always leaves more window slack for the next step, and time-
-    sorted processing guarantees step order): fold events in time
-    order; on a step-1 event set ``s1 = t``; on a step-i event, if
-    ``s_{i-1}`` is set and ``t - s_{i-1} <= window`` then
-    ``s_i = max(s_i, s_{i-1})``. Level = deepest set ``s_i``.
+    Algorithm (equivalent to the existential SQL semantics whenever a
+    user's event times are distinct — keeping the LATEST viable chain
+    start at each level dominates: a later start always leaves more
+    window slack for the next step, and time-sorted processing
+    guarantees step order): fold events in time order, tracking per
+    level BOTH the chain start ``s_i`` and the time ``l_i`` of the
+    event that reached that level; on a step-1 event set
+    ``s1 = l1 = t``; on a step-i event, if ``s_{i-1}`` is set,
+    ``t > l_{i-1}`` (STRICTLY later than the previous step's own event,
+    not merely the chain start) and ``t - s_{i-1} <= window`` then the
+    level-i chain becomes the one with the greater start (ties keep the
+    incumbent, whose last-event time is earlier and therefore easier to
+    extend). Level = deepest set ``s_i``.
+
+    Tie semantics: an event can never advance a chain whose previous
+    step shares its timestamp (ClickHouse ``strict_increase``). With
+    tied timestamps ACROSS chains the greedy keeps one chain per level
+    (max start, then min last) exactly as ClickHouse's own array of
+    per-level (start, last) slots does; the existential SQL oracle and
+    this fold agree on any input whose per-user event times are
+    distinct (the fixture is sanity-checked for that in tests).
 
     ``mode`` adds ClickHouse's strictness variants as *declared*
     deterministic semantics (the docs' wording made precise; ClickHouse
@@ -65,10 +80,21 @@ def window_funnel(
     Both modes add one tinyint to the per-user fold state — still
     O(steps) state, one shuffle, zero Python at runtime.
 
+    ``max_events_per_user`` bounds the per-user event buffer (the fold
+    STATE is O(steps), but ``collect_list`` materializes all of a
+    user's step events — ClickHouse's windowFunnel has the same O(n)
+    buffer). When set, only each user's EARLIEST ``max_events_per_user``
+    events (by (t, step) order, via a pre-shuffle ``row_number``) enter
+    the fold, so one pathological user cannot blow an executor at
+    100 TB; events past the cap are ignored, which can only lower the
+    reported level. Adds one window shuffle on the same key.
+
     Returns (user_col, level int).
     """
     if mode not in (None, "strict_order", "strict_dedup"):
         raise ValueError(f"unknown windowFunnel mode: {mode!r}")
+    if max_events_per_user is not None and max_events_per_user < 1:
+        raise ValueError("max_events_per_user must be >= 1")
     n = len(steps)
     if n < 2:
         raise ValueError("funnel needs at least 2 steps")
@@ -83,15 +109,26 @@ def window_funnel(
         F.col(time_col).cast("long").alias("t"),
         step_code.alias("step"),
     ).filter(F.col("step").isNotNull())
+    if max_events_per_user is not None:
+        rn = F.row_number().over(
+            W.partitionBy(user_col).orderBy("t", "step")
+        )
+        ev = ev.withColumn("_rn", rn).filter(
+            F.col("_rn") <= max_events_per_user
+        ).drop("_rn")
 
     per_user = ev.groupBy(user_col).agg(
         F.sort_array(F.collect_list(F.struct("t", "step"))).alias("evs")
     )
 
     w = int(window_us)
+    # l1 is the step-1 event itself, so s1 doubles as its last-event
+    # time; levels 2..n-1 need an explicit l slot (nothing ever
+    # advances FROM level n, so l_n is not stored).
+    last = {1: "a.s1", **{i: f"a.l{i}" for i in range(2, n)}}
     adv = {
         i: (
-            f"(e.step = {i} AND a.s{i-1} >= 0 AND e.t > a.s{i-1} "
+            f"(e.step = {i} AND a.s{i-1} >= 0 AND e.t > {last[i-1]} "
             f"AND e.t - a.s{i-1} <= {w})"
         )
         for i in range(2, n + 1)
@@ -109,24 +146,42 @@ def window_funnel(
     else:
         frozen = None
 
-    slots = ", ".join(f"'s{i}', CAST(-1 AS BIGINT)" for i in range(1, n + 1))
+    # field order must mirror the update struct exactly — Spark coerces
+    # the fold lambda's struct to the accumulator type positionally
+    names = ["s1"]
+    for i in range(2, n + 1):
+        names.append(f"s{i}")
+        if i < n:
+            names.append(f"l{i}")
+    slots = ", ".join(f"'{s}', CAST(-1 AS BIGINT)" for s in names)
     zero = (
         f"named_struct({slots}, 'd', CAST(0 AS INT))"
         if frozen
         else f"named_struct({slots})"
     )
-    gate = f"WHEN {frozen} THEN a.s{{i}} " if frozen else ""
+    gate = f"WHEN {frozen} THEN a.{{slot}} " if frozen else ""
     upd = [
         "'s1', CASE "
-        + gate.format(i=1)
+        + gate.format(slot="s1")
         + "WHEN e.step = 1 THEN e.t ELSE a.s1 END"
     ]
     for i in range(2, n + 1):
         upd.append(
             f"'s{i}', CASE "
-            + gate.format(i=i)
+            + gate.format(slot=f"s{i}")
             + f"WHEN {adv[i]} THEN greatest(a.s{i}, a.s{i-1}) ELSE a.s{i} END"
         )
+        if i < n:
+            # the level-i chain is replaced only when the incoming
+            # chain's start strictly beats the incumbent's; equal
+            # starts keep the earlier last-event time (easier to
+            # extend under strict ordering)
+            upd.append(
+                f"'l{i}', CASE "
+                + gate.format(slot=f"l{i}")
+                + f"WHEN {adv[i]} AND a.s{i-1} > a.s{i} THEN e.t "
+                f"ELSE a.l{i} END"
+            )
     if frozen:
         upd.append(f"'d', CASE WHEN {frozen} THEN 1 ELSE 0 END")
     finish = "CASE " + " ".join(

@@ -46,7 +46,12 @@ def topk_approx(
     cap = int(capacity)
     cols = [F.col(col).cast("string").alias("_item")]
     if weight_col is not None:
-        cols.append(F.col(weight_col).cast("long").alias("_w"))
+        # clamp to the documented non-negative UInt64 contract — a
+        # negative weight would silently break SpaceSaving's invariants
+        # (counters stop being upper bounds, min-victim eviction lies)
+        cols.append(
+            F.greatest(F.col(weight_col).cast("long"), F.lit(0)).alias("_w")
+        )
     src = df.select(*cols).filter(F.col("_item").isNotNull())
 
     def sketch(batches):

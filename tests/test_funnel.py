@@ -57,6 +57,60 @@ def test_funnel_chain_must_share_window(spark):
     assert got == {1: 2}
 
 
+def test_funnel_tied_timestamp_does_not_advance(spark):
+    # purchase shares the click's timestamp: strictly-increasing order
+    # requires t > the PREVIOUS STEP'S event time, not merely > the
+    # chain start — view@0, click@5, purchase@5 is level 2, not 3
+    got = _levels(
+        spark,
+        [(1, 0, "view"), (1, 5, "click"), (1, 5, "purchase")],
+    )
+    assert got == {1: 2}
+    # ...but a tie with the CHAIN START alone is fine when the previous
+    # step happened strictly earlier? No — every step must strictly
+    # increase, including step 2 over step 1:
+    got = _levels(spark, [(2, 7, "view"), (2, 7, "click")])
+    assert got == {2: 1}
+    # and a later distinct-time purchase still completes the chain
+    got = _levels(
+        spark,
+        [(3, 0, "view"), (3, 5, "click"), (3, 5, "purchase"), (3, 6, "purchase")],
+    )
+    assert got == {3: 3}
+
+
+def test_funnel_max_events_per_user_cap(spark):
+    rows = [(1, 0, "view"), (1, 5, "click"), (1, 9, "purchase")]
+    df = spark.createDataFrame(rows, "user_id int, ts_us long, event_type string")
+    full = window_funnel(df, ["view", "click", "purchase"], W)
+    assert {r.level for r in full.collect()} == {3}
+    # cap keeps only the 2 earliest events -> purchase never seen
+    capped = window_funnel(
+        df, ["view", "click", "purchase"], W, max_events_per_user=2
+    )
+    assert {r.level for r in capped.collect()} == {2}
+    import pytest
+
+    with pytest.raises(ValueError):
+        window_funnel(df, ["view", "click"], W, max_events_per_user=0)
+
+
+def test_funnel_fixture_has_distinct_event_times(spark, sf_dir):
+    """The e06/e08/e17 oracles are the existential SQL formulation; the
+    fold equals it when per-user event times are distinct. Assert the
+    fixture actually satisfies that precondition (the randomized parity
+    test dedups explicitly for the same reason)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dup = (
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id", "ts")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dup == 0
+
+
 def test_retention_flags(spark):
     df = spark.createDataFrame(
         [(1, 1), (1, 2), (2, 2), (3, 1), (3, 8)], "user_id int, day int"
@@ -192,6 +246,27 @@ def test_asof_join_strict_vs_nonstrict_ties(spark):
         ).collect()
     }
     assert loose == {"p1": 9.0, "p0": 4.0, "p2": None}
+
+
+def test_asof_join_right_tiebreak_is_deterministic(spark):
+    """Several right rows at the same (key, ts): right_tiebreak makes
+    the winner deterministic (highest tie-break value wins)."""
+    from laion_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100, "p1")], "user_id int, ts_us long, pid string")
+    right = spark.createDataFrame(
+        [(1, 40, 7, 4.0), (1, 40, 9, 5.0), (1, 40, 8, 6.0)],
+        "user_id int, ts_us long, seq int, value double",
+    ).repartition(8)
+    for _ in range(3):
+        got = {
+            r.pid: r.value_asof
+            for r in asof_join(
+                left, right, "user_id",
+                right_cols=["value"], right_tiebreak="seq",
+            ).collect()
+        }
+        assert got == {"p1": 5.0}  # seq=9 is the latest tied right row
 
 
 def _brute_strict(evs, mode, n=3, window=W):

@@ -58,3 +58,16 @@ def test_estimate_upper_bounds_true_count(spark, zipf):
     }
     for item, (n, err) in got.items():
         assert true[item] <= n <= true[item] + err
+
+
+def test_negative_weights_clamped_to_zero(spark):
+    """Documented UInt64 contract: a negative weight contributes 0, it
+    must not corrupt the SpaceSaving counters into under-bounds."""
+    df = spark.createDataFrame(
+        [("a", 5), ("a", -100), ("b", 3), ("c", -1)], "tok string, w long"
+    )
+    got = {
+        r.item: r.n
+        for r in topk_approx(df, "tok", k=3, capacity=16, weight_col="w").collect()
+    }
+    assert got.get("a") == 5 and got.get("b") == 3 and got.get("c", 0) == 0
