@@ -43,13 +43,55 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+# The driver samples the FIRST 50 registry entries per round, so the
+# ordering here is the verification schedule. Rounds 1-3 verified the
+# same 50 (catalog registration order); this ordering rotates the
+# window: a few sentinels that must stay green every round (including
+# the round-3 regressions e01-e04/v09 whose fixes need driver proof),
+# then every entry that has never had a driver CORRECTNESS row, then
+# the already-driver-green back catalog.
+_SENTINELS = [
+    "v01_knn_l2_topk",
+    "v09_label_centroids",
+    "q01_pricing_summary",
+    "q10_window_rank",
+    "e01_tumbling_window_agg",
+    "e02_sessionization",
+    "e03_asof_latest_before",
+    "e04_range_join_conversions",
+    "d01_exact_dedup",
+    "t01_token_stats",
+]
+
+#: driver-verified in rounds 1-3 (the first 50 of the old ordering) —
+#: everything NOT here jumps the queue
+_DRIVER_VERIFIED_R123 = {
+    *(f"v{i:02d}" for i in range(1, 10)),
+    *(f"q{i:02d}" for i in range(1, 25)),
+    *(f"e{i:02d}" for i in range(1, 5)),
+    *(f"t{i:02d}" for i in range(1, 6)),
+    *(f"d{i:02d}" for i in range(1, 6)),
+    "a01",
+    "s01",
+    "m01",
+}
+
+
+def _ordered_registry():
     from laion_spark.catalog import REGISTRY
 
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    def bucket(name: str) -> int:
+        if name in _SENTINELS:
+            return 0
+        return 1 if name.split("_")[0] not in _DRIVER_VERIFIED_R123 else 2
+
+    names = sorted(REGISTRY, key=lambda n: (bucket(n), _SENTINELS.index(n) if n in _SENTINELS else 0))
+    return [(n, REGISTRY[n]) for n in names]
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in _ordered_registry()}
 
 
 def oracle_sql() -> dict[str, str]:
-    from laion_spark.catalog import REGISTRY
-
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+    return {name: spec.oracle for name, spec in _ordered_registry() if spec.oracle is not None}

@@ -132,6 +132,9 @@ def main() -> None:
     # cluster the default (128MB ~ one row group) is correct.
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
     queries: dict[str, float] = {}
+    #: per-query failures — a red query yields an errors entry, never a
+    #: dead bench (round-3 lesson: one broken warm-up zeroed BENCH_r03)
+    errors: dict[str, str] = {}
 
     from laion_spark.catalog import REGISTRY
 
@@ -139,49 +142,57 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
     for name in HEADLINERS:
-        spec = REGISTRY[name]
-        spec.fn(spark, SF_DIR).collect()  # warm (codegen + cache)
-        queries[name] = timed(lambda: spec.fn(spark, SF_DIR).collect())
-        print(f"  {name}: {queries[name]}s", file=sys.stderr)
+        try:
+            spec = REGISTRY[name]
+            spec.fn(spark, SF_DIR).collect()  # warm (codegen + cache)
+            queries[name] = timed(lambda: spec.fn(spark, SF_DIR).collect())
+            print(f"  {name}: {queries[name]}s", file=sys.stderr)
+        except Exception as ex:  # noqa: BLE001 — isolate, report, continue
+            errors[name] = f"{type(ex).__name__}: {ex}"[:500]
+            print(f"  {name}: FAILED {errors[name].splitlines()[0]}", file=sys.stderr)
 
     # BASELINE-comparable: brute-force L2 top-10 over N_VEC x 768.
     # Back to default 128MB splits here: the synthetic table is ~600 MB
     # and 4MB splits (set above for the small star tables) would mean
     # 192 tasks x per-task overhead for a 32-core scan.
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-    t0 = time.perf_counter()
-    vecs = synth_vectors(spark, N_VEC, DIM)
-    print(f"  synth_vectors({N_VEC}x{DIM}): {time.perf_counter()-t0:.1f}s", file=sys.stderr)
     qvec = [round(((j * 13) % 17 - 8) / 8.0, 6) for j in range(DIM)]
-
     bench_path = f"/tmp/laion_bench_{N_VEC}x{DIM}.parquet"
-
-    def run_knn(impl):
-        if impl == "scan":
-            return knn_search_parquet(
-                spark, bench_path, qvec, k=10, vector_col="embedding", select=["id"]
-            ).collect()
-        return knn_search(
-            vecs, qvec, k=10, vector_col="embedding", select=["id"], tiebreak=["id"], impl=impl
-        ).collect()
-
-    # 5 runs: median recorded in queries{}, best + best-run rows/s as
-    # separate fields. Wall times on this host swing 5-30x under
-    # neighbor CPU contention; best-of-N is the contention-resistant
-    # throughput bound, the median the honest typical case.
-    variants = [("scan", "knn768")]
-    if os.environ.get("SPARK_GRAFT_BENCH_CODEGEN"):  # JVM expression path
-        variants.append(("codegen", "knn768_codegen"))  # ~6s/200k: opt-in
-    if os.environ.get("SPARK_GRAFT_BENCH_ARROW"):  # opt-in: can run 10+ min
-        variants.append(("arrow", "knn768_arrow"))  # under host contention
     extras: dict[str, float | int] = {}
-    for impl, key in variants:
-        run_knn(impl)  # warm (codegen compile / python workers)
-        ts = sorted(timed(lambda: run_knn(impl)) for _ in range(5))
-        queries[key] = ts[2]
-        extras[f"{key}_best_sec"] = ts[0]
-        extras[f"{key}_rows_per_sec"] = round(N_VEC / ts[0])
-        print(f"  {key}: {ts}", file=sys.stderr)
+
+    try:
+        t0 = time.perf_counter()
+        vecs = synth_vectors(spark, N_VEC, DIM)
+        print(f"  synth_vectors({N_VEC}x{DIM}): {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+        def run_knn(impl):
+            if impl == "scan":
+                return knn_search_parquet(
+                    spark, bench_path, qvec, k=10, vector_col="embedding", select=["id"]
+                ).collect()
+            return knn_search(
+                vecs, qvec, k=10, vector_col="embedding", select=["id"], tiebreak=["id"], impl=impl
+            ).collect()
+
+        # 5 runs: median recorded in queries{}, best + best-run rows/s as
+        # separate fields. Wall times on this host swing 5-30x under
+        # neighbor CPU contention; best-of-N is the contention-resistant
+        # throughput bound, the median the honest typical case.
+        variants = [("scan", "knn768")]
+        if os.environ.get("SPARK_GRAFT_BENCH_CODEGEN"):  # JVM expression path
+            variants.append(("codegen", "knn768_codegen"))  # ~6s/200k: opt-in
+        if os.environ.get("SPARK_GRAFT_BENCH_ARROW"):  # opt-in: can run 10+ min
+            variants.append(("arrow", "knn768_arrow"))  # under host contention
+        for impl, key in variants:
+            run_knn(impl)  # warm (codegen compile / python workers)
+            ts = sorted(timed(lambda: run_knn(impl)) for _ in range(5))
+            queries[key] = ts[2]
+            extras[f"{key}_best_sec"] = ts[0]
+            extras[f"{key}_rows_per_sec"] = round(N_VEC / ts[0])
+            print(f"  {key}: {ts}", file=sys.stderr)
+    except Exception as ex:  # noqa: BLE001
+        errors["knn768"] = f"{type(ex).__name__}: {ex}"[:500]
+        print(f"  knn768: FAILED {errors['knn768'].splitlines()[0]}", file=sys.stderr)
 
     # ANN twin (BASELINE's Annoy row: 8.5x over brute force at 100M
     # rows): a clustered copy of the table (real CLIP embeddings are
@@ -190,74 +201,78 @@ def main() -> None:
     # probe runs the same scan scorer over only the probed partition
     # dirs. ann768_exact is brute force on the SAME table, so
     # ann768_speedup is the BASELINE-ratio analog; recall@10 reported.
-    from laion_spark.operators.similarity import IVFIndex
+    try:
+        from laion_spark.operators.similarity import IVFIndex
 
-    # nprobe=8 is the measured knee: recall@10 stays 0.9 from nprobe=8
-    # through 16 (the one missed neighbor sits in a far cluster — a
-    # property of the quantizer/noise, not probe count)
-    C, NPROBE = 64, 8
-    vecs_c = synth_vectors(spark, N_VEC, DIM, clustered=True)
-    cpath = f"/tmp/laion_bench_{N_VEC}x{DIM}_clustered.parquet"
-    ivf_path = f"/tmp/laion_bench_{N_VEC}x{DIM}_ivf{C}.parquet"
-    cent_path = f"/tmp/laion_bench_{N_VEC}x{DIM}_ivf{C}_centroids.json"
-    idx = IVFIndex(dim=DIM, n_clusters=C, n_iters=2, nprobe=NPROBE)
-    if os.path.exists(cent_path):
-        idx.centroids = json.load(open(cent_path))
-    else:
-        t0 = time.perf_counter()
-        idx.fit(vecs_c, id_col="id", vector_col="embedding", fit_rows=100_000)
-        # ~4 files per cluster: a probe of NPROBE clusters is then one
-        # wave of ~32 tasks (fan-out without per-task overhead bloat)
-        (
-            idx.build(vecs_c, "embedding")
-            .repartition(C * 4, F.col("ivf_cluster"), F.pmod("id", F.lit(4)))
-            .write.mode("overwrite")
-            .partitionBy("ivf_cluster")
-            .parquet(ivf_path)
-        )
-        json.dump(idx.centroids, open(cent_path, "w"))
-        print(f"  ivf build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-    probes = idx.probe_clusters(qvec)
-    probe_dirs = [f"{ivf_path}/ivf_cluster={p}" for p in probes]
+        # nprobe=8 is the measured knee: recall@10 stays 0.9 from nprobe=8
+        # through 16 (the one missed neighbor sits in a far cluster — a
+        # property of the quantizer/noise, not probe count)
+        C, NPROBE = 64, 8
+        vecs_c = synth_vectors(spark, N_VEC, DIM, clustered=True)
+        cpath = f"/tmp/laion_bench_{N_VEC}x{DIM}_clustered.parquet"
+        ivf_path = f"/tmp/laion_bench_{N_VEC}x{DIM}_ivf{C}.parquet"
+        cent_path = f"/tmp/laion_bench_{N_VEC}x{DIM}_ivf{C}_centroids.json"
+        idx = IVFIndex(dim=DIM, n_clusters=C, n_iters=2, nprobe=NPROBE)
+        if os.path.exists(cent_path):
+            idx.centroids = json.load(open(cent_path))
+        else:
+            t0 = time.perf_counter()
+            idx.fit(vecs_c, id_col="id", vector_col="embedding", fit_rows=100_000)
+            # ~4 files per cluster: a probe of NPROBE clusters is then one
+            # wave of ~32 tasks (fan-out without per-task overhead bloat)
+            (
+                idx.build(vecs_c, "embedding")
+                .repartition(C * 4, F.col("ivf_cluster"), F.pmod("id", F.lit(4)))
+                .write.mode("overwrite")
+                .partitionBy("ivf_cluster")
+                .parquet(ivf_path)
+            )
+            json.dump(idx.centroids, open(cent_path, "w"))
+            print(f"  ivf build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        probes = idx.probe_clusters(qvec)
+        probe_dirs = [f"{ivf_path}/ivf_cluster={p}" for p in probes]
 
-    def run_exact_c():
-        return knn_search_parquet(spark, cpath, qvec, k=10, vector_col="embedding", select=["id"]).collect()
+        def run_exact_c():
+            return knn_search_parquet(spark, cpath, qvec, k=10, vector_col="embedding", select=["id"]).collect()
 
-    def run_ann():
-        return knn_search_parquet(
-            spark, probe_dirs, qvec, k=10, vector_col="embedding", select=["id"]
-        ).collect()
+        def run_ann():
+            return knn_search_parquet(
+                spark, probe_dirs, qvec, k=10, vector_col="embedding", select=["id"]
+            ).collect()
 
-    exact_ids = {r.id for r in run_exact_c()}  # warm
-    ets = sorted(timed(run_exact_c) for _ in range(3))
-    queries["ann768_exact"] = ets[1]
-    ann_ids = {r.id for r in run_ann()}  # warm
-    ts = sorted(timed(run_ann) for _ in range(5))
-    queries["ann768"] = ts[2]
-    extras["ann768_best_sec"] = ts[0]
-    extras["ann768_recall_at_10"] = round(len(ann_ids & exact_ids) / 10, 2)
-    extras["ann768_speedup"] = round(ets[1] / ts[2], 2)
-    # the scale-honest signal: a probe reads nprobe/C of the bytes; on a
-    # cluster that fraction IS the speedup (locally the fixed per-job
-    # floor of a few hundred ms compresses the wall-clock ratio)
-    extras["ann768_bytes_fraction"] = round(NPROBE / C, 4)
-    print(f"  ann768: {ts} recall={extras['ann768_recall_at_10']} speedup={extras['ann768_speedup']}", file=sys.stderr)
+        exact_ids = {r.id for r in run_exact_c()}  # warm
+        ets = sorted(timed(run_exact_c) for _ in range(3))
+        queries["ann768_exact"] = ets[1]
+        ann_ids = {r.id for r in run_ann()}  # warm
+        ts = sorted(timed(run_ann) for _ in range(5))
+        queries["ann768"] = ts[2]
+        extras["ann768_best_sec"] = ts[0]
+        extras["ann768_recall_at_10"] = round(len(ann_ids & exact_ids) / 10, 2)
+        extras["ann768_speedup"] = round(ets[1] / ts[2], 2)
+        # the scale-honest signal: a probe reads nprobe/C of the bytes; on a
+        # cluster that fraction IS the speedup (locally the fixed per-job
+        # floor of a few hundred ms compresses the wall-clock ratio)
+        extras["ann768_bytes_fraction"] = round(NPROBE / C, 4)
+        print(f"  ann768: {ts} recall={extras['ann768_recall_at_10']} speedup={extras['ann768_speedup']}", file=sys.stderr)
+    except Exception as ex:  # noqa: BLE001
+        errors["ann768"] = f"{type(ex).__name__}: {ex}"[:500]
+        print(f"  ann768: FAILED {errors['ann768'].splitlines()[0]}", file=sys.stderr)
 
     total = round(sum(queries.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "knn768_rows": N_VEC,
-                "knn768_rows_per_sec_median": round(N_VEC / queries["knn768"]),
-                **extras,  # {impl}_best_sec + {impl}_rows_per_sec (best-of-5)
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "knn768_rows": N_VEC,
+        **extras,  # {impl}_best_sec + {impl}_rows_per_sec (best-of-5)
+    }
+    if "knn768" in queries:
+        out["knn768_rows_per_sec_median"] = round(N_VEC / queries["knn768"])
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

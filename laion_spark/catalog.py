@@ -42,6 +42,7 @@ from laion_spark.functions.vector import (
     vec_lit,
     vec_scale,
 )
+from laion_spark.functions.time import with_event_time
 from laion_spark.session import tune_session
 
 
@@ -798,17 +799,15 @@ def q20_map_functions(spark, sf_dir):
 
 
 # =============================================================================
-# E-class: event/time-series surface (events.parquet stores TIMESTAMP(NANOS);
-# Spark reads it as bigint nanos via nanosAsLong — ``ev()`` normalizes to
-# epoch micros, which is exactly DuckDB's ``epoch_us(ts)``)
+# E-class: event/time-series surface. ``ev()`` normalizes events.ts to
+# canonical epoch micros (= DuckDB's ``epoch_us(ts)``) via the
+# dtype-aware helper — events.parquet has shipped both as
+# TIMESTAMP(MICROS) and as nanos-as-bigint; never assume one.
 # =============================================================================
 
 
 def ev(spark, sf_dir) -> DataFrame:
-    e = t(spark, sf_dir, "events")
-    return e.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
-        "ts_t", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    return with_event_time(t(spark, sf_dir, "events"))
 
 
 _SESSION_GAP_US = 30 * 60 * 1_000_000
@@ -1221,25 +1220,24 @@ def v08_knn_join(spark, sf_dir):
     oracle="""
     WITH ex AS (
       SELECT label,
-             generate_subscripts(embedding, 1) AS pos,
+             generate_subscripts(embedding, 1) - 1 AS pos,
              CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS qv
       FROM embeddings
-    ), per AS (
-      SELECT label, pos, sum(qv) AS s, count(*) AS n
-      FROM ex GROUP BY label, pos
     )
-    SELECT label, any_value(n) AS n,
-           list(round(s / (n * 1000000.0), 6) ORDER BY pos) AS centroid
-    FROM per GROUP BY label ORDER BY label
+    SELECT label, count(*) AS n, pos,
+           round(sum(qv) / (count(*) * 1000000.0), 6) AS value
+    FROM ex GROUP BY label, pos ORDER BY label, pos
     """,
-    note="U4 grouped custom aggregate: per-label embedding centroid via "
-    "applyInPandas (exact int64 vector sum inside the UDF; quantize and "
-    "divide in Catalyst so both engines round identically)",
+    note="U4 grouped custom aggregate: per-label embedding centroid, "
+    "exploded to scalar (label, n, pos, value) rows — algebraic "
+    "(map-side combine) form; exact int64 sums so both engines round "
+    "identically. The applyInPandas U4 surface (grouped_centroid) is "
+    "parity-tested against this in tests/test_grouped.py",
 )
 def v09_label_centroids(spark, sf_dir):
-    from laion_spark.operators.grouped import grouped_centroid
+    from laion_spark.operators.grouped import centroids_exploded
 
-    return grouped_centroid(t(spark, sf_dir, "embeddings"), "label", "embedding")
+    return centroids_exploded(t(spark, sf_dir, "embeddings"), "label", "embedding")
 
 
 @query(

@@ -25,6 +25,15 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
+#: default per-user event-buffer cap for the fold-based sequence ops.
+#: The fold STATE is O(steps), but ``collect_list`` buffers all of a
+#: user's step events in one task — at 100 TB a single bot user with
+#: tens of millions of events would otherwise blow an executor. 100k
+#: events is ~1.6 MB of (t, step) structs: far beyond any organic user,
+#: small enough to be safe. Pass ``max_events_per_user=None`` to
+#: disable (exact unbounded semantics).
+DEFAULT_MAX_EVENTS_PER_USER = 100_000
+
 
 def window_funnel(
     df: DataFrame,
@@ -34,7 +43,7 @@ def window_funnel(
     time_col: str = "ts_us",
     type_col: str = "event_type",
     mode: str | None = None,
-    max_events_per_user: int | None = None,
+    max_events_per_user: int | None = DEFAULT_MAX_EVENTS_PER_USER,
 ) -> DataFrame:
     """Max funnel level reached per user: the deepest ``k`` such that
     events matching ``steps[0..k-1]`` occur in strictly increasing time
@@ -83,11 +92,14 @@ def window_funnel(
     ``max_events_per_user`` bounds the per-user event buffer (the fold
     STATE is O(steps), but ``collect_list`` materializes all of a
     user's step events — ClickHouse's windowFunnel has the same O(n)
-    buffer). When set, only each user's EARLIEST ``max_events_per_user``
-    events (by (t, step) order, via a pre-shuffle ``row_number``) enter
-    the fold, so one pathological user cannot blow an executor at
-    100 TB; events past the cap are ignored, which can only lower the
-    reported level. Adds one window shuffle on the same key.
+    buffer). Defaults ON (``DEFAULT_MAX_EVENTS_PER_USER`` = 100k): only
+    each user's EARLIEST ``max_events_per_user`` events (by (t, step)
+    order, via a ``row_number`` window) enter the fold, so one
+    pathological user cannot blow an executor at 100 TB; events past
+    the cap are ignored, which can only lower the reported level. The
+    window partitions on the same key as the fold's groupBy, so
+    EnsureRequirements plans ONE Exchange for both (pinned in
+    tests/test_plans.py). Pass ``None`` for unbounded exact semantics.
 
     Returns (user_col, level int).
     """
@@ -223,6 +235,7 @@ def sequence_count(
     user_col: str = "user_id",
     time_col: str = "ts_us",
     type_col: str = "event_type",
+    max_events_per_user: int | None = DEFAULT_MAX_EVENTS_PER_USER,
 ) -> DataFrame:
     """ClickHouse ``sequenceCount('(?1).*(?2)...')`` parity: the number
     of NON-OVERLAPPING complete step chains per user, scanning events in
@@ -233,7 +246,8 @@ def sequence_count(
     Same single-shuffle shape as ``window_funnel``: one fold, state is
     (current level, last matched time, count) — O(1) per user. A step
     advances only on a strictly later timestamp than the previously
-    matched step, mirroring ``sequence_match``.
+    matched step, mirroring ``sequence_match``. Same default
+    ``max_events_per_user`` buffer cap as ``window_funnel``.
 
     Returns (user_col, n_matches int).
     """
@@ -249,6 +263,11 @@ def sequence_count(
         F.col(time_col).cast("long").alias("t"),
         step_code.alias("step"),
     ).filter(F.col("step").isNotNull())
+    if max_events_per_user is not None:
+        rn = F.row_number().over(W.partitionBy(user_col).orderBy("t", "step"))
+        ev = ev.withColumn("_rn", rn).filter(
+            F.col("_rn") <= max_events_per_user
+        ).drop("_rn")
 
     per_user = ev.groupBy(user_col).agg(
         F.sort_array(F.collect_list(F.struct("t", "step"))).alias("evs")

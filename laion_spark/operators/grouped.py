@@ -133,6 +133,31 @@ def centroids_algebraic(
     return rows.select(group_col, "n", cent.alias(out_col)).orderBy(group_col)
 
 
+def centroids_exploded(
+    df: DataFrame,
+    group_col: str = "label",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """``centroids_algebraic`` flattened to ``(group, n, pos, value)``
+    rows — one row per centroid element, 0-based ``pos``.
+
+    This is the catalog/driver surface for U4: scalar columns only
+    (array outputs break hash-canonicalizers that sort result frames),
+    and the plan is a single (group, pos) hash aggregate with map-side
+    combine — no full-group shuffle, no per-group array materialization.
+    At 100 TB this is the form to use."""
+    ex = _quantized(df, group_col, vector_col).select(
+        group_col, F.posexplode("_q").alias("pos", "v")
+    )
+    per = ex.groupBy(group_col, "pos").agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+    return per.select(
+        group_col,
+        "n",
+        "pos",
+        F.round(F.col("s") / (F.col("n") * F.lit(float(_SCALE))), 6).alias("value"),
+    ).orderBy(group_col, "pos")
+
+
 def weighted_quantile(
     df,
     keys,

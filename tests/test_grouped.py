@@ -4,6 +4,7 @@ algebraic (partial-aggregating) twin and vs the DuckDB oracle."""
 from laion_spark.operators.grouped import (
     centroid_grouped_agg,
     centroids_algebraic,
+    centroids_exploded,
     grouped_centroid,
 )
 
@@ -17,6 +18,19 @@ def test_centroid_impls_agree(spark, sf_dir):
     assert [(r.label, r.n, r.centroid) for r in a] == [(r.label, r.n, r.centroid) for r in c]
     assert len(a) > 1
     assert all(len(r.centroid) == 64 for r in a)
+
+
+def test_centroid_exploded_matches_applyinpandas(spark, sf_dir):
+    """The catalog's scalar (label, n, pos, value) surface must carry
+    exactly the applyInPandas centroid's values — same quantization,
+    same rounding."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    arrays = {r.label: (r.n, r.centroid) for r in grouped_centroid(emb, "label", "embedding").collect()}
+    flat = centroids_exploded(emb, "label", "embedding").collect()
+    assert len(flat) == sum(len(c) for _n, c in arrays.values())
+    for r in flat:
+        n, cent = arrays[r.label]
+        assert r.n == n and r.value == cent[r.pos]
 
 
 def test_centroid_partitioning_invariant(spark, sf_dir):

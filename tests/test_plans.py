@@ -10,6 +10,7 @@ not a 100x cloud bill.
 import pytest
 from pyspark.sql import functions as F
 
+from laion_spark.functions.time import ts_us_col
 from laion_spark.operators.knn import knn_search
 
 QVEC64 = [round(((j * 37) % 19 - 9) / 10.0, 1) for j in range(64)]
@@ -223,14 +224,16 @@ def test_funnel_is_single_shuffle(spark, sf_dir):
     automaton left Catalyst."""
     from laion_spark.operators.funnel import window_funnel
 
-    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id", F.expr("ts div 1000").alias("ts_us"), "event_type"
-    )
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = e.select("user_id", ts_us_col(e).alias("ts_us"), "event_type")
     df = window_funnel(e, ["view", "click", "purchase"], 3_600_000_000)
     p = plan_str(df, "simple")
     assert p.count("Exchange") == 1, p
     assert "hashpartitioning(user_id" in p, p
     assert "Python" not in p and "ArrowEval" not in p, p  # fold stays JVM-side
+    # the default per-user buffer cap rides the SAME exchange: its
+    # row_number window must be in the plan without a second shuffle
+    assert "row_number" in p, p
 
 
 def test_topk_approx_shuffles_counters_only(spark, sf_dir):
@@ -326,9 +329,8 @@ def test_funnel_strict_mode_stays_single_shuffle(spark, sf_dir):
     it must not add a shuffle or leave Catalyst."""
     from laion_spark.operators.funnel import window_funnel
 
-    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id", F.expr("ts div 1000").alias("ts_us"), "event_type"
-    )
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = e.select("user_id", ts_us_col(e).alias("ts_us"), "event_type")
     for mode in ("strict_order", "strict_dedup"):
         df = window_funnel(
             e, ["view", "click", "purchase"], 3_600_000_000, mode=mode
@@ -343,9 +345,8 @@ def test_replacing_final_single_shuffle(spark, sf_dir):
     WindowGroupLimit-eligible row_number — no agg-then-join double pass."""
     from laion_spark.operators.mergetree import replacing_final
 
-    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
-        "user_id", "event_type", F.expr("ts div 1000").alias("ts_us"), "event_id"
-    )
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = e.select("user_id", "event_type", ts_us_col(e).alias("ts_us"), "event_id")
     df = replacing_final(e, ["user_id", "event_type"], "ts_us", ["event_id"])
     p = plan_str(df, "simple")
     assert p.count("Exchange") == 1, p
@@ -358,10 +359,11 @@ def test_collapsing_final_single_shuffle(spark, sf_dir):
     pass over one Exchange — a self-join shape would show two."""
     from laion_spark.operators.mergetree import collapsing_final
 
-    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = e.select(
         "user_id",
         "event_type",
-        F.expr("ts div 1000").alias("ts_us"),
+        ts_us_col(e).alias("ts_us"),
         F.when(F.col("event_id") % 4 == 0, F.lit(-1)).otherwise(1).alias("sign"),
     )
     df = collapsing_final(e, ["user_id", "event_type"], "sign", "ts_us")
@@ -376,7 +378,7 @@ def test_ema_reuses_window_partitioning(spark, sf_dir):
     from laion_spark.catalog import _E16_SQL
 
     spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts_us", F.expr("ts div 1000")
+        "ts_us", ts_us_col(spark.read.parquet(f"{sf_dir}/events.parquet"))
     ).createOrReplaceTempView("plans_e16_events")
     sql = _E16_SQL.format(tbl="plans_e16_events", ts_us="ts_us")
     df = spark.sql(sql.replace("ORDER BY user_id", ""))

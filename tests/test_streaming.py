@@ -5,6 +5,7 @@ computation of the identical window spec."""
 import pytest
 from pyspark.sql import functions as F
 
+from laion_spark.functions.time import with_event_time
 from laion_spark.streaming.windows import (
     replay_as_stream,
     run_to_completion,
@@ -22,7 +23,7 @@ def events_batch(spark):
 
     tune_session(spark)
     df = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    return df.withColumn("ts_t", F.timestamp_micros(F.expr("ts div 1000")))
+    return with_event_time(df)
 
 
 @pytest.fixture()
