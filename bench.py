@@ -23,6 +23,18 @@ runs in ``queries`` plus the BEST run and best-run rows/s as separate
 fields: this host shows 5-30x wall-clock swings under neighbor CPU
 contention, and a median alone can neither prove nor disprove the 2x
 contract — the best-of-N is the contention-resistant throughput bound.
+
+Storage-variant context (BASELINE.md): the reference's OWN bfloat16
+table ran ~8x SLOWER than its float32 scan (16.995 s vs 2.088 s at
+100M rows) — half-width storage trades scan bytes for decode cost
+there too, so ``knn768_f16`` being slower than ``knn768`` at a 0.47
+bytes fraction mirrors the reference's published behavior (parquet
+stores FLOAT16 as FIXED_LEN_BYTE_ARRAY(2), which decodes slower than
+PLAIN float32). Likewise the headline "8.5x ANN" ratio compares Annoy
+against that slow bfloat16 brute force; against the reference's fast
+float32 100M scan the same Annoy run is 1.04x (2.006 s vs 2.088 s).
+``ann768_speedup`` here compares ANN to brute force on the SAME table
+— the strictest version of the comparison.
 """
 
 from __future__ import annotations
@@ -41,6 +53,13 @@ from laion_spark.session import get_session
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_VEC = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "1000000"))
+#: ANN section row count — larger than N_VEC on purpose: at 1M rows the
+#: local per-job floor (~0.5 s of scheduling/dispatch) swamps the probe's
+#: saved decode time and the measured speedup collapses toward 1x even
+#: though the probe reads 1/8 of the bytes. At 4M rows (12 GB) decode
+#: dominates both sides and the wall-clock ratio approaches the bytes
+#: ratio — the regime the reference's 100M-row Annoy numbers live in.
+N_ANN = int(os.environ.get("SPARK_GRAFT_BENCH_ANN_ROWS", "4000000"))
 DIM = 768
 
 #: catalog queries worth timing (one per operator family)
@@ -201,58 +220,122 @@ def main() -> None:
     # probe runs the same scan scorer over only the probed partition
     # dirs. ann768_exact is brute force on the SAME table, so
     # ann768_speedup is the BASELINE-ratio analog; recall@10 reported.
+    # V10 half-width storage twin (the reference's bfloat16 table row):
+    # same 1M x 768 data with the vector column stored as FLOAT16 —
+    # half the scan bytes; only the Arrow scan path can read it (Spark's
+    # JVM reader rejects FLOAT16 parquet).
+    try:
+        from laion_spark.sources.halfvec import write_half_table
+
+        half_path = f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet"
+        if not os.path.exists(f"{half_path}/_DONE"):
+            t0 = time.perf_counter()
+            write_half_table(spark, bench_path, half_path, vector_cols=("embedding",)).collect()
+            open(f"{half_path}/_DONE", "w").close()
+            print(f"  f16 rewrite: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+        def run_f16():
+            return knn_search_parquet(
+                spark, half_path, qvec, k=10, vector_col="embedding", select=["id"]
+            ).collect()
+
+        run_f16()  # warm
+        ts = sorted(timed(run_f16) for _ in range(5))
+        queries["knn768_f16"] = ts[2]
+        extras["knn768_f16_best_sec"] = ts[0]
+        extras["knn768_f16_rows_per_sec"] = round(N_VEC / ts[0])
+
+        def du(p):
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _d, fl in os.walk(p)
+                for f in fl
+            )
+
+        extras["knn768_f16_bytes_fraction"] = round(du(half_path) / du(bench_path), 4)
+        print(f"  knn768_f16: {ts} bytes_frac={extras['knn768_f16_bytes_fraction']}", file=sys.stderr)
+    except Exception as ex:  # noqa: BLE001
+        errors["knn768_f16"] = f"{type(ex).__name__}: {ex}"[:500]
+        print(f"  knn768_f16: FAILED {errors['knn768_f16'].splitlines()[0]}", file=sys.stderr)
+
     try:
         from laion_spark.operators.similarity import IVFIndex
 
-        # nprobe=8 is the measured knee: recall@10 stays 0.9 from nprobe=8
-        # through 16 (the one missed neighbor sits in a far cluster — a
-        # property of the quantizer/noise, not probe count)
-        C, NPROBE = 64, 8
-        vecs_c = synth_vectors(spark, N_VEC, DIM, clustered=True)
-        cpath = f"/tmp/laion_bench_{N_VEC}x{DIM}_clustered.parquet"
-        ivf_path = f"/tmp/laion_bench_{N_VEC}x{DIM}_ivf{C}.parquet"
-        cent_path = f"/tmp/laion_bench_{N_VEC}x{DIM}_ivf{C}_centroids.json"
-        idx = IVFIndex(dim=DIM, n_clusters=C, n_iters=2, nprobe=NPROBE)
+        # C=256 matches the fixture's 256-center generative structure;
+        # with IN-DISTRIBUTION queries (below) recall@10 is 1.0 at
+        # nprobe=8 reading ~10% of the bytes (measured — cluster sizes
+        # are skewed, so the nominal 8/256 understates it). 32 MB row
+        # groups are the probe's parallelism grain: the scan scorer
+        # splits per (file, row_group), and the default ~128 MB groups
+        # left a 0.75 s straggler task per probe (measured 1.8 s ->
+        # 1.1 s probe from this one knob).
+        C, NPROBE = 256, 8
+        vecs_c = synth_vectors(spark, N_ANN, DIM, clustered=True)
+        cpath = f"/tmp/laion_bench_{N_ANN}x{DIM}_clustered.parquet"
+        ivf_path = f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf{C}.parquet"
+        cent_path = f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf{C}_centroids.json"
+        idx = IVFIndex(dim=DIM, n_clusters=C, n_iters=4, nprobe=NPROBE)
         if os.path.exists(cent_path):
             idx.centroids = json.load(open(cent_path))
         else:
             t0 = time.perf_counter()
-            idx.fit(vecs_c, id_col="id", vector_col="embedding", fit_rows=100_000)
-            # ~4 files per cluster: a probe of NPROBE clusters is then one
-            # wave of ~32 tasks (fan-out without per-task overhead bloat)
-            (
-                idx.build(vecs_c, "embedding")
-                .repartition(C * 4, F.col("ivf_cluster"), F.pmod("id", F.lit(4)))
-                .write.mode("overwrite")
-                .partitionBy("ivf_cluster")
-                .parquet(ivf_path)
-            )
+            idx.fit(vecs_c, id_col="id", vector_col="embedding", fit_rows=200_000)
+            idx.write_index(vecs_c, ivf_path, "embedding")
             json.dump(idx.centroids, open(cent_path, "w"))
             print(f"  ivf build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-        probes = idx.probe_clusters(qvec)
-        probe_dirs = [f"{ivf_path}/ivf_cluster={p}" for p in probes]
 
-        def run_exact_c():
-            return knn_search_parquet(spark, cpath, qvec, k=10, vector_col="embedding", select=["id"]).collect()
+        # IN-DISTRIBUTION queries: the ANN use case is "find items
+        # similar to THIS item" — the reference queries a CLIP table
+        # with CLIP embeddings of real images, i.e. vectors from the
+        # same distribution as the corpus. A fixed synthetic pattern
+        # vector is out-of-distribution: its true top-k are
+        # lucky-noise points scattered uniformly over clusters, so
+        # measured recall collapses as N grows (0.9 at 1M -> 0.3 at
+        # 4M) while saying nothing about the index. Query with corpus
+        # rows (fixed ids, seeded generation => deterministic).
+        q_ids = [123457, 777777, N_ANN - 333]
+        q_rows = {r.id: [float(x) for x in r.embedding]
+                  for r in vecs_c.filter(F.col("id").isin(q_ids)).collect()}
+        aq = q_rows[q_ids[0]]
 
-        def run_ann():
-            return knn_search_parquet(
-                spark, probe_dirs, qvec, k=10, vector_col="embedding", select=["id"]
-            ).collect()
+        def exact_with(v):
+            return knn_search_parquet(spark, cpath, v, k=10, vector_col="embedding", select=["id"]).collect()
 
-        exact_ids = {r.id for r in run_exact_c()}  # warm
-        ets = sorted(timed(run_exact_c) for _ in range(3))
+        def ann_with(v):
+            dirs = idx.probe_dirs(ivf_path, v)
+            return knn_search_parquet(spark, dirs, v, k=10, vector_col="embedding", select=["id"]).collect()
+
+        # recall averaged over the 3 queries (each run once)
+        hits = total_k = 0
+        for qid in q_ids:
+            v = q_rows[qid]
+            e_ids = {r.id for r in exact_with(v)}
+            a_ids = {r.id for r in ann_with(v)}
+            hits += len(e_ids & a_ids)
+            total_k += 10
+        extras["ann768_recall_at_10"] = round(hits / total_k, 2)
+
+        # timing on the first query (everything warm from the recall pass)
+        ets = sorted(timed(lambda: exact_with(aq)) for _ in range(3))
         queries["ann768_exact"] = ets[1]
-        ann_ids = {r.id for r in run_ann()}  # warm
-        ts = sorted(timed(run_ann) for _ in range(5))
+        ts = sorted(timed(lambda: ann_with(aq)) for _ in range(5))
         queries["ann768"] = ts[2]
         extras["ann768_best_sec"] = ts[0]
-        extras["ann768_recall_at_10"] = round(len(ann_ids & exact_ids) / 10, 2)
         extras["ann768_speedup"] = round(ets[1] / ts[2], 2)
-        # the scale-honest signal: a probe reads nprobe/C of the bytes; on a
-        # cluster that fraction IS the speedup (locally the fixed per-job
-        # floor of a few hundred ms compresses the wall-clock ratio)
-        extras["ann768_bytes_fraction"] = round(NPROBE / C, 4)
+        # the scale-honest signal: the fraction of table bytes a probe
+        # actually reads (MEASURED over the probed partition dirs —
+        # cluster sizes are skewed, so nominal nprobe/C would flatter
+        # it). On a cluster this fraction bounds the speedup.
+        def du(p):
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _d, fl in os.walk(p)
+                for f in fl
+            )
+
+        probed = sum(du(f"{ivf_path}/ivf_cluster={p}") for p in idx.probe_clusters(aq)
+                     if os.path.isdir(f"{ivf_path}/ivf_cluster={p}"))
+        extras["ann768_bytes_fraction"] = round(probed / du(ivf_path), 4)
         print(f"  ann768: {ts} recall={extras['ann768_recall_at_10']} speedup={extras['ann768_speedup']}", file=sys.stderr)
     except Exception as ex:  # noqa: BLE001
         errors["ann768"] = f"{type(ex).__name__}: {ex}"[:500]
@@ -266,6 +349,7 @@ def main() -> None:
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "knn768_rows": N_VEC,
+        "ann768_rows": N_ANN,
         **extras,  # {impl}_best_sec + {impl}_rows_per_sec (best-of-5)
     }
     if "knn768" in queries:

@@ -27,6 +27,7 @@ Cross-engine determinism rules used throughout (SURVEY.md §5.2):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -3933,3 +3934,42 @@ def q58_topk_weighted(spark, sf_dir):
         "w", F.floor(F.col("value")).cast("long")
     )
     return topk_approx(e, "event_type", k=3, weight_col="w")
+
+
+# =============================================================================
+# S6: managed-table sink — catalog round-trip (reference search.py:165
+# addresses tables by NAME; this proves write-by-name -> query-by-name)
+# =============================================================================
+
+
+@query(
+    "q59_managed_table_roundtrip",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           sum(CAST(length(text) AS BIGINT)) AS total_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    note="S6 managed-table sink round-trip: documents saved via "
+    "save_as_table (external parquet table, named in the session "
+    "catalog), then aggregated through spark.table() — the oracle runs "
+    "on the original parquet, so a mismatch means the sink lost or "
+    "mangled rows",
+)
+def q59_managed_table_roundtrip(spark, sf_dir):
+    import tempfile
+
+    from laion_spark.sources.npy import save_as_table
+
+    d = t(spark, sf_dir, "documents")
+    tbl = "laion_s6_documents"
+    path = os.path.join(tempfile.gettempdir(), f"laion_s6_documents_{os.getpid()}")
+    save_as_table(d, tbl, path=path)
+    return (
+        spark.table(tbl)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text").cast("long")).alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

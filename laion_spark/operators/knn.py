@@ -355,6 +355,95 @@ def _resolve_fs(files: list[str]):
     return fs, paths, True
 
 
+def _arrow_to_ddl(t) -> str:
+    """Arrow type -> Spark DDL string for the scan-scorer's output
+    schema. float16 maps to ``float`` (Spark has no half type; the
+    scorer upcasts the Arrow column before handing rows to the JVM)."""
+    import pyarrow as pa
+
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"array<{_arrow_to_ddl(t.value_type)}>"
+    if pa.types.is_float16(t) or pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_int8(t):
+        return "tinyint"
+    if pa.types.is_int16(t):
+        return "smallint"
+    if pa.types.is_int32(t):
+        return "int"
+    if pa.types.is_integer(t):  # int64 + unsigned widths
+        return "bigint"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp_ntz" if t.tz is None else "timestamp"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    raise ValueError(f"unsupported Arrow type for scan-scorer output: {t}")
+
+
+def _list_parquet_files(paths: Sequence[str]):
+    """Resolve dirs/files/URIs to (pyarrow FileSystem, sorted parquet
+    file paths, is_remote) WITHOUT a Spark job: local listing is a
+    filesystem walk; remote (s3/gs/hdfs/abfs) goes through
+    ``pyarrow.fs``. Replaces a ``spark.read.parquet`` round-trip that
+    cost a driver-side Hadoop listing + schema-merge job per call —
+    pure fixed overhead on the ANN probe path, and the JVM reader
+    additionally cannot open FLOAT16 parquet at all (the half-width
+    storage variant only the Arrow path serves)."""
+    from pyarrow.fs import FileSelector, FileType, LocalFileSystem
+
+    def strip_local(f: str) -> str:
+        return f[7:] if f.startswith("file:///") else f[5:] if f.startswith("file:") else f
+
+    remote = any("://" in p and not p.startswith("file:") for p in paths)
+    if not remote:
+        fs, roots = LocalFileSystem(), [strip_local(p) for p in paths]
+    else:
+        def norm(f: str) -> str:
+            for hadoop, arrow in (("s3a://", "s3://"), ("s3n://", "s3://")):
+                if f.startswith(hadoop):
+                    return arrow + f[len(hadoop):]
+            return f
+
+        normed = [norm(p) for p in paths]
+        fs, p0 = _fs_from_uri(normed[0])
+        prefix = normed[0][: len(normed[0]) - len(p0)]
+        roots = []
+        for f in normed:
+            if not f.startswith(prefix):
+                raise ValueError(
+                    f"mixed filesystems in one table: {f!r} does not share prefix {prefix!r}"
+                )
+            roots.append(f[len(prefix):])
+    files: list[str] = []
+    missing: list[str] = []
+    for root in roots:
+        info = fs.get_file_info(root)
+        if info.type == FileType.File:
+            files.append(root)
+        elif info.type == FileType.Directory:
+            for fi in fs.get_file_info(FileSelector(root, recursive=True)):
+                if fi.type == FileType.File and fi.base_name.endswith(".parquet"):
+                    files.append(fi.path)
+        else:
+            # an ANN probe may legitimately name a partition dir that
+            # was never written (empty cluster) — skip it; only an
+            # entirely empty resolution is an error
+            missing.append(root)
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {list(paths)} (missing: {missing})")
+    return fs, sorted(files), remote
+
+
 def knn_search_parquet(
     spark,
     path: str | Sequence[str],
@@ -418,17 +507,13 @@ def knn_search_parquet(
 
     _ship_package(spark)  # worker closures unpickle laion_spark by module ref
     paths = [path] if isinstance(path, str) else list(path)
-    base = spark.read.parquet(*paths)
-    files = sorted(base.inputFiles())
-    if not files:
-        raise ValueError(f"no parquet files under {paths}")
+    fs, files, remote = _list_parquet_files(paths)
 
-    fs, files, remote = _resolve_fs(files)
-
-    # partition columns (Hive dirs) exist in base.columns but not in the
-    # physical files — the worker-side reader can only produce physical
-    # columns. Prune them from a default select; reject an explicit one.
-    phys = set(pq.ParquetFile(fs.open_input_file(files[0])).schema_arrow.names)
+    # partition columns (Hive dirs) are not in the physical files — the
+    # worker-side reader can only produce physical columns; reject an
+    # explicit select of one.
+    arrow_schema = pq.ParquetFile(fs.open_input_file(files[0])).schema_arrow
+    phys = set(arrow_schema.names)
     if vector_col not in phys:
         raise ValueError(f"vector column {vector_col!r} not in parquet files ({sorted(phys)})")
     if select is not None:
@@ -441,7 +526,7 @@ def knn_search_parquet(
             )
         cols = list(select)
     else:
-        cols = [c for c in base.columns if c != vector_col and c in phys]
+        cols = [c for c in arrow_schema.names if c != vector_col]
 
     # Bound the driver-side serial footer enumeration: row-group splits
     # only matter when files are few and huge; with many files, one task
@@ -458,8 +543,16 @@ def knn_search_parquet(
         tasks = [(f, -1) for f in files]  # -1 = whole file
 
     qvec = [float(x) for x in query_vec]
-    out_fields = [base.schema[c] for c in cols]
-    out_schema = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
+    import pyarrow as pa
+
+    #: select columns needing an Arrow-side upcast before rows reach the
+    #: JVM (Spark cannot represent float16)
+    half_cols = {
+        c for c in cols if pa.types.is_float16(arrow_schema.field(c).type)
+    }
+    out_schema = ", ".join(
+        f"`{c}` {_arrow_to_ddl(arrow_schema.field(c).type)}" for c in cols
+    )
     out_schema = (out_schema + ", " if out_schema else "") + "_raw double"
     read_cols = list(cols) + ([vector_col] if vector_col not in cols else [])
     kk = k
@@ -565,17 +658,27 @@ def knn_search_parquet(
                     pa.concat_arrays([ch.combine_chunks() if isinstance(ch, pa.ChunkedArray) else ch for ch in chunks]).take(keep)
                     for chunks in cand_cols
                 ]
+                # float16 storage columns upcast before rows reach the
+                # JVM (Spark has no half type)
+                arrays = [
+                    a.cast(pa.float32()) if c in half_cols else a
+                    for c, a in zip(cols, arrays)
+                ]
                 arrays.append(pa.array(s[keep.to_numpy()], type=pa.float64()))
                 yield pa.RecordBatch.from_arrays(arrays, list(cols) + ["_raw"])
 
-    # parallelize slices the task list driver-side — no Exchange to
-    # distribute it (a createDataFrame().repartition() would add a
-    # whole shuffle stage for a list of file names). One wave of
-    # defaultParallelism partitions; each reads its splits sequentially.
+    # Task table as a JVM-side LocalRelation + explicit repartition(N):
+    # the shuffle moves only (path, row_group) strings — trivial — while
+    # an RDD-backed task table (sc.parallelize) would re-run a second
+    # Python runner per execution just to deserialize the pickled rows
+    # (measured: ~0.2 s extra per query, pure fixed floor on the ANN
+    # probe path). The explicit N is deliberate: AQE never coalesces a
+    # user-specified repartition(N), so the scan's one-wave parallelism
+    # survives the tiny shuffle.
     n_parts = n_partitions or min(len(tasks), spark.sparkContext.defaultParallelism)
-    task_df = spark.createDataFrame(
-        spark.sparkContext.parallelize(tasks, n_parts), "path string, row_group int"
-    )
+    task_df = spark.createDataFrame(tasks, "path string, row_group int")
+    if n_parts > 1:
+        task_df = task_df.repartition(n_parts)
     partial = task_df.mapInArrow(score_split, out_schema)
     if metric == "cosine":
         # zero-norm vectors score NaN, and NaN sorts ABOVE every double

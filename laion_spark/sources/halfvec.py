@@ -1,0 +1,76 @@
+"""V10 half-width vector storage (the reference's bfloat16 table run,
+images/results_ridgeback_bfloat16.png / BASELINE.md row 3, re-expressed
+for parquet).
+
+Parquet has no bfloat16; its native half-width float is FLOAT16, which
+carries the same storage/bandwidth trade (half the bytes per element,
+~3 decimal digits of mantissa). Spark's JVM reader cannot open FLOAT16
+parquet at all ([PARQUET_TYPE_ILLEGAL]) — but this engine's scan-side
+scorer (``knn_search_parquet``) reads splits with pyarrow, which
+decodes halffloat natively and upcasts to float32 in numpy, so the
+half-width table is a drop-in for vector search: half the scan bytes,
+identical query surface.
+
+The rewrite itself is distributed scan-side too: one task per source
+file, each decoding with pyarrow, casting the vector columns, and
+writing its output file directly — the wide columns never touch the
+JVM, and at 100 TB the rewrite parallelizes file-wise with no shuffle.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_half_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    vector_cols: Sequence[str] = ("embedding",),
+    compression: str = "snappy",
+) -> DataFrame:
+    """Rewrite a parquet table with ``vector_cols`` narrowed from
+    list<float/double> to list<float16> (half the vector bytes).
+
+    Local filesystems only (the bench/fixture path); the read side
+    (``knn_search_parquet``) also handles remote stores. Returns a
+    DataFrame of (path, rows) — one row per written file.
+    """
+    from laion_spark.operators.knn import _list_parquet_files
+    from laion_spark.session import _ship_package
+
+    _ship_package(spark)
+    fs, files, remote = _list_parquet_files([src_path])
+    if remote:
+        raise NotImplementedError("write_half_table targets local paths (fixture/bench use)")
+    os.makedirs(dst_path, exist_ok=True)
+    tasks = [
+        (f, os.path.join(dst_path, f"part-{i:05d}.parquet")) for i, f in enumerate(files)
+    ]
+    vcols = list(vector_cols)
+
+    def conv(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for rb in batches:
+            for src, dst in zip(rb.column(0).to_pylist(), rb.column(1).to_pylist()):
+                t = pq.read_table(src)
+                for c in vcols:
+                    i = t.schema.get_field_index(c)
+                    half = t.column(c).cast(pa.list_(pa.float16()))
+                    t = t.set_column(i, c, half)
+                pq.write_table(t, dst, compression=compression)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([dst]), pa.array([t.num_rows], type=pa.int64())],
+                    ["path", "rows"],
+                )
+
+    n = len(tasks)
+    jobs = spark.createDataFrame(tasks, "src string, dst string")
+    if n > 1:
+        jobs = jobs.repartition(min(n, spark.sparkContext.defaultParallelism))
+    return jobs.mapInArrow(conv, "path string, rows long")

@@ -147,6 +147,41 @@ def write_fact_table(df: DataFrame, path: str, compression: str = "zstd") -> Non
     df.write.mode("overwrite").option("compression", compression).parquet(path)
 
 
+def save_as_table(
+    df: DataFrame,
+    table: str,
+    path: str | None = None,
+    bucket_by: str | None = None,
+    n_buckets: int = 32,
+    partition_by: str | list[str] | None = None,
+    compression: str = "zstd",
+) -> None:
+    """S6: managed-table sink — register the fact table in the session
+    catalog so queries address it by NAME (``spark.table``/SQL), the
+    way the reference's users address ``laion_10m``/``laion_100m``
+    (search.py:165 ``--table``) rather than file paths.
+
+    ``path`` makes it an EXTERNAL table at that location (no dependence
+    on ``spark.sql.warehouse.dir``, which is fixed at session start).
+    ``bucket_by`` pre-shuffles on the given key at WRITE time
+    (``bucketBy(n_buckets) + sortBy``): every later equi-join or
+    aggregation on that key then plans with zero Exchange — at 100 TB
+    the ingest pays the one shuffle all queries would otherwise repeat
+    (co-located-join plan pinned in tests/test_plans.py).
+    ``partition_by`` adds Hive-style directory partitioning for
+    partition-pruned scans (the IVF layout uses the same mechanism).
+    """
+    w = df.write.mode("overwrite").format("parquet").option("compression", compression)
+    if path is not None:
+        w = w.option("path", path)
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        w = w.partitionBy(*cols)
+    if bucket_by is not None:
+        w = w.bucketBy(n_buckets, bucket_by).sortBy(bucket_by)
+    w.saveAsTable(table)
+
+
 def shard_report(spark: SparkSession, input_dir: str, dim: int = 768) -> DataFrame:
     """Per-shard error ledger (X3, process.py:87-92, 119-121): runs the
     same per-shard pipeline under try/except, one result row per shard
