@@ -63,27 +63,38 @@ _SENTINELS = [
     "t01_token_stats",
 ]
 
-#: driver-verified in rounds 1-3 (the first 50 of the old ordering) —
-#: everything NOT here jumps the queue
-_DRIVER_VERIFIED_R123 = {
-    *(f"v{i:02d}" for i in range(1, 10)),
-    *(f"q{i:02d}" for i in range(1, 25)),
-    *(f"e{i:02d}" for i in range(1, 5)),
-    *(f"t{i:02d}" for i in range(1, 6)),
-    *(f"d{i:02d}" for i in range(1, 6)),
-    "a01",
-    "s01",
-    "m01",
-}
+def _driver_verified() -> set[str]:
+    """Names with a passing driver CORRECTNESS row in ANY past round —
+    read from the driver's own artifacts so the rotation maintains
+    itself: each round, entries the driver has never checked jump the
+    queue. A rows-only pass (no oracle) counts as verified."""
+    import glob
+    import json
+
+    seen: set[str] = set()
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            rows = json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        for name, r in rows.items():
+            if not isinstance(r, dict):
+                continue
+            if r.get("hash_match") or (r.get("err") == "no_oracle" and r.get("spark_rows") is not None):
+                seen.add(name)
+    return seen
 
 
 def _ordered_registry():
     from laion_spark.catalog import REGISTRY
 
+    verified = _driver_verified()
+
     def bucket(name: str) -> int:
         if name in _SENTINELS:
             return 0
-        return 1 if name.split("_")[0] not in _DRIVER_VERIFIED_R123 else 2
+        return 2 if name in verified else 1
 
     names = sorted(REGISTRY, key=lambda n: (bucket(n), _SENTINELS.index(n) if n in _SENTINELS else 0))
     return [(n, REGISTRY[n]) for n in names]
