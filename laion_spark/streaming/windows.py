@@ -38,28 +38,29 @@ def replay_as_stream(
     a temp dir the file source watches. Timestamps stored as raw nanos
     (bigint) are normalized to a TIMESTAMP column ``ts_t``.
     """
-    src = spark.read.parquet(parquet_path)
-    if dict(src.dtypes).get(ts_col) == "bigint":  # nanos (see session.py)
-        src = src.withColumn("ts_t", F.timestamp_micros(F.expr(f"{ts_col} div 1000")))
-    else:
-        src = src.withColumn("ts_t", F.col(ts_col).cast("timestamp"))
+    from laion_spark.functions.time import with_event_time
+
+    src = with_event_time(spark.read.parquet(parquet_path), ts_col).drop("ts_us")
     stream_dir = tempfile.mkdtemp(prefix="laion_stream_")
-    src.orderBy("ts_t").coalesce(1).write.mode("overwrite").parquet(stream_dir + "/_sorted")
-    # split the single sorted file into n ordered files
-    sorted_df = spark.read.parquet(stream_dir + "/_sorted")
-    total = sorted_df.count()
-    per = (total + n_splits - 1) // n_splits
-    rows = sorted_df.withColumn("_rn", F.row_number().over(W.orderBy("ts_t"))).withColumn(
-        "_split", ((F.col("_rn") - 1) / per).cast("int")
-    ).drop("_rn")
+    # ONE pass: ntile buckets the time-sorted rows into n_splits equal
+    # micro-batch files — no count(), no per-split filter/write loop
+    # (the old shape ran ~2 jobs per split; with 6+ streaming catalog
+    # entries the harness overhead dominated their runtime). The
+    # single-partition window is fine here by design: this is a test/
+    # replay harness over fixture-scale data, not a production path.
+    rows = src.withColumn("_split", F.ntile(n_splits).over(W.orderBy("ts_t", F.monotonically_increasing_id())) - 1)
+    tmp = stream_dir + "/_parts"
+    rows.repartition(n_splits, "_split").write.partitionBy("_split").parquet(tmp)
     data_dir = stream_dir + "/data"
     os.makedirs(data_dir, exist_ok=True)
-    for s in range(n_splits + 1):
-        part = rows.filter(F.col("_split") == s).drop("_split")
-        if part.count() > 0:
-            part.coalesce(1).write.mode("overwrite").parquet(stream_dir + f"/_tmp{s}")
-            f = glob.glob(stream_dir + f"/_tmp{s}/part-*.parquet")[0]
-            shutil.move(f, os.path.join(data_dir, f"{s:05d}.parquet"))
+    for s in range(n_splits):
+        parts = sorted(glob.glob(tmp + f"/_split={s}/part-*.parquet"))
+        for i, f in enumerate(parts):
+            dst = os.path.join(data_dir, f"{s:05d}_{i}.parquet")
+            shutil.move(f, dst)
+            # file-source discovery orders by modification time: make it
+            # explicit and monotone with the split order
+            os.utime(dst, (1_600_000_000 + s, 1_600_000_000 + s))
     schema = spark.read.parquet(data_dir).schema
     return (
         spark.readStream.schema(schema)
