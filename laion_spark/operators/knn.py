@@ -311,49 +311,6 @@ def _fs_from_uri(uri: str):
     return FileSystem.from_uri(uri)
 
 
-def _resolve_fs(files: list[str]):
-    """Spark ``inputFiles`` URIs -> (pyarrow FileSystem, fs-native
-    paths, is_remote).
-
-    Local URIs (``file:...``, bare paths) map to LocalFileSystem with
-    plain paths — the zero-overhead common case. Anything else resolves
-    through ``pyarrow.fs.FileSystem.from_uri`` (S3 / GCS / HDFS /
-    Azure), after normalizing Hadoop-flavored schemes to the pyarrow
-    spelling (``s3a://`` -> ``s3://``). The returned FileSystem is
-    picklable: worker tasks reopen their splits against it, so the
-    scan-side scorer runs unchanged on object storage — where a
-    1000-executor cluster would actually read its 100 TB from.
-    """
-    from pyarrow.fs import LocalFileSystem
-
-    def strip_local(f: str) -> str:
-        return f[7:] if f.startswith("file:///") else f[5:] if f.startswith("file:") else f
-
-    if all("://" not in f or f.startswith("file:") for f in files):
-        return LocalFileSystem(), [strip_local(f) for f in files], False
-
-    def norm(f: str) -> str:
-        for hadoop, arrow in (("s3a://", "s3://"), ("s3n://", "s3://")):
-            if f.startswith(hadoop):
-                return arrow + f[len(hadoop):]
-        return f
-
-    files = [norm(f) for f in files]
-    # resolve ONCE (S3 from_uri does a network region lookup per call),
-    # then map the other URIs by stripping the same scheme://authority
-    # prefix — from_uri returns the path as a suffix of the URI, so the
-    # prefix is uri[:-len(path)]
-    fs, p0 = _fs_from_uri(files[0])
-    prefix = files[0][: len(files[0]) - len(p0)]
-    paths = []
-    for f in files:
-        if not f.startswith(prefix):
-            raise ValueError(
-                f"mixed filesystems in one table: {f!r} does not share prefix {prefix!r}"
-            )
-        paths.append(f[len(prefix):])
-    return fs, paths, True
-
 
 def _arrow_to_ddl(t) -> str:
     """Arrow type -> Spark DDL string for the scan-scorer's output
@@ -480,7 +437,7 @@ def knn_search_parquet(
     At 100 TB the same plan holds: the task table is (file, row_group)
     — thousands of independent splits, no shuffle, O(splits * k) rows
     to the final reduce. Storage may be local or remote: paths resolve
-    through ``pyarrow.fs`` (S3/GCS/HDFS/Azure — see ``_resolve_fs``),
+    through ``pyarrow.fs`` (S3/GCS/HDFS/Azure — see ``_list_parquet_files``),
     workers reopen their splits against the pickled FileSystem, and
     remote reads pre-buffer (coalesced ranges) since object-store
     latency dominates small reads. Spark-SQL string filters belong in

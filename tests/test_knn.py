@@ -216,31 +216,48 @@ def test_knn_cosine_and_dot(spark, emb):
         assert scores == sorted(scores, reverse=True)
 
 
-def test_resolve_fs_local_and_remote(monkeypatch):
-    """_resolve_fs: local URIs stay on LocalFileSystem with no network;
-    remote URIs resolve ONCE (S3 region lookup is a network call per
-    from_uri) and the rest map by prefix stripping."""
+def test_list_parquet_files_local_and_remote(monkeypatch, tmp_path):
+    """_list_parquet_files (R7 seam): local paths/dirs stay on
+    LocalFileSystem with no network; remote URIs resolve ONCE (S3
+    region lookup is a network call per from_uri) and the rest map by
+    prefix stripping; probed-but-missing dirs (empty clusters) are
+    skipped; mixed filesystems rejected."""
     import pyarrow.fs as pafs
 
     import laion_spark.operators.knn as knn_mod
-    from laion_spark.operators.knn import _resolve_fs
+    from laion_spark.operators.knn import _list_parquet_files
 
-    fs, paths, remote = _resolve_fs(["file:///tmp/a.parquet", "/tmp/b.parquet"])
-    assert isinstance(fs, pafs.LocalFileSystem)
-    assert paths == ["/tmp/a.parquet", "/tmp/b.parquet"] and not remote
+    d = tmp_path / "tbl"
+    d.mkdir()
+    (d / "a.parquet").write_bytes(b"x")
+    (d / "b.parquet").write_bytes(b"x")
+    (d / "_SUCCESS").write_bytes(b"")
+
+    fs, files, remote = _list_parquet_files([str(d)])
+    assert isinstance(fs, pafs.LocalFileSystem) and not remote
+    assert [f.rsplit("/", 1)[1] for f in files] == ["a.parquet", "b.parquet"]
+
+    # missing dir (empty ANN cluster) skipped, not fatal
+    fs, files, remote = _list_parquet_files([str(d), str(tmp_path / "nope")])
+    assert len(files) == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        _list_parquet_files([str(tmp_path / "nope")])
 
     calls = []
 
     def fake(uri):
         calls.append(uri)
-        return pafs.LocalFileSystem(), uri[len("s3://"):]
+        return pafs.LocalFileSystem(), uri[len("s3://bkt"):]
 
     monkeypatch.setattr(knn_mod, "_fs_from_uri", fake)
-    fs, paths, remote = _resolve_fs(["s3a://bkt/x.parquet", "s3://bkt/sub/y.parquet"])
-    assert remote and paths == ["bkt/x.parquet", "bkt/sub/y.parquet"]
-    assert calls == ["s3://bkt/x.parquet"]  # exactly one resolution
-
-    import pytest as _pytest
+    fs, files, remote = _list_parquet_files(
+        [f"s3a://bkt{d}/a.parquet", f"s3://bkt{d}/b.parquet"]
+    )
+    assert remote and [f.rsplit("/", 1)[1] for f in files] == ["a.parquet", "b.parquet"]
+    assert calls == [f"s3://bkt{d}/a.parquet"]  # exactly one resolution
 
     with _pytest.raises(ValueError, match="mixed filesystems"):
-        _resolve_fs(["s3://bkt/x.parquet", "gs://other/y.parquet"])
+        _list_parquet_files([f"s3://bkt{d}/a.parquet", "gs://other/y.parquet"])
