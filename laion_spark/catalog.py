@@ -2691,8 +2691,8 @@ def e08_sequence_match(spark, sf_dir):
            arg_max(user_id, CAST(round(value * 100) AS BIGINT) * 1000000 + user_id) AS top_user,
            arg_min(user_id, CAST(round(value * 100) AS BIGINT) * 1000000 + user_id) AS bottom_user,
            round(max(value), 6) AS max_value,
-           coalesce(list_sort(list(DISTINCT user_id) FILTER (WHERE value > 450)),
-                    []) AS big_spenders
+           coalesce(array_to_string(list_sort(list(DISTINCT user_id) FILTER (WHERE value > 450)),
+                    ','), '') AS big_spenders
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -2701,19 +2701,25 @@ def e08_sequence_match(spark, sf_dir):
     "extremes via a composite integer key (value ties broken by user_id — "
     "bare max_by/arg_max is tie-nondeterministic across engines) and a "
     "sorted distinct-collect; Spark max_by/min_by/collect_set are the "
-    "direct analogs",
+    "direct analogs. The collect is emitted comma-joined: array-typed "
+    "result columns crash hash-canonicalizing comparators (the v09 "
+    "lesson — pandas cannot sort ndarray cells), and integer-to-string "
+    "is engine-stable where double-to-string is not",
 )
 def q37_argmax_grouparray(spark, sf_dir):
     e = t(spark, sf_dir, "events")
     key = F.round(F.col("value") * 100, 0).cast("long") * 1_000_000 + F.col("user_id")
+    spenders = F.array_sort(
+        F.collect_set(F.when(F.col("value") > 450, F.col("user_id")))
+    )
     return (
         e.groupBy("event_type")
         .agg(
             F.max_by("user_id", key).alias("top_user"),
             F.min_by("user_id", key).alias("bottom_user"),
             F.round(F.max("value"), 6).alias("max_value"),
-            F.array_sort(
-                F.collect_set(F.when(F.col("value") > 450, F.col("user_id")))
+            F.array_join(
+                F.transform(spenders, lambda x: x.cast("string")), ","
             ).alias("big_spenders"),
         )
         .orderBy("event_type")
@@ -3240,23 +3246,22 @@ def s08_stream_stream_join(spark, sf_dir):
 @query(
     "q48_array_cumulative",
     oracle="""
-    SELECT vec_id,
-           list_transform(range(1, 9),
-             i -> round(list_aggregate((CAST(embedding AS DOUBLE[]))[1:i], 'sum'), 6)
-           ) AS cum,
-           list_transform(range(1, 9),
-             i -> CASE WHEN i = 1 THEN 0.0
-                       ELSE round(CAST(embedding[i] AS DOUBLE)
-                                  - CAST(embedding[i-1] AS DOUBLE), 6) END
-           ) AS diff
-    FROM embeddings
+    SELECT vec_id, i AS pos,
+           round(list_aggregate((CAST(embedding AS DOUBLE[]))[1:i], 'sum'), 6) AS cum,
+           CASE WHEN i = 1 THEN 0.0
+                ELSE round(CAST(embedding[i] AS DOUBLE)
+                           - CAST(embedding[i-1] AS DOUBLE), 6) END AS diff
+    FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i)
     WHERE vec_id % 20 = 0
-    ORDER BY vec_id
+    ORDER BY vec_id, pos
     """,
     note="ClickHouse arrayCumSum/arrayDifference parity over the first 8 "
     "embedding dims: pure HOF expressions (transform over an index "
     "sequence + left-to-right slice folds — IEEE-identical order in both "
-    "engines), codegen'd, zero Python. O(d^2) per row on a constant d",
+    "engines), codegen'd, zero Python; O(d^2) per row on a constant d. "
+    "Output exploded to (vec_id, pos, cum, diff) scalar rows — "
+    "array-typed result columns crash hash-canonicalizing comparators "
+    "(the v09 lesson)",
 )
 def q48_array_cumulative(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings").filter("vec_id % 20 = 0")
@@ -3271,8 +3276,14 @@ def q48_array_cumulative(spark, sf_dir):
     )
     return (
         e.select("vec_id", a.alias("_a"))
-        .select("vec_id", cum.alias("cum"), diff.alias("diff"))
-        .orderBy("vec_id")
+        .select("vec_id", F.posexplode(F.arrays_zip(cum.alias("cum"), diff.alias("diff"))).alias("pos0", "z"))
+        .select(
+            "vec_id",
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            F.col("z.cum").alias("cum"),
+            F.col("z.diff").alias("diff"),
+        )
+        .orderBy("vec_id", "pos")
     )
 
 
