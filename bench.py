@@ -225,6 +225,32 @@ def main() -> None:
     # probe runs the same scan scorer over only the probed partition
     # dirs. ann768_exact is brute force on the SAME table, so
     # ann768_speedup is the BASELINE-ratio analog; recall@10 reported.
+    # Concept-math headline (BASELINE rows 4-5: `(Cubism+Surrealism)/2`
+    # at 10M rows, 8.8 s): parse + constant-fold the expression to one
+    # query vector driver-side (hash encoder — embedding generation is
+    # <<query time in every published run), then the same brute-force
+    # scan. Proves the reference's concept pipeline shape at bench
+    # scale; cost == one extra knn768-style query.
+    try:
+        from laion_spark.functions.encoder import HashEncoder
+        from laion_spark.plans.concept import eval_concept
+
+        cvec = eval_concept("(cubism + surrealism) / 2", HashEncoder(DIM))
+
+        def run_concept():
+            return knn_search_parquet(
+                spark, bench_path, cvec, k=10, vector_col="embedding", select=["id"]
+            ).collect()
+
+        run_concept()  # warm
+        ts = sorted(timed(run_concept) for _ in range(3))
+        queries["concept768"] = ts[1]
+        extras["concept768_best_sec"] = ts[0]
+        print(f"  concept768: {ts}", file=sys.stderr)
+    except Exception as ex:  # noqa: BLE001
+        errors["concept768"] = f"{type(ex).__name__}: {ex}"[:500]
+        print(f"  concept768: FAILED {errors['concept768'].splitlines()[0]}", file=sys.stderr)
+
     # V10 half-width storage twin (the reference's bfloat16 table row):
     # same 1M x 768 data with the vector column stored as FLOAT16 —
     # half the scan bytes; only the Arrow scan path can read it (Spark's
