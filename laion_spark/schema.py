@@ -4,8 +4,10 @@ The reference declares its schema exactly once, as a PyArrow Parquet
 schema (/root/reference/process.py:35-47). This module is the Spark
 equivalent — explicit StructType, never inferred. Embeddings are
 stored as ``array<float>`` (the reference's UDF contract returns
-Array(Float32), embed_text_function.xml:5, and a bfloat16 table variant
-exists); math is done in double.
+Array(Float32), embed_text_function.xml:5); math is done in double.
+The reference's bfloat16 table variant maps to the FLOAT16 parquet
+twin in ``sources/halfvec.py`` (V10) — half the scan bytes, readable
+by the Arrow scan path.
 
 Spark has no fixed-length array type, so dimensionality (768 in the
 reference, process.py:59) is enforced by a runtime check at ingest
