@@ -2009,6 +2009,34 @@ def a02_ann_ivf_topk(spark, sf_dir):
 
 
 @query(
+    "a04_ann_ivf_knn_join",
+    oracle=None,  # approximate by construction; recall + exact-score
+    # agreement vs knn_join asserted in
+    # tests/test_similarity.py::test_ivf_knn_join_parquet_recall
+    note="batched ANN join (many queries x huge corpus): driver-side "
+    "cluster routing, each probed (file, row_group) split scanned once "
+    "scoring all of its cluster's queries in one GEMM — bytes read "
+    "bounded by the probed-cluster union regardless of query count; "
+    "rows-only check",
+)
+def a04_ann_ivf_knn_join(spark, sf_dir):
+    import tempfile
+
+    from laion_spark.operators.similarity import IVFIndex
+
+    emb = t(spark, sf_dir, "embeddings")
+    idx = IVFIndex(dim=64, n_clusters=8, n_iters=2, nprobe=3).fit(
+        emb, id_col="vec_id", vector_col="embedding"
+    )
+    path = os.path.join(tempfile.gettempdir(), f"laion_a04_ivf_{os.getpid()}")
+    idx.write_index(emb, path, "embedding")
+    return idx.knn_join_parquet(
+        spark, path, emb.filter("vec_id < 5"), k=3, query_id="vec_id",
+        query_vec="embedding", corpus_id="vec_id", vector_col="embedding",
+    )
+
+
+@query(
     "q29_approx_count_distinct",
     oracle=None,  # HLL sketches differ across engines by design
     # (SURVEY.md Q9: declared bench-only, never hash-matched); the exact

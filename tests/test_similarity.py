@@ -200,3 +200,52 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r.id: r.comp for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_ivf_knn_join_parquet_recall(spark, emb, tmp_path):
+    """Batched ANN join over a write_index table: per-query results must
+    agree with the exact knn_join for in-distribution queries (the
+    corpus rows themselves) at useful recall, reading only probed
+    clusters."""
+    from laion_spark.operators.similarity import IVFIndex, knn_join
+
+    idx = IVFIndex(dim=64, n_clusters=8, n_iters=2, nprobe=3).fit(
+        emb, id_col="vec_id", vector_col="embedding"
+    )
+    path = str(tmp_path / "ivf_join")
+    idx.write_index(emb, path, "embedding")
+    queries = emb.filter("vec_id < 5")
+    exact = knn_join(emb, queries, k=3, corpus_id="vec_id", query_id="vec_id").collect()
+    approx = idx.knn_join_parquet(
+        spark, path, queries, k=3, query_id="vec_id", query_vec="embedding",
+        corpus_id="vec_id", vector_col="embedding",
+    ).collect()
+    assert {r.vec_id_q for r in approx} == {r.vec_id_q for r in exact}  # every query answered
+    hits = total = 0
+    for qid in {r.vec_id_q for r in exact}:
+        e = {r.vec_id_c for r in exact if r.vec_id_q == qid}
+        a = {r.vec_id_c for r in approx if r.vec_id_q == qid}
+        hits += len(e & a)
+        total += len(e)
+        # scores for shared pairs are identical (same exact math)
+        es = {(r.vec_id_c): r.score for r in exact if r.vec_id_q == qid}
+        for r in approx:
+            if r.vec_id_q == qid and r.vec_id_c in es:
+                assert abs(r.score - es[r.vec_id_c]) < 1e-6
+    assert hits / total >= 0.8, f"batch-join recall = {hits}/{total}"
+
+
+def test_ivf_knn_join_parquet_query_cap(spark, emb, tmp_path):
+    from laion_spark.operators.similarity import IVFIndex
+
+    import pytest
+
+    idx = IVFIndex(dim=64, n_clusters=8, n_iters=1, nprobe=2).fit(
+        emb, id_col="vec_id", vector_col="embedding"
+    )
+    path = str(tmp_path / "ivf_cap")
+    idx.write_index(emb, path, "embedding")
+    with pytest.raises(ValueError, match="max_queries"):
+        idx.knn_join_parquet(spark, path, emb, k=2, query_id="vec_id",
+                             query_vec="embedding", corpus_id="vec_id",
+                             vector_col="embedding", max_queries=5)
