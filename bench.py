@@ -306,7 +306,7 @@ def main() -> None:
         ivf_path = f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf{C}.parquet"
         cent_path = f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf{C}_centroids.json"
         idx = IVFIndex(dim=DIM, n_clusters=C, n_iters=4, nprobe=NPROBE)
-        if os.path.exists(cent_path):
+        if os.path.exists(cent_path) and os.path.exists(f"{ivf_path}/_SUCCESS"):
             idx.centroids = json.load(open(cent_path))
         else:
             t0 = time.perf_counter()
