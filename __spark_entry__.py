@@ -78,6 +78,8 @@ def _driver_verified() -> set[str]:
             rows = json.load(open(path))
         except (OSError, ValueError):
             continue
+        if not isinstance(rows, dict):
+            continue
         for name, r in rows.items():
             if not isinstance(r, dict):
                 continue

@@ -89,6 +89,13 @@ def timed(fn) -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def du(path: str) -> int:
+    """Recursive directory byte count (bytes-fraction metrics)."""
+    return sum(
+        os.path.getsize(os.path.join(r, f)) for r, _d, fl in os.walk(path) for f in fl
+    )
+
+
 def synth_vectors(spark, n: int, dim: int, clustered: bool = False):
     """Deterministic n x dim float32 vectors (FIXTURES.md §6
     ``laion_bench`` shape), generated distributed via numpy-backed
@@ -276,13 +283,6 @@ def main() -> None:
         extras["knn768_f16_best_sec"] = ts[0]
         extras["knn768_f16_rows_per_sec"] = round(N_VEC / ts[0])
 
-        def du(p):
-            return sum(
-                os.path.getsize(os.path.join(r, f))
-                for r, _d, fl in os.walk(p)
-                for f in fl
-            )
-
         extras["knn768_f16_bytes_fraction"] = round(du(half_path) / du(bench_path), 4)
         print(f"  knn768_f16: {ts} bytes_frac={extras['knn768_f16_bytes_fraction']}", file=sys.stderr)
     except Exception as ex:  # noqa: BLE001
@@ -324,7 +324,9 @@ def main() -> None:
         # measured recall collapses as N grows (0.9 at 1M -> 0.3 at
         # 4M) while saying nothing about the index. Query with corpus
         # rows (fixed ids, seeded generation => deterministic).
-        q_ids = [123457, 777777, N_ANN - 333]
+        # derived from N_ANN (not hardcoded) so SPARK_GRAFT_BENCH_ANN_ROWS
+        # can shrink the fixture without emptying the id filter
+        q_ids = sorted({int(N_ANN * f) for f in (0.123457, 0.7777, 0.9991)})
         q_rows = {r.id: [float(x) for x in r.embedding]
                   for r in vecs_c.filter(F.col("id").isin(q_ids)).collect()}
         aq = q_rows[q_ids[0]]
@@ -357,13 +359,6 @@ def main() -> None:
         # actually reads (MEASURED over the probed partition dirs —
         # cluster sizes are skewed, so nominal nprobe/C would flatter
         # it). On a cluster this fraction bounds the speedup.
-        def du(p):
-            return sum(
-                os.path.getsize(os.path.join(r, f))
-                for r, _d, fl in os.walk(p)
-                for f in fl
-            )
-
         probed = sum(du(f"{ivf_path}/ivf_cluster={p}") for p in idx.probe_clusters(aq)
                      if os.path.isdir(f"{ivf_path}/ivf_cluster={p}"))
         extras["ann768_bytes_fraction"] = round(probed / du(ivf_path), 4)

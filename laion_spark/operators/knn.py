@@ -381,6 +381,15 @@ def _list_parquet_files(paths: Sequence[str]):
                     f"mixed filesystems in one table: {f!r} does not share prefix {prefix!r}"
                 )
             roots.append(f[len(prefix):])
+    def hidden(rel: str) -> bool:
+        # Hadoop's hidden-path rule (FileInputFormat.hiddenFileFilter):
+        # any path SEGMENT starting with '_' or '.' is invisible —
+        # in-flight `_temporary/` output, `.hive-staging/`, `_SUCCESS`.
+        # Spark's own listing applies this; scoring such files would
+        # silently include partial/duplicate rows from an interrupted
+        # write.
+        return any(seg.startswith(("_", ".")) for seg in rel.split("/") if seg)
+
     files: list[str] = []
     missing: list[str] = []
     for root in roots:
@@ -389,7 +398,12 @@ def _list_parquet_files(paths: Sequence[str]):
             files.append(root)
         elif info.type == FileType.Directory:
             for fi in fs.get_file_info(FileSelector(root, recursive=True)):
-                if fi.type == FileType.File and fi.base_name.endswith(".parquet"):
+                rel = fi.path[len(root):]
+                if (
+                    fi.type == FileType.File
+                    and fi.base_name.endswith(".parquet")
+                    and not hidden(rel)
+                ):
                     files.append(fi.path)
         else:
             # an ANN probe may legitimately name a partition dir that
@@ -493,9 +507,12 @@ def knn_search_parquet(
         for f in files:
             try:
                 n_rg = pq.ParquetFile(fs.open_input_file(f)).metadata.num_row_groups
+                tasks.extend((f, g) for g in range(n_rg))
             except OSError:
-                n_rg = 1
-            tasks.extend((f, g) for g in range(n_rg))
+                # transient footer-read failure (object-store throttle):
+                # fall back to a whole-file task — a (f, 0) guess would
+                # silently drop this file's other row groups
+                tasks.append((f, -1))
     else:
         tasks = [(f, -1) for f in files]  # -1 = whole file
 
@@ -513,9 +530,19 @@ def knn_search_parquet(
     import pyarrow as pa
 
     #: select columns needing an Arrow-side upcast before rows reach the
-    #: JVM (Spark cannot represent float16)
+    #: JVM (Spark cannot represent float16) — either bare float16 or
+    #: list<float16>, mapped to the float32 type _arrow_to_ddl declared
+    def _half_target(t):
+        if pa.types.is_float16(t):
+            return pa.float32()
+        if (pa.types.is_list(t) or pa.types.is_large_list(t)) and pa.types.is_float16(t.value_type):
+            return pa.list_(pa.float32())
+        return None
+
     half_cols = {
-        c for c in cols if pa.types.is_float16(arrow_schema.field(c).type)
+        c: tgt
+        for c in cols
+        if (tgt := _half_target(arrow_schema.field(c).type)) is not None
     }
     out_schema = ", ".join(
         f"`{c}` {_arrow_to_ddl(arrow_schema.field(c).type)}" for c in cols
@@ -628,7 +655,7 @@ def knn_search_parquet(
                 # float16 storage columns upcast before rows reach the
                 # JVM (Spark has no half type)
                 arrays = [
-                    a.cast(pa.float32()) if c in half_cols else a
+                    a.cast(half_cols[c]) if c in half_cols else a
                     for c, a in zip(cols, arrays)
                 ]
                 arrays.append(pa.array(s[keep.to_numpy()], type=pa.float64()))

@@ -534,13 +534,18 @@ class IVFIndex:
             )
         if not q_rows:
             raise ValueError("queries DataFrame is empty")
+        import numpy as np
+
         q_ids = [r[0] for r in q_rows]
-        q_mat = [list(map(float, r[1])) for r in q_rows]
+        # compact ndarray: a list-of-lists of 4096 x 768 Python floats
+        # pickles to tens of MB in the task closure and would rebuild
+        # per task; the array pickles as one buffer
+        q_mat = np.asarray([list(map(float, r[1])) for r in q_rows], dtype=np.float64)
 
         # driver-side routing: cluster -> query indices
         by_cluster: dict[int, list[int]] = {}
-        for qi, v in enumerate(q_mat):
-            for c in self.probe_clusters(v, nprobe):
+        for qi in range(q_mat.shape[0]):
+            for c in self.probe_clusters(q_mat[qi], nprobe):
                 by_cluster.setdefault(c, []).append(qi)
 
         # one listing over the involved partition dirs (missing = empty
@@ -557,9 +562,11 @@ class IVFIndex:
             for f in files:
                 try:
                     n_rg = pq.ParquetFile(fs.open_input_file(f)).metadata.num_row_groups
+                    tasks.extend((f, g, cluster_of(f)) for g in range(n_rg))
                 except OSError:
-                    n_rg = 1
-                tasks.extend((f, g, cluster_of(f)) for g in range(n_rg))
+                    # whole-file fallback — a (f, 0) guess would drop
+                    # the file's other row groups silently
+                    tasks.append((f, -1, cluster_of(f)))
         else:
             tasks = [(f, -1, cluster_of(f)) for f in files]
 

@@ -58,14 +58,25 @@ def write_half_table(
 
         for rb in batches:
             for src, dst in zip(rb.column(0).to_pylist(), rb.column(1).to_pylist()):
-                t = pq.read_table(src)
+                # stream row-group-wise: a whole-file read_table would
+                # hold ~2x the file in one worker's memory (source +
+                # cast copy); this keeps peak at one row group
+                pf = pq.ParquetFile(src)
+                schema = pf.schema_arrow
                 for c in vcols:
-                    i = t.schema.get_field_index(c)
-                    half = t.column(c).cast(pa.list_(pa.float16()))
-                    t = t.set_column(i, c, half)
-                pq.write_table(t, dst, compression=compression)
+                    i = schema.get_field_index(c)
+                    schema = schema.set(i, schema.field(i).with_type(pa.list_(pa.float16())))
+                rows = 0
+                with pq.ParquetWriter(dst, schema, compression=compression) as w:
+                    for g in range(pf.metadata.num_row_groups):
+                        t = pf.read_row_group(g)
+                        for c in vcols:
+                            i = t.schema.get_field_index(c)
+                            t = t.set_column(i, c, t.column(c).cast(pa.list_(pa.float16())))
+                        w.write_table(t.cast(schema))
+                        rows += t.num_rows
                 yield pa.RecordBatch.from_arrays(
-                    [pa.array([dst]), pa.array([t.num_rows], type=pa.int64())],
+                    [pa.array([dst]), pa.array([rows], type=pa.int64())],
                     ["path", "rows"],
                 )
 
