@@ -1307,10 +1307,20 @@ def t05_lang_id_quality(spark, sf_dir):
 
 @query(
     "s01_streaming_tumbling",
-    oracle=None,  # no SQL oracle for streaming (FIXTURES.md §7): parity
-    # with the batch twin is asserted in tests/test_streaming.py
+    oracle="""
+    SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 3600) * 3600 AS w_start_s,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
     note="Q28 structured streaming: events replayed as a file stream, "
-    "watermarked tumbling-window agg run to completion via memory sink",
+    "watermarked tumbling-window agg run to completion via memory sink. "
+    "DECIMAL-exact value sums make the streamed result hash-matchable "
+    "against a batch SQL oracle (s07's pattern) — complete-mode output "
+    "over a fully replayed stream equals the batch aggregate",
 )
 def s01_streaming_tumbling(spark, sf_dir):
     from laion_spark.streaming.windows import (

@@ -87,11 +87,17 @@ def run_to_completion(stream_df: DataFrame, query_name: str, output_mode: str = 
 
 
 def tumbling_counts(df: DataFrame, window: str = "1 hour", watermark: str = "30 minutes") -> DataFrame:
-    """Q28 tumbling-window count/sum per event_type."""
+    """Q28 tumbling-window count/sum per event_type. The value sum
+    accumulates in DECIMAL(28,6) — exact under any micro-batch or
+    partition order, so the streamed result is bit-identical to a batch
+    or external-engine aggregate (the engine-wide money-sum rule)."""
     src = df.withWatermark("ts_t", watermark) if df.isStreaming else df
     return (
         src.groupBy(F.window("ts_t", window).alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total"),
+        )
         .select(
             F.col("w.start").alias("w_start"),
             "event_type",
