@@ -9,9 +9,11 @@ over the Spark engine (reference search.py:145-191, generate.py:13-31).
     python -m laion_spark.cli generate --file concepts.txt --output out.txt
 
 Differences from the reference, by design:
-  - ``--table`` is a parquet path (or a bare name resolved under
-    ``--data-dir``) — the engine reads parquet directly instead of a
-    ClickHouse server connection.
+  - ``--table`` is a parquet path, a SESSION-CATALOG table name (the
+    reference's ``--table laion_10m`` semantics — tables registered
+    via ``save_as_table``, S6), or a bare name resolved under
+    ``--data-dir``; the engine reads parquet/catalog directly instead
+    of a ClickHouse server connection.
   - ``--encoder hash`` (default in this container) swaps the CLIP
     encoder for the deterministic hash encoder; ``--encoder clip``
     uses real CLIP when torch is installed (same flag surface,
@@ -32,10 +34,24 @@ import sys
 import time
 
 
-def _resolve_table(table: str, data_dir: str) -> str:
+def _resolve_source(spark, table: str, data_dir: str):
+    """-> (DataFrame, parquet_path_or_None). Precedence: explicit path,
+    session-catalog table (S6 ``save_as_table`` — the reference's
+    query-by-name), bare name under data_dir. Catalog tables return
+    path=None: the DataFrame lanes serve them (the scan lane needs
+    file paths)."""
     if os.path.exists(table) or "/" in table:
-        return table
-    return os.path.join(data_dir, f"{table}.parquet")
+        return spark.read.parquet(table), table
+    try:
+        meta = spark.catalog.getTable(table)
+        # persistent tables only: a leftover temp VIEW with a data-dir
+        # table's name must not silently shadow the parquet file
+        if meta.tableType and meta.tableType != "TEMPORARY":
+            return spark.table(table), None
+    except Exception:
+        pass  # not in the catalog — fall through to the path form
+    path = os.path.join(data_dir, f"{table}.parquet")
+    return spark.read.parquet(path), path
 
 
 def _get_encoder(kind: str, dim: int):
@@ -174,14 +190,13 @@ def main(argv: list[str] | None = None) -> int:
     from laion_spark.session import get_session
 
     spark = get_session("laion_spark_cli")
-    path = _resolve_table(args.table, args.data_dir)
-    df = spark.read.parquet(path)
+    df, path = _resolve_source(spark, args.table, args.data_dir)
 
     is_image = args.command == "search" and getattr(args, "image", None)
     default_vcol = "text_embedding" if is_image else "image_embedding"
     vector_col = args.vector_col or (default_vcol if default_vcol in df.columns else "embedding")
     if vector_col not in df.columns:
-        raise SystemExit(f"no vector column {vector_col!r} in {path}; pass --vector-col")
+        raise SystemExit(f"no vector column {vector_col!r} in {args.table}; pass --vector-col")
     select = [c.strip() for c in args.select.split(",") if c.strip()] or [
         c for c in ("url", "caption", "vec_id", "id") if c in df.columns
     ]
@@ -198,8 +213,13 @@ def main(argv: list[str] | None = None) -> int:
             "--impl scan does not apply --filter (the scan lane reads files "
             "directly); drop --filter or use --impl codegen"
         )
+    if args.impl == "scan" and path is None:
+        raise SystemExit(
+            "--impl scan reads parquet files directly; catalog tables go "
+            "through the DataFrame lanes — use --impl codegen or pass a path"
+        )
     use_scan = (args.impl == "scan" or (args.impl == "auto" and not args.filter)) and (
-        args.command == "search" and not is_image
+        args.command == "search" and not is_image and path is not None
     )
     if use_scan:
         # fast lane: scan-side Arrow+BLAS scorer straight off the parquet

@@ -117,3 +117,20 @@ def test_cli_generate_file(spark, capsys, tmp_path):
         lines += [ln for ln in open(f).read().splitlines() if ln]
     assert len(lines) == 3
     assert all(len(ast.literal_eval(ln)) == 4 for ln in lines)
+
+
+def test_cli_resolves_catalog_table(spark, sf_dir, tmp_path, capsys):
+    """S6 round-trip through the CLI: a save_as_table-registered name
+    is queried by NAME (reference --table semantics), not a path."""
+    from laion_spark.cli import _resolve_source
+    from laion_spark.sources.npy import save_as_table
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    save_as_table(emb, "cli_s6_emb", path=str(tmp_path / "cli_s6_emb"))
+    df, path = _resolve_source(spark, "cli_s6_emb", str(tmp_path))
+    assert path is None  # catalog lane
+    assert df.count() == emb.count()
+    # bare name not in catalog still resolves under data_dir
+    df2, path2 = _resolve_source(spark, "embeddings", sf_dir)
+    assert path2 == f"{sf_dir}/embeddings.parquet"
+    assert df2.count() == emb.count()
