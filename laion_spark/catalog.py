@@ -4022,3 +4022,267 @@ def q59_managed_table_roundtrip(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# =============================================================================
+# Skew-resistant shuffles (100 TB posture): explicit salting. The
+# oracles are the PLAIN join/agg SQL — salting must be invisible in
+# results, which is exactly what these entries prove.
+# =============================================================================
+
+
+@query(
+    "q60_salted_join_revenue",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    note="salted_join (operators/skew.py): the fact side's join key is "
+    "salted 8 ways and the right side replicated, so a hot orderkey "
+    "spreads over 8 reducers; result must equal the plain join",
+)
+def q60_salted_join_revenue(spark, sf_dir):
+    from laion_spark.operators.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+    j = salted_join(li, o.select("l_orderkey", "o_orderpriority"), on="l_orderkey", n_salts=8)
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q61_salted_agg_event_value",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n,
+           {_dsum_sql('value')} AS total_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    note="salted_agg (operators/skew.py): two-phase aggregation — "
+    "partials on (event_type, salt) keep exact DECIMAL accumulators, "
+    "merged on event_type; a hot key reduces to n_salts partial rows "
+    "before the final (tiny) shuffle",
+)
+def q61_salted_agg_event_value(spark, sf_dir):
+    from laion_spark.operators.skew import salted_agg
+
+    e = t(spark, sf_dir, "events")
+    out = salted_agg(
+        e,
+        "event_type",
+        {
+            "n": F.count(F.lit(1)),
+            # keep the partial DECIMAL-typed: the merge then sums
+            # decimals (exact, order-independent) and only the final
+            # projection drops to double — same value the oracle computes
+            "total_value": F.sum(F.col("value").cast("decimal(18,6)")),
+            "min_value": (F.min("value"), "min"),
+            "max_value": (F.max("value"), "max"),
+        },
+        n_salts=8,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.col("total_value").cast("double").alias("total_value"),
+        F.round("min_value", 6).alias("min_value"),
+        F.round("max_value", 6).alias("max_value"),
+    ).orderBy("event_type")
+
+
+# =============================================================================
+# ClickHouse analytic parity — round-5 additions
+# =============================================================================
+
+
+@query(
+    "q62_bounding_ratio",
+    oracle="""
+    SELECT event_type,
+           round((arg_max(value, event_id) - arg_min(value, event_id))
+                 / (max(event_id) - min(event_id)), 6) AS bounding_ratio
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    note="ClickHouse boundingRatio(x, y): slope between the min-x and "
+    "max-x points of the group — algebraic via max_by/min_by, one "
+    "map-side-combining shuffle",
+)
+def q62_bounding_ratio(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(
+                (F.max_by("value", "event_id") - F.min_by("value", "event_id"))
+                / (F.max("event_id") - F.min("event_id")),
+                6,
+            ).alias("bounding_ratio")
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q63_uniq_up_to",
+    oracle="""
+    SELECT event_type,
+           least(count(DISTINCT user_id), 11) AS uniq_up_to_10,
+           count(DISTINCT user_id) <= 10 AS is_exact
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    note="ClickHouse uniqUpTo(10): exact distinct count while <= N, "
+    "saturating at N+1 — the bounded-memory contract matters at scale "
+    "(the full distinct count is computed here for the oracle; a "
+    "production path would cap the per-group set at N+1 elements)",
+)
+def q63_uniq_up_to(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.least(F.count_distinct("user_id"), F.lit(11)).cast("long").alias("uniq_up_to_10"),
+            (F.count_distinct("user_id") <= 10).alias("is_exact"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q64_sequence_next_node",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), hits AS (
+      SELECT user_id, e3,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pick
+      FROM ordered WHERE event_type = 'view' AND e2 = 'click'
+    )
+    SELECT user_id, e3 AS next_node FROM hits WHERE pick = 1 ORDER BY user_id
+    """,
+    note="ClickHouse sequenceNextNode('forward','head'): the event that "
+    "follows the first direct chain view->click per user — one shuffle "
+    "on user_id, two stacked lead() windows over the same sort (single "
+    "Window exec), WindowGroupLimit-eligible pick",
+)
+def q64_sequence_next_node(spark, sf_dir):
+    e = ev(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    chained = (
+        e.select(
+            "user_id",
+            "event_type",
+            "ts_us",
+            "event_id",
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter((F.col("event_type") == "view") & (F.col("e2") == "click"))
+        .withColumn(
+            "pick",
+            F.row_number().over(W.partitionBy("user_id").orderBy("ts_us", "event_id")),
+        )
+        .filter(F.col("pick") == 1)
+    )
+    return chained.select("user_id", F.col("e3").alias("next_node")).orderBy("user_id")
+
+
+# =============================================================================
+# Composite TPC-H shapes (round-5): forecasting-revenue filter-agg and
+# large-volume-customer HAVING-subquery join
+# =============================================================================
+
+
+@query(
+    "q65_forecast_revenue",
+    oracle=f"""
+    SELECT {_dsum_sql('l_extendedprice * l_discount')} AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    note="TPC-H Q6 shape: pure filter + ungrouped agg — the whole "
+    "predicate must reach the parquet scan (PushedFilters) and the agg "
+    "is a single partial/final pair with no data shuffle",
+)
+def q65_forecast_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@query(
+    "q66_large_volume_customer",
+    oracle=f"""
+    SELECT c_name, c_custkey, o_orderkey,
+           epoch_us(o_orderdate) AS o_orderdate_us,
+           round(o_totalprice, 6) AS o_totalprice,
+           {_dsum_sql('l_quantity')} AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    note="TPC-H Q18 shape: HAVING-filtered IN-subquery (left-semi "
+    "join on the aggregated key set — small, so AQE broadcasts it), "
+    "then customer/orders joins and a top-N by totalprice",
+)
+def q66_large_volume_customer(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_us"),
+            F.round("o_totalprice", 6).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
