@@ -385,3 +385,34 @@ def test_ema_reuses_window_partitioning(spark, sf_dir):
     p = plan_str(df, "simple")
     assert p.count("Exchange") == 1, p
     assert "hashpartitioning(user_id" in p, p
+
+
+def test_q65_predicate_reaches_scan(spark, sf_dir):
+    """TPC-H Q6 shape: every conjunct is scan-eligible — PushedFilters
+    must carry shipdate/discount/quantity so row-group stats skip I/O."""
+    from laion_spark.catalog import REGISTRY
+
+    p = plan_str(REGISTRY["q65_forecast_revenue"].fn(spark, sf_dir))
+    push = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert push, p
+    line = push[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in line, line
+    # ungrouped agg: partial/final pair, no hashpartitioning of data rows
+    assert "hashpartitioning" not in p, p
+
+
+def test_q66_semi_join_prunes_columns(spark, sf_dir):
+    """TPC-H Q18 shape: the lineitem scan feeding the semi join must
+    read only the columns the query needs (orderkey/quantity), never
+    the full table width."""
+    from laion_spark.catalog import REGISTRY
+
+    p = plan_str(REGISTRY["q66_large_volume_customer"].fn(spark, sf_dir))
+    scans = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert any("l_orderkey" in ln and "l_quantity" in ln for ln in scans), p
+    # no scan in this query needs the price/date/flag columns — if one
+    # reads them, pruning broke and the 100 TB fact scan pays full width
+    for ln in scans:
+        assert "l_extendedprice" not in ln, ln
+        assert "l_shipdate" not in ln, ln
