@@ -4286,3 +4286,111 @@ def q66_large_volume_customer(spark, sf_dir):
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
+
+
+# downsampling — ClickHouse largestTriangleThreeBuckets. The area
+# terms are the integer-quantized spec from operators/lttb.py: every
+# parenthesized difference is exact int64, the two products run in
+# IEEE float64 — bit-identical in both engines, so strict-> tie
+# handling (first max wins in (x, event_id) scan order) agrees too.
+_LTTB_AREA_STEP = """abs(CAST((CASE WHEN p.b > f.cur_b THEN f.best_x ELSE f.prev_x END) * a.ac - a.ax AS DOUBLE)
+            * CAST(p.yq - (CASE WHEN p.b > f.cur_b THEN f.best_y ELSE f.prev_y END) AS DOUBLE)
+            - CAST((CASE WHEN p.b > f.cur_b THEN f.best_x ELSE f.prev_x END) - p.xq AS DOUBLE)
+            * CAST(a.ay - (CASE WHEN p.b > f.cur_b THEN f.best_y ELSE f.prev_y END) * a.ac AS DOUBLE))"""
+
+_LTTB_AREA_BASE = """abs(CAST(p1.xq * a.ac - a.ax AS DOUBLE) * CAST(p2.yq - p1.yq AS DOUBLE)
+             - CAST(p1.xq - p2.xq AS DOUBLE) * CAST(a.ay - p1.yq * a.ac AS DOUBLE))"""
+
+
+@query(
+    "e18_lttb_downsample",
+    oracle=f"""
+    WITH RECURSIVE pts AS MATERIALIZED (
+      SELECT event_type AS g, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS x,
+             value AS y,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             min(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY event_type) AS x0
+      FROM events
+    ), q AS MATERIALIZED (
+      SELECT g, event_id, rn, n, x, y,
+             x - x0 AS xq,
+             CAST(floor(y * 1e6) AS BIGINT) AS yq,
+             CASE WHEN rn BETWEEN 2 AND n - 1
+                  THEN ((rn - 2) * 10) // (n - 2) END AS b
+      FROM pts
+    ), bstats AS MATERIALIZED (
+      SELECT g, b, sum(xq) AS sx, sum(yq) AS sy, count(*) AS c
+      FROM q WHERE b IS NOT NULL GROUP BY g, b
+    ), anchors AS MATERIALIZED (
+      SELECT d.g, d.b,
+             coalesce(nb.sx, lastp.xq) AS ax,
+             coalesce(nb.sy, lastp.yq) AS ay,
+             coalesce(nb.c, 1) AS ac
+      FROM (SELECT DISTINCT g, b FROM q WHERE b IS NOT NULL) d
+      LEFT JOIN bstats nb ON nb.g = d.g AND nb.b = d.b + 1
+      JOIN (SELECT g, xq, yq FROM q WHERE rn = n) lastp ON lastp.g = d.g
+    ), fold AS (
+      SELECT p2.g, 2 AS rn, p2.n, p2.b AS cur_b,
+             p1.xq AS prev_x, p1.yq AS prev_y,
+             {_LTTB_AREA_BASE} AS best_a,
+             p2.rn AS best_rn, p2.xq AS best_x, p2.yq AS best_y,
+             CAST([] AS BIGINT[]) AS sel
+      FROM q p1
+      JOIN q p2 ON p2.g = p1.g AND p2.rn = 2
+      JOIN anchors a ON a.g = p2.g AND a.b = p2.b
+      WHERE p1.rn = 1
+      UNION ALL
+      SELECT f.g, p.rn, f.n, p.b,
+             CASE WHEN p.b > f.cur_b THEN f.best_x ELSE f.prev_x END,
+             CASE WHEN p.b > f.cur_b THEN f.best_y ELSE f.prev_y END,
+             CASE WHEN p.b > f.cur_b OR {_LTTB_AREA_STEP} > f.best_a
+                  THEN {_LTTB_AREA_STEP} ELSE f.best_a END,
+             CASE WHEN p.b > f.cur_b OR {_LTTB_AREA_STEP} > f.best_a
+                  THEN p.rn ELSE f.best_rn END,
+             CASE WHEN p.b > f.cur_b OR {_LTTB_AREA_STEP} > f.best_a
+                  THEN p.xq ELSE f.best_x END,
+             CASE WHEN p.b > f.cur_b OR {_LTTB_AREA_STEP} > f.best_a
+                  THEN p.yq ELSE f.best_y END,
+             CASE WHEN p.b > f.cur_b THEN list_append(f.sel, f.best_rn) ELSE f.sel END
+      FROM fold f
+      JOIN q p ON p.g = f.g AND p.rn = f.rn + 1 AND p.rn <= f.n - 1
+      JOIN anchors a ON a.g = p.g AND a.b = p.b
+    ), final AS (
+      SELECT g, sel, best_rn
+      FROM (SELECT *, row_number() OVER (PARTITION BY g ORDER BY rn DESC) AS r FROM fold)
+      WHERE r = 1
+    ), chosen AS (
+      SELECT g, 1 AS rn FROM (SELECT DISTINCT g FROM q)
+      UNION ALL SELECT g, unnest(sel) FROM final
+      UNION ALL SELECT g, best_rn FROM final
+      UNION ALL SELECT DISTINCT g, n AS rn FROM q
+    )
+    SELECT q.g AS event_type, q.x AS ts_us, round(q.y, 6) AS value, q.event_id
+    FROM chosen JOIN q ON q.g = chosen.g AND q.rn = chosen.rn
+    ORDER BY event_type, ts_us, event_id
+    """,
+    note="ClickHouse largestTriangleThreeBuckets(12)(ts, value) per "
+    "event_type: sequential per-bucket selection (operators/lttb.py, "
+    "one shuffle + per-series numpy pass). The oracle replays the same "
+    "integer-quantized spec as a DuckDB recursive-CTE fold over points "
+    "in (x, event_id) order — two independent implementations of one "
+    "written spec, hash-matched",
+)
+def e18_lttb_downsample(spark, sf_dir):
+    from laion_spark.operators.lttb import lttb
+
+    e = ev(spark, sf_dir)
+    out = lttb(
+        e,
+        x_col="ts_us",
+        y_col="value",
+        n_out=12,
+        group_by="event_type",
+        tiebreak="event_id",
+    )
+    return out.select(
+        "event_type", "ts_us", F.round("value", 6).alias("value"), "event_id"
+    ).orderBy("event_type", "ts_us", "event_id")
