@@ -293,25 +293,27 @@ def main() -> None:
         from laion_spark.operators.similarity import IVFIndex
 
         # C=256 matches the fixture's 256-center generative structure;
-        # with IN-DISTRIBUTION queries (below) recall@10 is 1.0 at
-        # nprobe=8 reading ~10% of the bytes (measured — cluster sizes
-        # are skewed, so the nominal 8/256 understates it). 32 MB row
-        # groups are the probe's parallelism grain: the scan scorer
-        # splits per (file, row_group), and the default ~128 MB groups
-        # left a 0.75 s straggler task per probe (measured 1.8 s ->
-        # 1.1 s probe from this one knob).
-        C, NPROBE = 256, 8
+        # with IN-DISTRIBUTION queries (below) recall@10 is 1.0 even at
+        # nprobe=2 (measured; clusters are well separated, and cluster
+        # sizes are skewed so nominal nprobe/C understates the bytes).
+        # Row groups are the probe's parallelism grain: the scan scorer
+        # splits per (file, row_group) and each cluster is ONE ~47 MB
+        # file, so at the old 32 MB grain an nprobe=8 probe yielded only
+        # ~16 splits — half the 32 cores idle. 8 MB row groups give the
+        # probe ~6 splits per probed file (24-48 tasks), and a probe's
+        # wall-clock is decode-bound at full width.
+        C, NPROBE, RG_MB = 256, 4, 8
         vecs_c = synth_vectors(spark, N_ANN, DIM, clustered=True)
         cpath = f"/tmp/laion_bench_{N_ANN}x{DIM}_clustered.parquet"
-        ivf_path = f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf{C}.parquet"
-        cent_path = f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf{C}_centroids.json"
+        ivf_path = f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf{C}rg{RG_MB}.parquet"
+        cent_path = f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf{C}rg{RG_MB}_centroids.json"
         idx = IVFIndex(dim=DIM, n_clusters=C, n_iters=4, nprobe=NPROBE)
         if os.path.exists(cent_path) and os.path.exists(f"{ivf_path}/_SUCCESS"):
             idx.centroids = json.load(open(cent_path))
         else:
             t0 = time.perf_counter()
             idx.fit(vecs_c, id_col="id", vector_col="embedding", fit_rows=200_000)
-            idx.write_index(vecs_c, ivf_path, "embedding")
+            idx.write_index(vecs_c, ivf_path, "embedding", row_group_bytes=RG_MB * 1024 * 1024)
             json.dump(idx.centroids, open(cent_path, "w"))
             print(f"  ivf build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
@@ -348,13 +350,22 @@ def main() -> None:
             total_k += 10
         extras["ann768_recall_at_10"] = round(hits / total_k, 2)
 
-        # timing on the first query (everything warm from the recall pass)
-        ets = sorted(timed(lambda: exact_with(aq)) for _ in range(3))
-        queries["ann768_exact"] = ets[1]
+        # timing on the first query (everything warm from the recall
+        # pass). ann768_speedup is BEST/BEST — the same
+        # contention-resistant policy as knn768's best-of-N rows/s:
+        # this host shows 2-5x wall-clock swings under neighbor CPU
+        # load (an exact scan measured [2.9, 4.3, 6.4, 14.4] s in one
+        # session), and a median/median ratio of two noisy
+        # distributions measures the neighbors, not the index. The
+        # median/median ratio is kept as ann768_speedup_median.
+        ets = sorted(timed(lambda: exact_with(aq)) for _ in range(5))
+        queries["ann768_exact"] = ets[2]
         ts = sorted(timed(lambda: ann_with(aq)) for _ in range(5))
         queries["ann768"] = ts[2]
         extras["ann768_best_sec"] = ts[0]
-        extras["ann768_speedup"] = round(ets[1] / ts[2], 2)
+        extras["ann768_exact_best_sec"] = ets[0]
+        extras["ann768_speedup"] = round(ets[0] / ts[0], 2)
+        extras["ann768_speedup_median"] = round(ets[2] / ts[2], 2)
         # the scale-honest signal: the fraction of table bytes a probe
         # actually reads (MEASURED over the probed partition dirs —
         # cluster sizes are skewed, so nominal nprobe/C would flatter

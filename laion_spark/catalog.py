@@ -4394,3 +4394,135 @@ def e18_lttb_downsample(spark, sf_dir):
     return out.select(
         "event_type", "ts_us", F.round("value", 6).alias("value"), "event_id"
     ).orderBy("event_type", "ts_us", "event_id")
+
+
+# =============================================================================
+# Round-6 additions: remaining TPC-H correlated-subquery shapes and a
+# mergeable distinct-count sketch (ClickHouse uniqCombined -State/-Merge
+# analog via Spark's DataSketches HLL surface).
+# =============================================================================
+
+
+@query(
+    "q67_order_priority_check",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    note="TPC-H Q4 shape (correlated EXISTS; adapted to this schema's "
+    "columns: 'late' = shipped >60 days after order). Spark realization "
+    "is a LEFT SEMI join on orderkey with the date inequality as a "
+    "residual join condition — the orders date range prunes at the scan, "
+    "the semi join never materializes lineitem columns, and the final "
+    "agg is 5 groups (map-side combine, no second data shuffle)",
+)
+def q67_order_priority_check(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q68_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    note="TPC-H Q13 shape: outer join with a non-key join predicate "
+    "(the predicate belongs to the JOIN, not a WHERE — a WHERE would "
+    "silently turn the outer join inner), per-customer order count, "
+    "then the distribution of that count. Scale: one shuffle on "
+    "custkey for join+first agg (same key, AQE reuses the exchange); "
+    "the second agg's domain is tiny (distinct order counts)",
+)
+def q68_customer_distribution(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q69_hll_sketch_merge",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_exact,
+           TRUE AS sketch_ok
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    note="ClickHouse uniqCombinedState/-Merge analog: per-(type, day) "
+    "partial HLL sketches (hll_sketch_agg — Apache DataSketches, "
+    "mergeable binary state), re-aggregated to event_type with "
+    "hll_union_agg and read out via hll_sketch_estimate. This is the "
+    "100 TB pattern for distinct counts: daily partials are computed "
+    "once, stored small, and merged across any date range without "
+    "rescanning raw data. The estimate is approximate by construction, "
+    "so the hash-matched contract is the tolerance BOOLEAN (within 5% "
+    "of exact; DataSketches lgK=12 is ~1.6% RSE) plus the exact count "
+    "— the same bounded-error oracle style as the ANN recall gates",
+)
+def q69_hll_sketch_merge(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    partial = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = partial.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_est")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return (
+        exact.join(merged, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            (
+                F.abs(F.col("n_est") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("sketch_ok"),
+        )
+        .orderBy("event_type")
+    )

@@ -416,3 +416,45 @@ def test_q66_semi_join_prunes_columns(spark, sf_dir):
     for ln in scans:
         assert "l_extendedprice" not in ln, ln
         assert "l_shipdate" not in ln, ln
+
+
+def test_q67_semi_join_with_pushed_date_range(spark, sf_dir):
+    """TPC-H Q4 shape: the EXISTS compiles to a LEFT SEMI join, the
+    orders date range reaches the scan (PushedFilters), and the
+    lineitem side reads only the two columns the condition needs."""
+    from laion_spark.catalog import REGISTRY
+
+    p = plan_str(REGISTRY["q67_order_priority_check"].fn(spark, sf_dir))
+    assert "LeftSemi" in p, p
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln for ln in pushed), pushed
+    scans = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    li_scans = [ln for ln in scans if "l_orderkey" in ln]
+    assert li_scans and all(
+        "l_extendedprice" not in ln and "l_quantity" not in ln for ln in li_scans
+    ), li_scans
+
+
+def test_q68_single_custkey_shuffle_domain(spark, sf_dir):
+    """TPC-H Q13 shape: the join predicate on o_orderpriority must stay
+    in the JOIN (outer semantics preserved — the plan keeps LeftOuter),
+    and the orders scan must not read beyond (o_custkey, o_orderkey,
+    o_orderpriority)."""
+    from laion_spark.catalog import REGISTRY
+
+    p = plan_str(REGISTRY["q68_customer_distribution"].fn(spark, sf_dir))
+    assert "LeftOuter" in p, p
+    scans = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    o_scans = [ln for ln in scans if "o_custkey" in ln]
+    assert o_scans and all("o_totalprice" not in ln for ln in o_scans), o_scans
+
+
+def test_q69_sketch_partials_are_objecthashaggregate(spark, sf_dir):
+    """HLL sketch partials must run as ObjectHashAggregate (binary
+    sketch state, map-side combined) — a SortAggregate here would mean
+    per-group sorting of the fact table at 100 TB."""
+    from laion_spark.catalog import REGISTRY
+
+    p = plan_str(REGISTRY["q69_hll_sketch_merge"].fn(spark, sf_dir))
+    assert "ObjectHashAggregate" in p, p
+    assert "hll_sketch_agg" in p and "hll_union_agg" in p, p
