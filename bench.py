@@ -150,6 +150,30 @@ def synth_vectors(spark, n: int, dim: int, clustered: bool = False):
     return spark.read.parquet(path)
 
 
+#: wall-clock budget for the whole bench (seconds). A cold /tmp means
+#: the vector sections rebuild ~25 GB of fixtures (~10 min); if the
+#: harness running us enforces a hard timeout, dying mid-build would
+#: emit NO summary line at all (the round-3 failure mode, different
+#: cause). Sections check the budget before starting and record a
+#: skipped marker instead — the JSON line always prints.
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2100"))
+_T_START = time.perf_counter()
+
+
+class _BudgetSkip(Exception):
+    """Raised inside a bench section to skip it once the budget is
+    spent; the skip marker is already recorded by over_budget."""
+
+
+def over_budget(errors: dict, key: str) -> bool:
+    spent = time.perf_counter() - _T_START
+    if spent < BUDGET_S:
+        return False
+    errors[key] = f"skipped: bench budget exceeded ({spent:.0f}s > {BUDGET_S:.0f}s)"
+    print(f"  {key}: SKIPPED over budget ({spent:.0f}s)", file=sys.stderr)
+    return True
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_session("laion_spark_bench")
@@ -168,6 +192,8 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
     for name in HEADLINERS:
+        if over_budget(errors, name):
+            continue
         try:
             spec = REGISTRY[name]
             spec.fn(spark, SF_DIR).collect()  # warm (codegen + cache)
@@ -192,6 +218,8 @@ def main() -> None:
     extras: dict[str, float | int] = {}
 
     try:
+        if over_budget(errors, "knn768"):
+            raise _BudgetSkip
         t0 = time.perf_counter()
         vecs = synth_vectors(spark, N_VEC, DIM)
         print(f"  synth_vectors({N_VEC}x{DIM}): {time.perf_counter()-t0:.1f}s", file=sys.stderr)
@@ -221,6 +249,8 @@ def main() -> None:
             extras[f"{key}_best_sec"] = ts[0]
             extras[f"{key}_rows_per_sec"] = round(N_VEC / ts[0])
             print(f"  {key}: {ts}", file=sys.stderr)
+    except _BudgetSkip:
+        pass
     except Exception as ex:  # noqa: BLE001
         errors["knn768"] = f"{type(ex).__name__}: {ex}"[:500]
         print(f"  knn768: FAILED {errors['knn768'].splitlines()[0]}", file=sys.stderr)
@@ -239,6 +269,8 @@ def main() -> None:
     # scan. Proves the reference's concept pipeline shape at bench
     # scale; cost == one extra knn768-style query.
     try:
+        if over_budget(errors, "concept768"):
+            raise _BudgetSkip
         from laion_spark.functions.encoder import HashEncoder
         from laion_spark.plans.concept import eval_concept
 
@@ -254,6 +286,8 @@ def main() -> None:
         queries["concept768"] = ts[1]
         extras["concept768_best_sec"] = ts[0]
         print(f"  concept768: {ts}", file=sys.stderr)
+    except _BudgetSkip:
+        pass
     except Exception as ex:  # noqa: BLE001
         errors["concept768"] = f"{type(ex).__name__}: {ex}"[:500]
         print(f"  concept768: FAILED {errors['concept768'].splitlines()[0]}", file=sys.stderr)
@@ -263,6 +297,8 @@ def main() -> None:
     # half the scan bytes; only the Arrow scan path can read it (Spark's
     # JVM reader rejects FLOAT16 parquet).
     try:
+        if over_budget(errors, "knn768_f16"):
+            raise _BudgetSkip
         from laion_spark.sources.halfvec import write_half_table
 
         half_path = f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet"
@@ -285,11 +321,15 @@ def main() -> None:
 
         extras["knn768_f16_bytes_fraction"] = round(du(half_path) / du(bench_path), 4)
         print(f"  knn768_f16: {ts} bytes_frac={extras['knn768_f16_bytes_fraction']}", file=sys.stderr)
+    except _BudgetSkip:
+        pass
     except Exception as ex:  # noqa: BLE001
         errors["knn768_f16"] = f"{type(ex).__name__}: {ex}"[:500]
         print(f"  knn768_f16: FAILED {errors['knn768_f16'].splitlines()[0]}", file=sys.stderr)
 
     try:
+        if over_budget(errors, "ann768"):
+            raise _BudgetSkip
         from laion_spark.operators.similarity import IVFIndex
 
         # C=256 matches the fixture's 256-center generative structure;
@@ -374,6 +414,8 @@ def main() -> None:
                      if os.path.isdir(f"{ivf_path}/ivf_cluster={p}"))
         extras["ann768_bytes_fraction"] = round(probed / du(ivf_path), 4)
         print(f"  ann768: {ts} recall={extras['ann768_recall_at_10']} speedup={extras['ann768_speedup']}", file=sys.stderr)
+    except _BudgetSkip:
+        pass
     except Exception as ex:  # noqa: BLE001
         errors["ann768"] = f"{type(ex).__name__}: {ex}"[:500]
         print(f"  ann768: FAILED {errors['ann768'].splitlines()[0]}", file=sys.stderr)
