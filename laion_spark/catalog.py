@@ -4526,3 +4526,58 @@ def q69_hll_sketch_merge(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q70_sample_clause",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n,
+           {_dsum_sql('value')} AS total_value
+    FROM events
+    WHERE (user_id * 2654435761) % 4294967296 < 429496729
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    note="ClickHouse SAMPLE-clause analog (SAMPLE 1/10 over SAMPLE BY "
+    "intHash32(user_id)): deterministic key-coherent hash sampling as "
+    "a pure Catalyst filter — same row set on every engine/rerun, all "
+    "of a user's rows kept or dropped together, filter evaluated at "
+    "the scan so a sampled aggregation moves ~1/10 of the data at "
+    "100 TB. Oracle replays the identical Knuth-hash arithmetic",
+)
+def q70_sample_clause(spark, sf_dir):
+    from laion_spark.operators.sample import sample_by
+
+    e = sample_by(t(spark, sf_dir, "events"), "user_id", 0.1)
+    return (
+        e.groupBy("event_type")
+        .agg(F.count("*").alias("n"), dsum("value", "total_value"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q71_array_join",
+    oracle="""
+    SELECT doc_id, tok, ord FROM (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS ord
+      FROM documents WHERE doc_id % 20 = 0
+    )
+    ORDER BY doc_id, ord
+    """,
+    note="ClickHouse ARRAY JOIN with ordinality (arrayJoin + "
+    "arrayEnumerate): posexplode keeps the element position, the "
+    "per-document token stream stays reconstructable. Generate-side "
+    "operator (no shuffle; explode inside whole-stage codegen); "
+    "DuckDB oracle zips parallel unnests for the ordinal",
+)
+def q71_array_join(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").filter("doc_id % 20 = 0")
+    return (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+        .select("doc_id", "tok", (F.col("pos") + 1).cast("bigint").alias("ord"))
+        .orderBy("doc_id", "ord")
+    )
