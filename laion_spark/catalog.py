@@ -4581,3 +4581,123 @@ def q71_array_join(spark, sf_dir):
         .select("doc_id", "tok", (F.col("pos") + 1).cast("bigint").alias("ord"))
         .orderBy("doc_id", "ord")
     )
+
+
+@query(
+    "q72_quantile_sketch_merge",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS p50_exact,
+           TRUE AS sketch_ok
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    note="ClickHouse quantileTDigestState/-Merge analog: per-(type, day) "
+    "KLL sketches (kll_sketch_agg_double — Apache DataSketches, "
+    "mergeable binary state, exact n) re-merged to event_type with "
+    "kll_merge_agg_double and queried for the median. The 100 TB "
+    "pattern for percentiles: daily partials stored small, merged over "
+    "any date range without rescanning raw data. KLL returns an order "
+    "statistic with bounded RANK error (k=200 -> ~1.65% at 99% conf), "
+    "so the gate is rank-based: the exact rank of the sketch's median "
+    "must land within 5% of 0.5. Exact n and exact p50 are hash-matched",
+)
+def q72_quantile_sketch_merge(spark, sf_dir):
+    e = ev(spark, sf_dir)
+    daily = e.groupBy("event_type", F.to_date("ts_t").alias("d")).agg(
+        F.kll_sketch_agg_double("value").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.kll_merge_agg_double("sk").alias("sk")
+    )
+    est = merged.select(
+        "event_type",
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50_est"),
+    )
+    # exact rank of the estimate (one extra agg over events, broadcast
+    # est is 5 rows) — the bounded-error contract, ANN-recall-gate style
+    ranked = (
+        e.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.percentile("value", 0.5), 6).alias("p50_exact"),
+            (
+                (F.sum((F.col("value") <= F.col("p50_est")).cast("long")) / F.count("*"))
+                .between(0.45, 0.55)
+            ).alias("sketch_ok"),
+        )
+    )
+    return ranked.orderBy("event_type")
+
+
+@query(
+    "q73_theta_set_ops",
+    oracle="""
+    WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+    SELECT (SELECT count(*) FROM p) AS n_purchase,
+           (SELECT count(*) FROM c) AS n_click,
+           (SELECT count(*) FROM (SELECT * FROM p INTERSECT SELECT * FROM c)) AS n_both_exact,
+           TRUE AS inter_ok, TRUE AS union_ok, TRUE AS diff_ok
+    """,
+    note="ClickHouse uniqTheta + uniqThetaIntersect/Union/Not analog: "
+    "per-(type, day) theta sketches (theta_sketch_agg — DataSketches "
+    "binary state) merged with theta_union_agg, then SET ALGEBRA on "
+    "the merged sketches: estimated |purchasers AND clickers|, "
+    "|purchasers OR clickers|, |purchasers NOT clickers| — distinct "
+    "sets never materialize, so segment overlap at 100 TB is a "
+    "sketch-sized merge, not a distinct-join. Exact counts are "
+    "hash-matched; each estimate gates at 5% (theta default k=4096 is "
+    "EXACT below ~4096 distinct keys and <2% RSE above)",
+)
+def q73_theta_set_ops(spark, sf_dir):
+    e = ev(spark, sf_dir)
+    daily = (
+        e.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("event_type", F.to_date("ts_t").alias("d"))
+        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+    )
+    bytype = daily.groupBy("event_type").agg(F.theta_union_agg("sk").alias("sk"))
+    p = bytype.filter(F.col("event_type") == "purchase").select(F.col("sk").alias("sp"))
+    c = bytype.filter(F.col("event_type") == "click").select(F.col("sk").alias("sc"))
+    ests = p.crossJoin(c).select(
+        F.theta_sketch_estimate(F.theta_intersection("sp", "sc")).alias("e_inter"),
+        F.theta_sketch_estimate(F.theta_union("sp", "sc")).alias("e_union"),
+        F.theta_sketch_estimate(F.theta_difference("sp", "sc")).alias("e_diff"),
+    )
+    exact = e.select(
+        F.count_distinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("n_purchase"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("n_click"),
+    )
+    both = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .intersect(
+            e.filter(F.col("event_type") == "click").select("user_id").distinct()
+        )
+        .agg(F.count("*").alias("n_both_exact"))
+    )
+
+    out = exact.crossJoin(both).crossJoin(ests)
+    return out.select(
+        "n_purchase",
+        "n_click",
+        "n_both_exact",
+        (F.abs(F.col("e_inter") - F.col("n_both_exact")) <= 0.05 * F.col("n_both_exact")).alias("inter_ok"),
+        (
+            F.abs(F.col("e_union") - (F.col("n_purchase") + F.col("n_click") - F.col("n_both_exact")))
+            <= 0.05 * (F.col("n_purchase") + F.col("n_click") - F.col("n_both_exact"))
+        ).alias("union_ok"),
+        (
+            F.abs(F.col("e_diff") - (F.col("n_purchase") - F.col("n_both_exact")))
+            <= 0.05 * F.greatest(F.col("n_purchase") - F.col("n_both_exact"), F.lit(1))
+        ).alias("diff_ok"),
+    )

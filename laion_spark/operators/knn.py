@@ -518,15 +518,16 @@ def knn_search_parquet(
 
     qvec = [float(x) for x in query_vec]
     if batch_rows is None:
-        # cache-blocked default: keep a batch's vector block (~768 KB)
+        # cache-blocked default: keep a batch's vector block (~1.5 MB)
         # inside L2 so the decode -> norm -> GEMV passes run on hot
-        # data. Measured at 1M x 768-d f32: 2.1x the single-thread
-        # decode+score rate of 32768-row batches (235 -> 442 MB/s) and
-        # ~1.6x the 32-way parallel query wall-clock — the scorer is
-        # memory-bandwidth-bound at full parallelism, so traffic saved
-        # is time saved. Floor of 256 rows: below that, per-batch
-        # numpy/bookkeeping overhead wins.
-        batch_rows = max(256, 196_608 // max(len(query_vec), 1))
+        # data. Measured at 1M x 768-d f32: large batches lose to
+        # memory traffic (32768-row decode+score is ~1.7x slower
+        # single-thread), tiny ones to per-batch numpy overhead; 512
+        # rows at 768-d is the measured parallel optimum on a 32-core
+        # host (best 1.11 s vs 1.14/1.17/1.28 s for 256/1024/2048-row
+        # batches, and the tightest run-to-run spread). Floor of 256
+        # rows: below that, bookkeeping always wins.
+        batch_rows = max(256, 393_216 // max(len(query_vec), 1))
     import pyarrow as pa
 
     #: select columns needing an Arrow-side upcast before rows reach the
