@@ -4701,3 +4701,115 @@ def q73_theta_set_ops(spark, sf_dir):
             <= 0.05 * F.greatest(F.col("n_purchase") - F.col("n_both_exact"), F.lit(1))
         ).alias("diff_ok"),
     )
+
+
+@query(
+    "q74_simple_linear_regression",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sxx
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+    FROM s ORDER BY l_returnflag
+    """,
+    note="ClickHouse simpleLinearRegression(x, y) analog: least-squares "
+    "slope/intercept of extendedprice on quantity per returnflag. "
+    "Algebraic — five partial sums (n, Sx, Sy, Sxy, Sxx) map-side "
+    "combine into 3 groups; the normal-equation arithmetic runs on "
+    "exact DECIMAL(30,6) sums (order-independent) so both engines "
+    "divide identical doubles. One shuffle of 5 numbers per group at "
+    "any scale",
+)
+def q74_simple_linear_regression(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    d30 = lambda c: F.sum(c.cast("decimal(30,6)")).cast("double")  # noqa: E731
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        d30(F.col("l_quantity")).alias("sx"),
+        d30(F.col("l_extendedprice")).alias("sy"),
+        d30(F.col("l_quantity") * F.col("l_extendedprice")).alias("sxy"),
+        d30(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "q75_rank_corr",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag,
+             (2.0 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+              + count(*) OVER (PARTITION BY l_returnflag, l_quantity) - 1) / 2.0 AS rx,
+             (2.0 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+              + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) - 1) / 2.0 AS ry
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(rx AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(ry AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(rx * ry AS DECIMAL(30,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(rx * rx AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(ry * ry AS DECIMAL(30,6))) AS DOUBLE) AS syy
+      FROM r GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((n * sxy - sx * sy)
+                 / sqrt(n * sxx - sx * sx) / sqrt(n * syy - sy * sy), 6) AS spearman
+    FROM s ORDER BY l_returnflag
+    """,
+    note="ClickHouse rankCorr(x, y) analog: Spearman correlation as "
+    "Pearson over average-assigned tie ranks (min-rank + tie-count "
+    "windows give the fractional average rank exactly, no floats until "
+    "the final division). Two window sorts per group, then the same "
+    "algebraic 5-sum reduction as q74 on exact DECIMAL(30,6) "
+    "accumulators — identical doubles enter sqrt/divide in both "
+    "engines. Scale: rank windows partition by group; the reduction "
+    "ships 6 numbers per group",
+)
+def q75_rank_corr(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+
+    def avg_rank(order_col):
+        w = W.partitionBy("l_returnflag").orderBy(order_col)
+        tie = W.partitionBy("l_returnflag", order_col)
+        return (2.0 * F.rank().over(w) + F.count("*").over(tie) - 1) / 2.0
+
+    r = li.select(
+        "l_returnflag",
+        avg_rank("l_quantity").alias("rx"),
+        avg_rank("l_extendedprice").alias("ry"),
+    )
+    d30 = lambda c: F.sum(c.cast("decimal(30,6)")).cast("double")  # noqa: E731
+    s = r.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        d30(F.col("rx")).alias("sx"),
+        d30(F.col("ry")).alias("sy"),
+        d30(F.col("rx") * F.col("ry")).alias("sxy"),
+        d30(F.col("rx") * F.col("rx")).alias("sxx"),
+        d30(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return s.select(
+        "l_returnflag", "n", F.round(num / den, 6).alias("spearman")
+    ).orderBy("l_returnflag")
