@@ -458,3 +458,65 @@ def test_q69_sketch_partials_are_objecthashaggregate(spark, sf_dir):
     p = plan_str(REGISTRY["q69_hll_sketch_merge"].fn(spark, sf_dir))
     assert "ObjectHashAggregate" in p, p
     assert "hll_sketch_agg" in p and "hll_union_agg" in p, p
+
+
+def test_q70_sample_filter_below_first_exchange(spark, sf_dir):
+    """The SAMPLE predicate must run at the scan (before the groupBy
+    shuffle): at 100 TB a post-shuffle sample would move 10x the data.
+    No Python node anywhere — the hash is pure Catalyst arithmetic."""
+    from laion_spark.catalog import REGISTRY
+
+    p = plan_str(REGISTRY["q70_sample_clause"].fn(spark, sf_dir), "simple")
+    assert "Python" not in p, p
+    assert "Filter" in p, p
+    # scan -> filter -> partial agg happen in ONE stage: the only
+    # shuffles are the 5-group final agg + the result-surface sort
+    assert p.count("Exchange") <= 2, p
+
+
+def test_q72_kll_partials_are_objecthashaggregate(spark, sf_dir):
+    """KLL quantile partials must map-side combine as binary sketch
+    state (ObjectHashAggregate), mirroring the q69 HLL contract."""
+    from laion_spark.catalog import REGISTRY
+
+    p = plan_str(REGISTRY["q72_quantile_sketch_merge"].fn(spark, sf_dir))
+    assert "ObjectHashAggregate" in p, p
+    assert "kll_sketch_agg" in p and "kll_merge_agg" in p, p
+
+
+def test_q73_theta_partials_are_objecthashaggregate(spark, sf_dir):
+    """Theta set-algebra runs on merged sketch state — partials are
+    ObjectHashAggregate; the raw events table is scanned exactly twice
+    (sketch pass + exact-count gate), never joined on user_id."""
+    from laion_spark.catalog import REGISTRY
+
+    p = plan_str(REGISTRY["q73_theta_set_ops"].fn(spark, sf_dir))
+    assert "ObjectHashAggregate" in p, p
+    assert "theta_sketch_agg" in p and "theta_union_agg" in p, p
+
+
+def test_q74_regression_is_single_shuffle_algebraic(spark, sf_dir):
+    """simpleLinearRegression reduces to 5 partial sums: one HashAggregate
+    pair around one Exchange; no window, no join, no second fact scan."""
+    from laion_spark.catalog import REGISTRY
+
+    p = plan_str(REGISTRY["q74_simple_linear_regression"].fn(spark, sf_dir), "simple")
+    assert "HashAggregate" in p, p
+    assert "Window" not in p and "Join" not in p.replace("JoinType", ""), p
+    # exactly one data shuffle (groupBy) + the result-surface sort
+    assert p.count("Exchange") <= 2, p
+
+
+def test_q75_rank_windows_share_partitioning(spark, sf_dir):
+    """Spearman's two rank windows both partition by l_returnflag: the
+    plan must not re-Exchange between them (one partition-key shuffle,
+    re-sorted in place for the second order key)."""
+    from laion_spark.catalog import REGISTRY
+
+    p = plan_str(REGISTRY["q75_rank_corr"].fn(spark, sf_dir))
+    # windows + groupBy + final sort: allow at most 3 Exchanges, and
+    # all hashpartitioning exchanges must be on l_returnflag
+    import re
+
+    hashparts = re.findall(r"hashpartitioning\(([^,)]+)", p)
+    assert hashparts and all("l_returnflag" in h for h in hashparts), hashparts
