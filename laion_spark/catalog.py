@@ -3416,7 +3416,7 @@ def q49_with_totals(spark, sf_dir):
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     )
     SELECT event_type,
-           coalesce(sum(seg) FILTER (WHERE open_before), 0) AS covered
+           CAST(coalesce(sum(seg) FILTER (WHERE open_before), 0) AS BIGINT) AS covered
     FROM sweep
     GROUP BY event_type
     ORDER BY event_type
@@ -3963,7 +3963,7 @@ def q57_array_join_enumerate(spark, sf_dir):
     oracle="""
     SELECT item, n, err FROM (
       SELECT event_type AS item,
-             sum(CAST(floor(value) AS BIGINT)) AS n,
+             CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS n,
              CAST(0 AS BIGINT) AS err
       FROM events GROUP BY event_type
     ) ORDER BY n DESC, item ASC LIMIT 3
@@ -3995,7 +3995,7 @@ def q58_topk_weighted(spark, sf_dir):
     "q59_managed_table_roundtrip",
     oracle="""
     SELECT lang, count(*) AS n_docs,
-           sum(CAST(length(text) AS BIGINT)) AS total_chars
+           CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars
     FROM documents GROUP BY lang ORDER BY lang
     """,
     note="S6 managed-table sink round-trip: documents saved via "
@@ -4813,3 +4813,74 @@ def q75_rank_corr(spark, sf_dir):
     return s.select(
         "l_returnflag", "n", F.round(num / den, 6).alias("spearman")
     ).orderBy("l_returnflag")
+
+
+@query(
+    "e19_mann_whitney_u",
+    oracle="""
+    WITH g AS (
+      SELECT value,
+             count(*) AS t,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS t1
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY value
+    ), r AS (
+      SELECT t, t1,
+             coalesce(sum(t) OVER (ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_less
+      FROM g
+    ), s AS (
+      SELECT CAST(sum(t1) AS BIGINT) AS n1,
+             CAST(sum(t - t1) AS BIGINT) AS n2,
+             CAST(sum(t) AS BIGINT) AS n,
+             CAST(sum(CAST(t1 * (cum_less + (t + 1) / 2.0) AS DECIMAL(30,6))) AS DOUBLE) AS r1,
+             CAST(sum(CAST(t * t * t - t AS DECIMAL(30,6))) AS DOUBLE) AS tie3
+      FROM r
+    )
+    SELECT n1, n2,
+           round(r1 - n1 * (n1 + 1) / 2.0, 6) AS u1,
+           round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                 / sqrt(n1 * n2 / 12.0 * ((n + 1) - tie3 / (n * (n - 1.0)))), 6) AS z
+    FROM s
+    """,
+    note="ClickHouse mannWhitneyUTest(value, sample_index) analog over "
+    "click-vs-view event values: average tie ranks derived from a "
+    "prefix sum over the DISTINCT-value table (cum_less + (t+1)/2), "
+    "then U1 = R1 - n1(n1+1)/2 and the tie-corrected normal z. "
+    "Strictly more scale-friendly than the reference's "
+    "buffer-all-samples aggregate state: raw events reduce to one row "
+    "per distinct value before any ordered pass (p-value omitted: "
+    "neither engine ships erf; p = 2(1-Phi(|z|))). All accumulations "
+    "are exact DECIMAL(30,6) half-integers, so both engines divide "
+    "identical doubles",
+)
+def e19_mann_whitney_u(spark, sf_dir):
+    e = t(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "view"))
+    g = e.groupBy("value").agg(
+        F.count("*").alias("t"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("t1"),
+    )
+    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, -1)
+    r = g.select(
+        "t",
+        "t1",
+        F.coalesce(F.sum("t").over(w), F.lit(0)).alias("cum_less"),
+    )
+    d30 = lambda c: F.sum(c.cast("decimal(30,6)")).cast("double")  # noqa: E731
+    s = r.select(
+        F.sum("t1").alias("n1"),
+        F.sum(F.col("t") - F.col("t1")).alias("n2"),
+        F.sum("t").alias("n"),
+        d30(F.col("t1") * (F.col("cum_less") + (F.col("t") + 1) / 2.0)).alias("r1"),
+        d30(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"),
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    z = (u1 - F.col("n1") * F.col("n2") / 2.0) / F.sqrt(
+        F.col("n1")
+        * F.col("n2")
+        / 12.0
+        * ((F.col("n") + 1) - F.col("tie3") / (F.col("n") * (F.col("n") - 1.0)))
+    )
+    return s.select(
+        "n1", "n2", F.round(u1, 6).alias("u1"), F.round(z, 6).alias("z")
+    )
