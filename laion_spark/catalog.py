@@ -2337,7 +2337,7 @@ def q35_window_distribution(spark, sf_dir):
     )
     AND NOT EXISTS (
       SELECT 1 FROM lineitem l2
-      WHERE l2.l_suppkey = s.s_suppkey AND l2.l_discount > 0.09
+      WHERE l2.l_suppkey = s.s_suppkey AND l2.l_discount > 0.09 AND l2.l_quantity > 48
     )
     ORDER BY s.s_suppkey
     """,
@@ -2359,7 +2359,7 @@ def q36_correlated_exists(spark, sf_dir):
         )
         AND NOT EXISTS (
           SELECT 1 FROM v_lineitem l2
-          WHERE l2.l_suppkey = s.s_suppkey AND l2.l_discount > 0.09
+          WHERE l2.l_suppkey = s.s_suppkey AND l2.l_discount > 0.09 AND l2.l_quantity > 48
         )
         ORDER BY s.s_suppkey
         """
@@ -4883,4 +4883,44 @@ def e19_mann_whitney_u(spark, sf_dir):
     )
     return s.select(
         "n1", "n2", F.round(u1, 6).alias("u1"), F.round(z, 6).alias("z")
+    )
+
+
+@query(
+    "q76_minmax_map",
+    oracle="""
+    SELECT user_id, event_type,
+           round(min(value), 6) AS vmin,
+           round(max(value), 6) AS vmax
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+    note="ClickHouse minMap/maxMap parity (the sumMap combinator family, "
+    "q47's operator with agg='min'/'max'): key-wise map min and max per "
+    "user, exploded back to scalar rows for the oracle. Same two-narrow-"
+    "shuffle shape as sumMap; min/max are order-independent so no "
+    "decimal detour is needed",
+)
+def q76_minmax_map(spark, sf_dir):
+    from laion_spark.operators.relational import sum_map
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id", F.create_map(F.col("event_type"), F.col("value")).alias("m")
+    )
+    mn = sum_map(e, ["user_id"], "m", agg="min").select(
+        "user_id", F.explode("m").alias("event_type", "vmin")
+    )
+    mx = sum_map(e, ["user_id"], "m", agg="max").select(
+        "user_id", F.explode("m").alias("event_type", "vmax")
+    )
+    return (
+        mn.join(mx, ["user_id", "event_type"])
+        .select(
+            "user_id",
+            "event_type",
+            F.round("vmin", 6).alias("vmin"),
+            F.round("vmax", 6).alias("vmax"),
+        )
+        .orderBy("user_id", "event_type")
     )
