@@ -4855,16 +4855,17 @@ def q75_rank_corr(spark, sf_dir):
     "identical doubles",
 )
 def e19_mann_whitney_u(spark, sf_dir):
+    from laion_spark.operators.prefix import global_prefix_sum
+
     e = t(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "view"))
     g = e.groupBy("value").agg(
         F.count("*").alias("t"),
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("t1"),
     )
-    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, -1)
-    r = g.select(
-        "t",
-        "t1",
-        F.coalesce(F.sum("t").over(w), F.lit(0)).alias("cum_less"),
+    # distributed prefix sum over the distinct-value table (value is a
+    # unique key post-groupBy) — never an Exchange SinglePartition
+    r = global_prefix_sum(g, ["value"], "t", "cum_less", exclusive=True).select(
+        "t", "t1", "cum_less"
     )
     d30 = lambda c: F.sum(c.cast("decimal(30,6)")).cast("double")  # noqa: E731
     s = r.select(
