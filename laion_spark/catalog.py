@@ -4925,3 +4925,42 @@ def q76_minmax_map(spark, sf_dir):
         )
         .orderBy("user_id", "event_type")
     )
+
+
+@query(
+    "q77_running_total",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS rev_micros
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           rev_micros,
+           CAST(sum(rev_micros) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_micros
+    FROM daily ORDER BY day
+    """,
+    note="ClickHouse runningAccumulate / cumulative-revenue shape: daily "
+    "order revenue (exact decimal, surfaced as integer micros so the "
+    "cumulative sum is associativity-proof) with a RUNNING TOTAL in "
+    "global date order computed by global_prefix_sum — distributed "
+    "(range repartition + per-partition window + offset broadcast), "
+    "never an Exchange SinglePartition, while the oracle uses the "
+    "plain single-window SQL the operator must reproduce",
+)
+def q77_running_total(spark, sf_dir):
+    from laion_spark.operators.prefix import global_prefix_sum
+
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,6)")) * 1_000_000)
+        .cast("bigint")
+        .alias("rev_micros")
+    )
+    run = global_prefix_sum(daily, ["d"], "rev_micros", "running_micros", exclusive=False)
+    return run.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "rev_micros",
+        "running_micros",
+    ).orderBy("day")
