@@ -4897,31 +4897,24 @@ def e19_mann_whitney_u(spark, sf_dir):
     GROUP BY user_id, event_type
     ORDER BY user_id, event_type
     """,
-    note="ClickHouse minMap/maxMap parity (the sumMap combinator family, "
-    "q47's operator with agg='min'/'max'): key-wise map min and max per "
-    "user, exploded back to scalar rows for the oracle. Same two-narrow-"
-    "shuffle shape as sumMap; min/max are order-independent so no "
-    "decimal detour is needed",
+    note="ClickHouse minMap/maxMap parity (the sumMap combinator family; "
+    "the per-combinator map re-assembly lives in sum_map with "
+    "agg='min'/'max', unit-tested in test_relational). This entry runs "
+    "the FUSED form — one explode, one narrow (user, key) shuffle "
+    "computing min and max together — because materializing two maps "
+    "only to zip them back costs a second fact scan plus a join; "
+    "min/max are order-independent so no decimal detour is needed",
 )
 def q76_minmax_map(spark, sf_dir):
-    from laion_spark.operators.relational import sum_map
-
     e = t(spark, sf_dir, "events").select(
         "user_id", F.create_map(F.col("event_type"), F.col("value")).alias("m")
     )
-    mn = sum_map(e, ["user_id"], "m", agg="min").select(
-        "user_id", F.explode("m").alias("event_type", "vmin")
-    )
-    mx = sum_map(e, ["user_id"], "m", agg="max").select(
-        "user_id", F.explode("m").alias("event_type", "vmax")
-    )
+    kv = e.select("user_id", F.explode("m").alias("event_type", "v"))
     return (
-        mn.join(mx, ["user_id", "event_type"])
-        .select(
-            "user_id",
-            "event_type",
-            F.round("vmin", 6).alias("vmin"),
-            F.round("vmax", 6).alias("vmax"),
+        kv.groupBy("user_id", "event_type")
+        .agg(
+            F.round(F.min("v"), 6).alias("vmin"),
+            F.round(F.max("v"), 6).alias("vmax"),
         )
         .orderBy("user_id", "event_type")
     )

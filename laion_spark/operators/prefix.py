@@ -7,31 +7,54 @@ scale killer for an otherwise-parallel plan. ClickHouse meets the same
 need with ``runningAccumulate`` over a sorted stream; the distributed
 re-expression is the classic three-step:
 
-1. ``repartitionByRange`` on the order key — partitions are globally
-   ordered, rows sorted only within each;
-2. per-partition running sum (a ``Window.partitionBy(partition)`` —
-   no cross-partition traffic);
-3. per-partition totals (one row per partition) collected, exclusive-
-   scanned on the driver, and broadcast-joined back as offsets.
+1. bucket rows by VALUE ranges of the order key — bucket boundaries
+   are computed once (``approxQuantile``) and baked into the plan as
+   literals, so every job that evaluates the lineage assigns the same
+   bucket to the same row. (``repartitionByRange`` is NOT safe here:
+   it re-samples boundaries per physical plan, so the offsets job and
+   the output job can disagree on partition ids — measured 7% of rows
+   misassigned at 20k rows — silently corrupting the sums. Literal
+   boundaries make bucketing a pure deterministic expression.)
+2. per-bucket running sum (a ``Window.partitionBy(bucket)`` — no
+   cross-bucket traffic);
+3. per-bucket totals (one row per bucket) collected, exclusive-scanned
+   on the driver, and broadcast-joined back as offsets.
 
-Every step is parallel; the only serial work is the O(#partitions)
-offset scan. The driver-side collect is bounded by construction
-(``num_partitions`` rows), the same contract style as
-``knn_join.max_queries``.
+Every step is parallel; the only serial work is the O(#buckets) offset
+scan. The driver-side collect is bounded by construction, the same
+contract style as ``knn_join.max_queries``.
 
 Contract: ``order_cols`` must be a UNIQUE key of ``df`` (e.g. the
 output of a groupBy on those columns). With duplicates, rows that
-compare equal could land on either side of a partition boundary and a
-ROWS-frame running sum would give them different prefixes — exactly
-the tie hazard RANGE frames exist for. Callers with ties should
-aggregate per key first (which is also the cheaper plan).
+compare equal would need the same prefix, which a ROWS-frame running
+sum cannot give them — aggregate per key first (also the cheaper
+plan). The first order column must be numeric, date, or timestamp
+(bucket boundaries need a quantile-able surrogate); ties on the first
+column are safe — equal values always land in the same bucket, and the
+within-bucket sort uses all ``order_cols``.
 """
 
 from __future__ import annotations
 
+import decimal
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window as W, functions as F
+
+_NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+
+def _surrogate(df: DataFrame, col: str):
+    """Numeric stand-in for the bucketing column (order-preserving)."""
+    dt = dict(df.dtypes)[col]
+    if dt in _NUMERIC or dt.startswith("decimal"):
+        return F.col(col).cast("double")
+    if dt in ("date", "timestamp", "timestamp_ntz"):
+        return F.unix_micros(F.col(col).cast("timestamp")).cast("double")
+    raise ValueError(
+        f"global_prefix_sum needs a numeric/date/timestamp first order column; "
+        f"{col!r} is {dt}"
+    )
 
 
 def global_prefix_sum(
@@ -48,27 +71,41 @@ def global_prefix_sum(
     the "count of strictly smaller" shape rank statistics need."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
+
+    # one bounded driver action: ~n quantile boundaries of the first
+    # order column, then frozen into the plan as literals
+    sdf = df.withColumn("_ord", _surrogate(df, order_cols[0]))
+    probs = [i / n for i in range(1, n)]
+    bounds = sorted(set(sdf.stat.approxQuantile("_ord", probs, 0.01))) if probs else []
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col("_ord") > F.lit(b)).cast("int")
+    parts = sdf.withColumn("_b", bucket).drop("_ord")
+
     oc = [F.col(c) for c in order_cols]
-    parts = df.repartitionByRange(n, *oc).withColumn("_pid", F.spark_partition_id())
     end = -1 if exclusive else 0
-    w = W.partitionBy("_pid").orderBy(*oc).rowsBetween(W.unboundedPreceding, end)
+    w = W.partitionBy("_b").orderBy(*oc).rowsBetween(W.unboundedPreceding, end)
     local = parts.withColumn("_local", F.coalesce(F.sum(value_col).over(w), F.lit(0)))
 
     totals = {
-        r["_pid"]: r["_tot"]
-        for r in parts.groupBy("_pid").agg(F.sum(value_col).alias("_tot")).collect()
+        r["_b"]: r["_tot"]
+        for r in parts.groupBy("_b").agg(F.sum(value_col).alias("_tot")).collect()
     }
-    is_int = dict(df.dtypes)[value_col] in ("tinyint", "smallint", "int", "bigint")
-    run = 0 if is_int else 0.0
+    dt = dict(df.dtypes)[value_col]
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        off_type, run = "bigint", 0
+    elif dt.startswith("decimal"):
+        # Spark widens sum(decimal(p,s)) by +10 precision — mirror that
+        off_type, run = f"decimal(38,{dt.rstrip(')').split(',')[1]})", decimal.Decimal(0)
+    else:
+        off_type, run = "double", 0.0
     offsets = []
-    for pid in sorted(totals):
-        offsets.append((pid, run))
-        run += totals[pid] or 0
-    off_df = spark.createDataFrame(
-        offsets, f"_pid int, _off {'bigint' if is_int else 'double'}"
-    )
+    for b in sorted(totals):
+        offsets.append((b, run))
+        run += totals[b] or 0
+    off_df = spark.createDataFrame(offsets, f"_b int, _off {off_type}")
     return (
-        local.join(F.broadcast(off_df), "_pid")
-        .withColumn(out_col, F.col("_local") + F.col("_off"))
-        .drop("_pid", "_local", "_off")
+        local.join(F.broadcast(off_df), "_b", "left")
+        .withColumn(out_col, F.col("_local") + F.coalesce(F.col("_off"), F.lit(0)))
+        .drop("_b", "_local", "_off")
     )

@@ -23,11 +23,12 @@ shuffle, so a ``SAMPLE 1/10`` aggregation moves ~1/10 of the data at
 Two hash backends:
 
 * ``method="portable"`` — Knuth multiplicative hash
-  ``(key * 2654435761) mod 2^32``: identical integer arithmetic in
-  every SQL engine, so a DuckDB oracle can replay the exact row set.
-  Contract: the key must fit in ``[0, 2^31)`` (the product then fits
-  int64 with no overflow; asserted via ANSI mode). Hash down wider
-  keys first.
+  ``pmod(key * 2654435761, 2^32)``: identical integer arithmetic in
+  every SQL engine (for non-negative keys ``pmod`` equals plain ``%``,
+  so a DuckDB oracle can replay the exact row set). Contract: the key
+  must fit in ``(-2^31, 2^31)`` so the product fits int64 — beyond
+  that the multiply overflows (an ANSI-mode error, not silence). Hash
+  down wider keys first.
 * ``method="xxhash"`` — ``xxhash64(seed, key) & INT64_MAX`` compared
   against ``fraction * 2^63``: the production path for arbitrary-width
   / composite / string keys (Spark-only; no cross-engine contract).
@@ -44,11 +45,14 @@ _M63 = (1 << 63) - 1
 
 
 def portable_hash32(key: Column | str) -> Column:
-    """``(key * 2654435761) mod 2^32`` as a BIGINT in [0, 2^32) —
-    reproducible in any engine with 64-bit integer arithmetic for
-    keys in [0, 2^31)."""
+    """``pmod(key * 2654435761, 2^32)`` as a BIGINT in [0, 2^32) —
+    reproducible in any engine with 64-bit integer arithmetic for keys
+    in (-2^31, 2^31) (the product then fits int64). The POSITIVE
+    modulus matters: SQL ``%`` follows the dividend's sign, so a plain
+    ``%`` would map every negative key below any threshold and a
+    sample of signed keys would silently keep 100% of the negatives."""
     c = F.col(key) if isinstance(key, str) else key
-    return (c.cast("bigint") * F.lit(_KNUTH)) % F.lit(_M32)
+    return F.pmod(c.cast("bigint") * F.lit(_KNUTH), F.lit(_M32))
 
 
 def sample_by(
@@ -68,12 +72,14 @@ def sample_by(
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if method not in ("portable", "xxhash"):
+        raise ValueError(f"unknown sample method {method!r}")
+    if fraction == 1.0:
+        return df  # keep-everything: no filter (2^63 also overflows lit)
     if method == "portable":
         thresh = int(fraction * _M32)
         return df.filter(portable_hash32(key) < F.lit(thresh))
-    if method == "xxhash":
-        c = F.col(key) if isinstance(key, str) else key
-        thresh = int(fraction * (_M63 + 1))
-        h = F.xxhash64(F.lit(seed), c).bitwiseAND(F.lit(_M63))
-        return df.filter(h < F.lit(thresh))
-    raise ValueError(f"unknown sample method {method!r}")
+    c = F.col(key) if isinstance(key, str) else key
+    thresh = int(fraction * (_M63 + 1))
+    h = F.xxhash64(F.lit(seed), c).bitwiseAND(F.lit(_M63))
+    return df.filter(h < F.lit(thresh))

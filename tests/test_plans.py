@@ -508,15 +508,16 @@ def test_q74_regression_is_single_shuffle_algebraic(spark, sf_dir):
 
 
 def test_q75_rank_windows_share_partitioning(spark, sf_dir):
-    """Spearman's two rank windows both partition by l_returnflag: the
-    plan must not re-Exchange between them (one partition-key shuffle,
-    re-sorted in place for the second order key)."""
+    """Spearman's four window specs (two rank windows, two tie-count
+    windows) and the groupBy all ride ONE hashpartitioning(l_returnflag)
+    exchange — re-sorted in place per order key, never re-shuffled; the
+    only other exchange is the result-surface rangepartitioning sort."""
     from laion_spark.catalog import REGISTRY
 
-    p = plan_str(REGISTRY["q75_rank_corr"].fn(spark, sf_dir))
-    # windows + groupBy + final sort: allow at most 3 Exchanges, and
-    # all hashpartitioning exchanges must be on l_returnflag
     import re
 
+    p = plan_str(REGISTRY["q75_rank_corr"].fn(spark, sf_dir), "simple")
+    assert p.count("Exchange") == 2, p
     hashparts = re.findall(r"hashpartitioning\(([^,)]+)", p)
     assert hashparts and all("l_returnflag" in h for h in hashparts), hashparts
+    assert "rangepartitioning" in p, p  # final ORDER BY only

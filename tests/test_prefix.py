@@ -43,6 +43,59 @@ def test_more_partitions_than_rows(spark):
     assert got == {1: 0, 2: 10, 3: 30}
 
 
+def test_large_scrambled_input_consistent_across_jobs(spark):
+    """Regression for the repartitionByRange design: with 20k rows the
+    offsets job and the output job used to disagree on partition ids
+    (re-sampled range boundaries) and ~85% of prefix values came back
+    wrong. Literal-boundary bucketing must make both jobs agree."""
+    rows = [(k * 7919 % 20011, 1) for k in range(20011)]  # unique keys, scrambled
+    big = spark.createDataFrame(rows, "k int, v bigint").repartition(16)
+    got = {
+        r.k: r.ps
+        for r in global_prefix_sum(big, ["k"], "v", "ps", num_partitions=16).collect()
+    }
+    # v==1 everywhere, so the exclusive prefix of row k is exactly k
+    assert len(got) == 20011
+    bad = [k for k, ps in got.items() if ps != k]
+    assert not bad, f"{len(bad)} wrong prefixes, e.g. {sorted(bad)[:5]}"
+
+
+def test_decimal_value_column_stays_exact(spark):
+    """The engine's money-sum convention is DECIMAL(18,6); offsets must
+    accumulate as exact decimals, not drift through double."""
+    from decimal import Decimal
+
+    rows = [(k, Decimal(f"{k}.000001")) for k in range(200)]
+    df = spark.createDataFrame(rows, "k int, v decimal(18,6)").repartition(8)
+    out = global_prefix_sum(df, ["k"], "v", "ps", exclusive=False, num_partitions=5)
+    got = {r.k: r.ps for r in out.collect()}
+    run = Decimal(0)
+    for k in range(200):
+        run += Decimal(f"{k}.000001")
+        assert got[k] == run, (k, got[k], run)
+
+
+def test_date_order_column(spark):
+    import datetime as dt
+
+    rows = [(dt.date(2024, 1, 1) + dt.timedelta(days=k * 13 % 97), k) for k in range(97)]
+    df = spark.createDataFrame(rows, "d date, v bigint").repartition(4)
+    got = sorted(
+        (r.d, r.ps)
+        for r in global_prefix_sum(df, ["d"], "v", "ps", num_partitions=6).collect()
+    )
+    run = 0
+    for (d, ps), (_, v) in zip(got, sorted(rows)):
+        assert ps == run
+        run += v
+
+
+def test_string_order_column_rejected(spark):
+    df = spark.createDataFrame([("a", 1)], "k string, v bigint")
+    with pytest.raises(ValueError, match="numeric/date/timestamp"):
+        global_prefix_sum(df, ["k"], "v")
+
+
 def test_no_single_partition_exchange(df):
     """The whole point: the plan must not gather all rows onto one
     partition the way sum() OVER (ORDER BY k) does."""

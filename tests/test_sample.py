@@ -61,6 +61,25 @@ def test_bad_args(events):
         sample_by(events, "user_id", 0.5, method="nope")
 
 
+def test_negative_keys_sample_proportionally(spark):
+    """Regression: plain % follows the dividend's sign, so negative
+    keys all hashed below any threshold and a 1% sample kept 100% of
+    them. pmod keeps the hash in [0, 2^32) for the full signed range."""
+    df = spark.range(-5000, 5000).select(F.col("id").alias("k"))
+    n = sample_by(df, "k", 0.1).count()
+    assert 500 < n < 1500, n  # ~10% of 10k, not 50%+ (all negatives)
+    h = sample_by(df, "k", 0.1, method="xxhash", seed=3).count()
+    assert 500 < h < 1500, h
+
+
+def test_fraction_edges(events):
+    total = events.count()
+    assert sample_by(events, "user_id", 1.0).count() == total
+    assert sample_by(events, "user_id", 1.0, method="xxhash").count() == total
+    assert sample_by(events, "user_id", 0.0).count() == 0
+    assert sample_by(events, "user_id", 0.0, method="xxhash").count() == 0
+
+
 def test_filter_reaches_scan_plan(events):
     """The sample predicate is a plain Filter directly over the scan —
     no shuffle, no Python: the 100 TB contract."""
