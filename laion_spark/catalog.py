@@ -4957,3 +4957,62 @@ def q77_running_total(spark, sf_dir):
         "rev_micros",
         "running_micros",
     ).orderBy("day")
+
+
+_Q78_SQL = """
+    WITH cells AS (
+      SELECT event_type,
+             least(CAST(floor(value / 50) AS INT), 4) AS vb,
+             count(*) AS o
+      FROM {tbl} GROUP BY event_type, least(CAST(floor(value / 50) AS INT), 4)
+    ), marg AS (
+      SELECT CAST(o AS DOUBLE) AS o,
+             CAST(sum(o) OVER (PARTITION BY vb) AS DOUBLE) AS c,
+             CAST(sum(o) OVER () AS DOUBLE) AS n
+      FROM cells
+    ), hxy AS (
+      SELECT CAST(sum(CAST(round(-(o / n) * log2(o / c), 9)
+                    AS DECIMAL(20,9))) AS DOUBLE) AS h_x_given_y,
+             max(n) AS n
+      FROM marg
+    ), hx AS (
+      SELECT CAST(sum(CAST(round(-(CAST(ec AS DOUBLE) / CAST(nn AS DOUBLE))
+                    * log2(CAST(ec AS DOUBLE) / CAST(nn AS DOUBLE)), 9)
+                    AS DECIMAL(20,9))) AS DOUBLE) AS h_x
+      FROM (
+        SELECT ec, sum(ec) OVER () AS nn FROM (
+          SELECT count(*) AS ec FROM {tbl} GROUP BY event_type
+        )
+      )
+    ), chi AS (
+      SELECT CAST(sum(CAST(round(power(o - r * c / n, 2) / (r * c / n), 6)
+                    AS DECIMAL(18,6))) AS DOUBLE) AS chi2
+      FROM (
+        SELECT CAST(o AS DOUBLE) AS o,
+               CAST(sum(o) OVER (PARTITION BY event_type) AS DOUBLE) AS r,
+               CAST(sum(o) OVER (PARTITION BY vb) AS DOUBLE) AS c,
+               CAST(sum(o) OVER () AS DOUBLE) AS n
+        FROM cells
+      )
+    )
+    SELECT round((hx.h_x - hxy.h_x_given_y) / hx.h_x, 6) AS theils_u,
+           round(sqrt(chi.chi2 / (chi.chi2 + hxy.n)), 6) AS contingency,
+           CAST(hxy.n AS BIGINT) AS n
+    FROM hx CROSS JOIN hxy CROSS JOIN chi
+"""
+
+
+@query(
+    "q78_theils_u_contingency",
+    oracle=_Q78_SQL.format(tbl="events"),
+    note="ClickHouse theilsU() + contingency() parity, completing the "
+    "q55 association family: Theil's U (uncertainty coefficient "
+    "(H(X) - H(X|Y)) / H(X) of event type given the value bucket) and "
+    "the contingency coefficient sqrt(chi2/(chi2+n)) over the same "
+    "contingency cells. The q55 determinism recipe: exact integer "
+    "cells/marginals, per-cell float terms rounded then DECIMAL-summed "
+    "(order-independent), identical textual derivation in both engines",
+)
+def q78_theils_u_contingency(spark, sf_dir):
+    t(spark, sf_dir, "events").createOrReplaceTempView("cat_q78_events")
+    return spark.sql(_Q78_SQL.format(tbl="cat_q78_events"))
