@@ -5016,3 +5016,69 @@ _Q78_SQL = """
 def q78_theils_u_contingency(spark, sf_dir):
     t(spark, sf_dir, "events").createOrReplaceTempView("cat_q78_events")
     return spark.sql(_Q78_SQL.format(tbl="cat_q78_events"))
+
+
+_SPARKBAR_CHARS = "▁▂▃▄▅▆▇█"
+
+
+@query(
+    "q79_sparkbar",
+    oracle="""
+    WITH per AS (
+      SELECT event_type, CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS h, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT DISTINCT p.event_type, gs.h
+      FROM per p, (SELECT unnest(generate_series(0, 23)) AS h) gs
+    ), filled AS (
+      SELECT g.event_type, g.h, coalesce(p.c, 0) AS c0
+      FROM grid g LEFT JOIN per p ON g.event_type = p.event_type AND g.h = p.h
+    ), scaled AS (
+      SELECT event_type, h, c0,
+             max(c0) OVER (PARTITION BY event_type) AS mc
+      FROM filled
+    )
+    SELECT event_type,
+           string_agg(substr('▁▂▃▄▅▆▇█', CAST(c0 * 7 // mc AS INT) + 1, 1),
+                      '' ORDER BY h) AS bar,
+           CAST(sum(c0) AS BIGINT) AS n
+    FROM scaled
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    note="ClickHouse sparkbar(24)(hour, count) parity: per event type, "
+    "the hour-of-day activity profile rendered as an 8-level block-"
+    "character bar. Bucket counts and the 0-7 level index are pure "
+    "integer arithmetic (c*7 DIV max), and both engines index the same "
+    "UTF-8 ramp character-wise, so the STRING is hash-matched exactly "
+    "— an aggregate whose output is a visualization, same contract as "
+    "the reference's HTML result sink",
+)
+def q79_sparkbar(spark, sf_dir):
+    e = ev(spark, sf_dir)
+    per = e.groupBy("event_type", F.hour("ts_t").alias("h")).agg(
+        F.count("*").alias("c")
+    )
+    grid = per.select("event_type").distinct().crossJoin(
+        spark.range(24).select(F.col("id").cast("int").alias("h"))
+    )
+    filled = grid.join(per, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("c", F.lit(0)).alias("c0")
+    )
+    scaled = filled.withColumn(
+        "mc", F.max("c0").over(W.partitionBy("event_type"))
+    ).withColumn("ch", F.expr(f"substring('{_SPARKBAR_CHARS}', CAST(c0 * 7 DIV mc AS INT) + 1, 1)"))
+    return (
+        scaled.groupBy("event_type")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("h", "ch"))),
+                    lambda s: s.ch,
+                ),
+                "",
+            ).alias("bar"),
+            F.sum("c0").alias("n"),
+        )
+        .orderBy("event_type")
+    )
