@@ -5082,3 +5082,31 @@ def q79_sparkbar(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "m02_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           upper(substr(hex(encode(text)), 1, 8)) AS head_hex,
+           md5(text) AS md5_hex
+    FROM documents WHERE doc_id % 10 = 0
+    ORDER BY doc_id
+    """,
+    note="Q27 multimodal, the hash-matched half: the binary-column "
+    "metadata pipeline (byte length, magic-prefix hex — the exact "
+    "expressions sniff_format uses — and content digest) exercised on "
+    "text bytes so a DuckDB oracle can replay it exactly; m01 covers "
+    "the codec-backed decode half rows-only. All pure JVM expressions "
+    "over a BINARY column, no Python, no decode",
+)
+def m02_binary_metadata(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").filter("doc_id % 10 = 0")
+    b = d.select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    return b.select(
+        "doc_id",
+        F.length("content").cast("bigint").alias("n_bytes"),
+        F.upper(F.hex(F.substring(F.col("content"), 1, 4))).alias("head_hex"),
+        F.md5("content").alias("md5_hex"),
+    ).orderBy("doc_id")
