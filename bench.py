@@ -472,6 +472,77 @@ def main() -> None:
         errors["ann768"] = f"{type(ex).__name__}: {ex}"[:500]
         print(f"  ann768: FAILED {errors['ann768'].splitlines()[0]}", file=sys.stderr)
 
+    # Pipeline-operator stress: the LLM-data-pipeline operators at 10M
+    # events / 1M users — two orders of magnitude over the sf0.1 star
+    # schema. Their catalog entries prove CORRECTNESS at sf0.01; this
+    # proves the PLANS (one user-key shuffle each, bounded state) hold
+    # when the data no longer fits one task, and records rows/s.
+    try:
+        if over_budget(errors, "events10m"):
+            raise _BudgetSkip
+        from laion_spark.operators.funnel import window_funnel
+        from laion_spark.operators.topk import topk_approx
+
+        N_EV, N_USERS = 10_000_000, 1_000_000
+        epath = f"/tmp/laion_events_{N_EV}.parquet"
+        if not os.path.exists(f"{epath}/_SUCCESS"):
+            t0 = time.perf_counter()
+            types = F.array(*[F.lit(s) for s in ("view", "click", "purchase", "signup", "error")])
+            (
+                spark.range(N_EV)
+                .repartition(64)
+                .select(
+                    F.col("id").alias("event_id"),
+                    (F.lit(1_700_000_000_000_000) + F.pmod(F.xxhash64("id", F.lit(1)), F.lit(30 * 86_400_000_000))).alias("ts_us"),
+                    F.pmod(F.xxhash64("id", F.lit(2)), F.lit(N_USERS)).alias("user_id"),
+                    F.element_at(types, (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(5)) + 1).cast("int")).alias("event_type"),
+                    (F.pmod(F.xxhash64("id", F.lit(4)), F.lit(1_000_000)) / 1000.0).alias("value"),
+                )
+                .write.mode("overwrite")
+                .parquet(epath)
+            )
+            print(f"  events10m build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        ev10 = spark.read.parquet(epath)
+
+        def funnel10m():
+            return window_funnel(ev10, ["view", "click", "purchase"], 3_600_000_000).groupBy(
+                "level"
+            ).count().collect()
+
+        def sessions10m():
+            from pyspark.sql import Window as W
+
+            w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+            wc = W.partitionBy("user_id").orderBy("ts_us").rowsBetween(W.unboundedPreceding, 0)
+            g = ev10.withColumn(
+                "is_new",
+                F.when(
+                    F.lag("ts_us").over(w).isNull()
+                    | ((F.col("ts_us") - F.lag("ts_us").over(w)) > 30 * 60 * 1_000_000),
+                    1,
+                ).otherwise(0),
+            ).withColumn("sid", F.sum("is_new").over(wc))
+            return g.groupBy("user_id", "sid").count().groupBy().agg(
+                F.count("*"), F.sum("count")
+            ).collect()
+
+        def topk10m():
+            return topk_approx(ev10, "event_type", k=3).collect()
+
+        for key, fn in (("funnel10m", funnel10m), ("sessions10m", sessions10m), ("topk10m", topk10m)):
+            if over_budget(errors, key):
+                continue
+            fn()  # warm
+            ts = sorted(timed(fn) for _ in range(2))
+            queries[key] = ts[0]
+            extras[f"{key}_rows_per_sec"] = round(N_EV / ts[0])
+            print(f"  {key}: {ts}", file=sys.stderr)
+    except _BudgetSkip:
+        pass
+    except Exception as ex:  # noqa: BLE001
+        errors["events10m"] = f"{type(ex).__name__}: {ex}"[:500]
+        print(f"  events10m: FAILED {errors['events10m'].splitlines()[0]}", file=sys.stderr)
+
     total = round(sum(queries.values()), 4)
     out = {
         "metric": "headline_suite_total",
