@@ -5110,3 +5110,31 @@ def m02_binary_metadata(spark, sf_dir):
         F.upper(F.hex(F.substring(F.col("content"), 1, 4))).alias("head_hex"),
         F.md5("content").alias("md5_hex"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q80_group_uniq_array",
+    oracle="""
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+           CAST(count(DISTINCT event_type) AS INT) AS n_types
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    note="ClickHouse groupUniqArray(event_type) parity: per-user distinct "
+    "set, emitted as a SORTED comma-joined string (the driver's "
+    "canonicalizer cannot sort array cells, and sorting makes the "
+    "nondeterministic collect order irrelevant). collect_set partials "
+    "combine map-side; one user-key shuffle",
+)
+def q80_group_uniq_array(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types"),
+            F.size(F.collect_set("event_type")).alias("n_types"),
+        )
+        .orderBy("user_id")
+    )
