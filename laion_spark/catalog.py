@@ -5138,3 +5138,47 @@ def q80_group_uniq_array(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q81_bucketed_colocated_join",
+    oracle="""
+    SELECT o.o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    ORDER BY o.o_orderstatus
+    """,
+    note="Co-located join through engine-managed bucketed tables (the "
+    "100 TB answer to every repeated fact-fact join): both sides are "
+    "written bucketBy(orderkey) once, and the join then runs with ZERO "
+    "Exchange — the bucketing IS the shuffle, paid at ingest. The "
+    "oracle is the PLAIN join SQL, so bucketing is provably invisible "
+    "in results; the zero-shuffle plan itself is pinned by "
+    "tests/test_plans.py::test_bucketed_tables_join_without_shuffle",
+)
+def q81_bucketed_colocated_join(spark, sf_dir):
+    tune_session(spark)
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    # table names carry the scale factor: a cached table from another
+    # sf_dir must never satisfy this run's lookup
+    sf_tok = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    names = {"orders": f"cat_q81_orders_{sf_tok}", "lineitem": f"cat_q81_lineitem_{sf_tok}"}
+    for name, df, key in (
+        (names["orders"], o, "o_orderkey"),
+        (names["lineitem"], li, "l_orderkey"),
+    ):
+        if not spark.catalog.tableExists(name):
+            df.write.bucketBy(8, key).sortBy(key).mode("overwrite").saveAsTable(name)
+    lb, ob = spark.table(names["lineitem"]), spark.table(names["orders"])
+    return (
+        lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
