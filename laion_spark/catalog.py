@@ -5186,3 +5186,52 @@ def q81_bucketed_colocated_join(spark, sf_dir):
         .agg(F.count("*").alias("n"), dsum("l_extendedprice", "total"))
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q82_stochastic_linear_regression",
+    oracle="""
+    WITH RECURSIVE
+    consts AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lineitem),
+    it AS (
+      SELECT 0 AS i, CAST(0.0 AS DOUBLE) AS w, CAST(0.0 AS DOUBLE) AS b
+      UNION ALL
+      SELECT i + 1,
+             w - 0.5 * (2.0 / (SELECT n FROM consts)) *
+               (SELECT CAST(sum(CAST(round((w * (l_quantity / 50.0) + b
+                      - l_extendedprice / 100000.0) * (l_quantity / 50.0), 9)
+                      AS DECIMAL(20,9))) AS DOUBLE) FROM lineitem),
+             b - 0.5 * (2.0 / (SELECT n FROM consts)) *
+               (SELECT CAST(sum(CAST(round(w * (l_quantity / 50.0) + b
+                      - l_extendedprice / 100000.0, 9)
+                      AS DECIMAL(20,9))) AS DOUBLE) FROM lineitem)
+      FROM it WHERE i < 8
+    )
+    SELECT CAST((SELECT n FROM consts) AS BIGINT) AS n,
+           round(w, 6) AS w, round(b, 6) AS b
+    FROM it WHERE i = 8
+    """,
+    note="ClickHouse stochasticLinearRegression analog: 8 full-batch "
+    "gradient-descent steps fitting scaled extendedprice ~ quantity — "
+    "each step ONE algebraic aggregation (two decimal-exact gradient "
+    "sums cross the shuffle), the driver holds only (w, b). The DuckDB "
+    "oracle replays the identical fit as a recursive CTE (the e18 LTTB "
+    "precedent): per-row terms share the textual operation order, are "
+    "rounded to 9 dp and DECIMAL-summed, so every iteration's "
+    "parameters match bit-for-bit by induction — an ITERATIVE "
+    "algorithm under the full hash gate, not a rows-only waiver",
+)
+def q82_stochastic_linear_regression(spark, sf_dir):
+    from laion_spark.operators.sgd import sgd_linear_fit
+
+    li = t(spark, sf_dir, "lineitem")
+    w, b, n = sgd_linear_fit(
+        li,
+        F.col("l_quantity") / 50.0,
+        F.col("l_extendedprice") / 100000.0,
+        lr=0.5,
+        iters=8,
+    )
+    return spark.createDataFrame(
+        [(n, round(w, 6), round(b, 6))], "n bigint, w double, b double"
+    )
