@@ -164,3 +164,38 @@ def test_approx_percentile_error_budget(spark, sf_dir):
     ).collect()[0]
     assert abs(row.a50 - row.e50) / row.e50 < 0.005
     assert abs(row.a99 - row.e99) / row.e99 < 0.005
+
+
+# --- Spark-bound: sampling + prefix-sum laws ---------------------------------
+
+
+@given(frac=st.sampled_from([0.1, 0.25, 0.5, 0.75]))
+@settings(max_examples=4, deadline=None)
+def test_sample_fraction_proportionality(spark, frac):
+    """Hash-threshold sampling keeps ~fraction of a large uniform key
+    domain (within generous bounds), for every fraction."""
+    from laion_spark.operators.sample import sample_by
+
+    df = spark.range(20_000).select(F.col("id").alias("k"))
+    n = sample_by(df, "k", frac).count()
+    assert abs(n / 20_000 - frac) < 0.05, (frac, n)
+
+
+@given(seed=st.integers(0, 2**16))
+@settings(max_examples=3, deadline=None)
+def test_prefix_sum_matches_cumsum(spark, seed):
+    """global_prefix_sum equals the sequential cumulative sum for any
+    scrambled unique-key input."""
+    import random
+
+    from laion_spark.operators.prefix import global_prefix_sum
+
+    rng = random.Random(seed)
+    keys = rng.sample(range(100_000), 500)
+    rows = [(k, rng.randint(-50, 50)) for k in keys]
+    df = spark.createDataFrame(rows, "k int, v bigint").repartition(8)
+    got = {r.k: r.ps for r in global_prefix_sum(df, ["k"], "v", "ps", num_partitions=6).collect()}
+    run = 0
+    for k, v in sorted(rows):
+        assert got[k] == run, (seed, k)
+        run += v
