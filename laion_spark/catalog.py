@@ -5235,3 +5235,48 @@ def q82_stochastic_linear_regression(spark, sf_dir):
     return spark.createDataFrame(
         [(n, round(w, 6), round(b, 6))], "n bigint, w double, b double"
     )
+
+
+@query(
+    "s09_streaming_index_ingest",
+    oracle=f"""
+    SELECT vec_id, label,
+           round(sqrt({_L2_EMB}), 6) AS score
+    FROM embeddings
+    ORDER BY sqrt({_L2_EMB}), vec_id
+    LIMIT 10
+    """,
+    note="Streaming ANN-index maintenance: embeddings replayed as a "
+    "4-micro-batch stream, IVF cluster stamped IN-FLIGHT (mapInArrow "
+    "per micro-batch), appended into the partition-pruned "
+    "ivf_cluster=K layout via the exactly-once file sink — index "
+    "freshness is one trigger behind ingest, no rebuild. The gate is "
+    "end-to-end losslessness: a FULL probe (nprobe=C) over the "
+    "streamed-in table must reproduce the plain brute-force top-10 "
+    "(v01's oracle) exactly — any dropped/duplicated/mis-bucketed "
+    "vector flips the hash",
+)
+def s09_streaming_index_ingest(spark, sf_dir):
+    import tempfile
+
+    from laion_spark.operators.knn import knn_search_parquet
+    from laion_spark.operators.similarity import IVFIndex
+    from laion_spark.streaming.windows import replay_as_stream, stream_index_ingest
+
+    tune_session(spark)
+    emb = t(spark, sf_dir, "embeddings")
+    idx = IVFIndex(dim=64, n_clusters=4, n_iters=2, nprobe=4).fit(
+        emb, id_col="vec_id", vector_col="embedding"
+    )
+    # replay needs an event-time column to order micro-batches; vec_id
+    # stands in (any monotone column works for the harness)
+    stream = replay_as_stream(
+        spark, f"{sf_dir}/embeddings.parquet", n_splits=4, ts_col="vec_id"
+    )
+    out = tempfile.mkdtemp(prefix="laion_s09_")
+    data_dir = stream_index_ingest(stream.drop("ts_t"), idx, out)
+    dirs = [f"{data_dir}/ivf_cluster={c}" for c in range(4)]
+    res = knn_search_parquet(
+        spark, dirs, QVEC64, k=10, vector_col="embedding", select=["vec_id", "label"]
+    )
+    return res.select("vec_id", "label", F.round("score", 6).alias("score"))

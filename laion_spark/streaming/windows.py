@@ -302,3 +302,40 @@ def latest_update_per_user(updates: DataFrame) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def stream_index_ingest(
+    stream_df: DataFrame,
+    idx,
+    out_dir: str,
+    vector_col: str = "embedding",
+    query_name: str = "ivf_stream_ingest",
+) -> str:
+    """Continuous ANN-index maintenance (the streaming twin of
+    ``IVFIndex.write_index``): vectors arriving on a stream get their
+    IVF cluster stamped in-flight (``idx.build`` is mapInArrow, which
+    Structured Streaming runs per micro-batch) and are appended into
+    the partition-pruned ``ivf_cluster=K`` layout. Probes over the
+    directory see each micro-batch as soon as its files commit — index
+    freshness is one trigger behind ingest, with no rebuild step.
+
+    Returns the data directory (feed its ``probe_dirs`` to
+    ``knn_search_parquet``). Exactly-once via the file-sink commit log
+    + checkpoint; cluster centroids are fixed literals shipped in the
+    closure, so assignment is deterministic across retries."""
+    import os
+
+    data_dir = os.path.join(out_dir, "data")
+    q = (
+        idx.build(stream_df, vector_col)
+        .writeStream.format("parquet")
+        .option("path", data_dir)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoint"))
+        .partitionBy("ivf_cluster")
+        .outputMode("append")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return data_dir
