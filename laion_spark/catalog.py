@@ -5257,7 +5257,7 @@ def q82_stochastic_linear_regression(spark, sf_dir):
     "vector flips the hash",
 )
 def s09_streaming_index_ingest(spark, sf_dir):
-    import tempfile
+    import shutil
 
     from laion_spark.operators.knn import knn_search_parquet
     from laion_spark.operators.similarity import IVFIndex
@@ -5273,9 +5273,14 @@ def s09_streaming_index_ingest(spark, sf_dir):
     stream = replay_as_stream(
         spark, f"{sf_dir}/embeddings.parquet", n_splits=4, ts_col="vec_id"
     )
-    out = tempfile.mkdtemp(prefix="laion_s09_")
+    # deterministic per-sf dir, recreated each run — a mkdtemp here
+    # would leak a full table copy per invocation
+    sf_tok = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = f"/tmp/laion_s09_{sf_tok}"
+    shutil.rmtree(out, ignore_errors=True)
     data_dir = stream_index_ingest(stream.drop("ts_t"), idx, out)
-    dirs = [f"{data_dir}/ivf_cluster={c}" for c in range(4)]
+    # nprobe == n_clusters: the FULL probe the losslessness gate needs
+    dirs = idx.probe_dirs(data_dir, QVEC64)
     res = knn_search_parquet(
         spark, dirs, QVEC64, k=10, vector_col="embedding", select=["vec_id", "label"]
     )

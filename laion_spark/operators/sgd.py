@@ -34,18 +34,31 @@ def sgd_linear_fit(
     (w, b, n). ``x``/``y`` should be pre-scaled to O(1) magnitudes —
     GD's usual conditioning requirement, and it keeps the rounded
     gradient terms well inside DECIMAL(20,9)."""
-    pair = df.select(x.alias("_x"), y.alias("_y"))
-    n = pair.count()
-    if n == 0:
-        raise ValueError("cannot fit on an empty DataFrame")
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    # NULL x or y rows carry no gradient information — drop them up
+    # front so n and the gradient sums agree (counting them would
+    # silently shrink every step; an all-NULL column would crash the
+    # update with a None gradient)
+    pair = df.select(x.alias("_x"), y.alias("_y")).where(
+        F.col("_x").isNotNull() & F.col("_y").isNotNull()
+    )
     w = b = 0.0
+    n: int | None = None  # folded into the first gradient pass: k scans, not k+1
     dsum9 = lambda c: F.sum(c.cast("decimal(20,9)")).cast("double")  # noqa: E731
     for _ in range(iters):
         err = F.lit(w) * F.col("_x") + F.lit(b) - F.col("_y")
-        row = pair.select(
+        aggs = [
             dsum9(F.round(err * F.col("_x"), 9)).alias("gw"),
             dsum9(F.round(err, 9)).alias("gb"),
-        ).collect()[0]
+        ]
+        if n is None:
+            aggs.append(F.count("*").alias("n"))
+        row = pair.select(*aggs).collect()[0]
+        if n is None:
+            n = row["n"]
+            if n == 0:
+                raise ValueError("cannot fit on an empty (or all-NULL) DataFrame")
         w = w - lr * (2.0 / float(n)) * row["gw"]
         b = b - lr * (2.0 / float(n)) * row["gb"]
     return w, b, n

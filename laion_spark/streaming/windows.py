@@ -320,11 +320,16 @@ def stream_index_ingest(
     freshness is one trigger behind ingest, with no rebuild step.
 
     Returns the data directory (feed its ``probe_dirs`` to
-    ``knn_search_parquet``). Exactly-once via the file-sink commit log
-    + checkpoint; cluster centroids are fixed literals shipped in the
-    closure, so assignment is deterministic across retries."""
-    import os
-
+    ``knn_search_parquet``). The sink's ``_spark_metadata`` commit log
+    + checkpoint give exactly-once APPENDS; cluster centroids are
+    fixed literals shipped in the closure, so assignment is
+    deterministic across retries. Caveat for readers: only Spark's own
+    reader (``spark.read.parquet(data_dir)``) consults the commit log
+    — a directory-listing probe (``knn_search_parquet``) trusts the
+    filesystem, so a hard task crash can leave an orphaned part-file
+    it would double-count. For strict reads after unclean failures,
+    either probe through the Spark reader or compact the sink output
+    (a one-pass rewrite) before listing-based probes."""
     data_dir = os.path.join(out_dir, "data")
     q = (
         idx.build(stream_df, vector_col)
