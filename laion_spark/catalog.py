@@ -5285,3 +5285,57 @@ def s09_streaming_index_ingest(spark, sf_dir):
         spark, dirs, QVEC64, k=10, vector_col="embedding", select=["vec_id", "label"]
     )
     return res.select("vec_id", "label", F.round("score", 6).alias("score"))
+
+
+@query(
+    "q83_tukey_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             CAST(quantile_cont(value, 0.25) AS DOUBLE) AS q1,
+             CAST(quantile_cont(value, 0.75) AS DOUBLE) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           CAST(count(*) FILTER (WHERE e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                                    OR e.value > q.q3 + 1.5 * (q.q3 - q.q1))
+                AS BIGINT) AS n_outliers,
+           round(q.q1, 6) AS q1, round(q.q3, 6) AS q3
+    FROM events e JOIN q ON e.event_type = q.event_type
+    GROUP BY e.event_type, q.q1, q.q3
+    ORDER BY e.event_type
+    """,
+    note="ClickHouse seriesOutliersDetectTukey analog: per event type, "
+    "exact quartiles (linear-interpolation percentile — IEEE-identical "
+    "in both engines), Tukey fences at 1.5*IQR, and the outlier count. "
+    "Two passes over events: quartile agg (5 groups) broadcast back "
+    "into a counting pass — no per-row quantile state, so the shape "
+    "holds at any scale",
+)
+def q83_tukey_outliers(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("q1"),
+        F.percentile("value", 0.75).alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(((F.col("value") < lo) | (F.col("value") > hi)).cast("long")).alias(
+                "n_outliers"
+            ),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_outliers",
+            F.round("q1", 6).alias("q1"),
+            F.round("q3", 6).alias("q3"),
+        )
+        .orderBy("event_type")
+    )
