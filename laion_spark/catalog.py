@@ -5339,3 +5339,94 @@ def q83_tukey_outliers(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q84_returned_item_reporting",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           round(c.c_acctbal, 6) AS acctbal,
+           n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    note="TPC-H Q10 shape (returned-item reporting): revenue lost to "
+    "returns per customer in a quarter, 4-way join — nation broadcast, "
+    "customer broadcast after its date-filtered orders semi-reduce, "
+    "lineitem-orders shuffle on orderkey; exact-decimal revenue makes "
+    "the DESC top-20 engine-identical",
+)
+def q84_returned_item_reporting(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(rev, "revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 6).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q85_promotion_effect",
+    oracle="""
+    SELECT round(
+             100.0 * CAST(sum(CAST(CASE WHEN p.p_type = 'PROMO'
+                    THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END
+                    AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(18,6))) AS DOUBLE), 6) AS promo_revenue_pct,
+           count(*) AS n
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+    """,
+    note="TPC-H Q14 shape (promotion effect): share of one month's "
+    "revenue from PROMO-type parts. part broadcasts into the pruned "
+    "lineitem scan (shipdate predicate at the parquet reader), one "
+    "ungrouped decimal-exact agg — zero data shuffles beyond the "
+    "broadcast",
+)
+def q85_promotion_effect(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01 00:00:00").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return j.select(
+        F.round(
+            100.0
+            * F.sum(promo.cast("decimal(18,6)")).cast("double")
+            / F.sum(rev.cast("decimal(18,6)")).cast("double"),
+            6,
+        ).alias("promo_revenue_pct"),
+        F.count("*").alias("n"),
+    )
