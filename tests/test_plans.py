@@ -521,3 +521,27 @@ def test_q75_rank_windows_share_partitioning(spark, sf_dir):
     hashparts = re.findall(r"hashpartitioning\(([^,)]+)", p)
     assert hashparts and all("l_returnflag" in h for h in hashparts), hashparts
     assert "rangepartitioning" in p, p  # final ORDER BY only
+
+
+def test_q84_broadcasts_nation_and_shuffles_orderkey(spark, sf_dir):
+    """TPC-H Q10: nation must broadcast (25 rows), and the returnflag +
+    date predicates must reach the scans as pushed filters."""
+    from laion_spark.catalog import REGISTRY
+
+    p = plan_str(REGISTRY["q84_returned_item_reporting"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    push = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any("l_returnflag" in ln for ln in push), push
+    assert any("o_orderdate" in ln for ln in push), push
+
+
+def test_q85_zero_data_shuffles(spark, sf_dir):
+    """TPC-H Q14: part broadcasts; the only aggregation is ungrouped, so
+    no hashpartitioning exchange of data rows exists anywhere."""
+    from laion_spark.catalog import REGISTRY
+
+    p = plan_str(REGISTRY["q85_promotion_effect"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "hashpartitioning" not in p, p
+    push_p = plan_str(REGISTRY["q85_promotion_effect"].fn(spark, sf_dir))
+    assert any("l_shipdate" in ln for ln in push_p.splitlines() if "PushedFilters" in ln), push_p
