@@ -5481,3 +5481,139 @@ def q86_volume_shipping(spark, sf_dir):
         .agg(dsum(rev, "revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+@query(
+    "q87_national_market_share",
+    oracle=f"""
+    WITH all_rev AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n2.n_regionkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    )
+    SELECT o_year,
+           round({_dsum_sql("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END")}
+                 / {_dsum_sql('volume')}, 6) AS mkt_share
+    FROM all_rev
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    note="TPC-H Q8 shape (national market share): one nation's share of "
+    "a region's PROMO-part revenue by year — an 8-way join where every "
+    "dimension broadcasts and lineitem-orders is the single data "
+    "shuffle; both numerator and denominator are exact-decimal sums so "
+    "the ratio divides identical doubles in both engines",
+)
+def q87_national_market_share(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == r.r_regionkey)
+    )
+    num = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(num.cast("decimal(18,6)")).cast("double")
+                / F.sum(vol.cast("decimal(18,6)")).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q88_small_quantity_revenue",
+    oracle=f"""
+    WITH pa AS (
+      SELECT l_partkey, avg(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round({_dsum_sql('l.l_extendedprice')} / 7.0, 6) AS avg_yearly,
+           count(*) AS n
+    FROM lineitem l
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE l.l_quantity < 0.2 * pa.avg_qty
+    """,
+    note="TPC-H Q17 shape (small-quantity-order revenue): the "
+    "correlated per-part average decorrelated into a pre-aggregated "
+    "join side (Catalyst's own rewrite of the correlated scalar "
+    "subquery) — one partkey shuffle builds the averages, AQE "
+    "broadcasts the small aggregate back; avg is n<2^53-exact integer "
+    "division so cross-engine double parity holds",
+)
+def q88_small_quantity_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    j = li.join(pa.withColumnRenamed("l_partkey", "pk"), F.col("l_partkey") == F.col("pk"))
+    return j.filter(F.col("l_quantity") < 0.2 * F.col("avg_qty")).select(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double") / 7.0, 6
+        ).alias("avg_yearly"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q89_global_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT right(c.c_name, 1) AS cntrycode,
+           count(*) AS numcust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY right(c.c_name, 1)
+    ORDER BY cntrycode
+    """,
+    note="TPC-H Q22 shape (global sales opportunity): customers above "
+    "the average positive balance with no URGENT orders (every synthetic customer has SOME order, so the faithful Q22 anti-set is empty — this keeps the shape non-vacuous) — an ungrouped scalar "
+    "subquery (one number broadcast), then a LEFT ANTI join against "
+    "orders (the NOT EXISTS decorrelation), grouped by a name-derived "
+    "code. Scan of orders prunes to o_custkey only",
+)
+def q89_global_sales_opportunity(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    ab = c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    rich = c.crossJoin(F.broadcast(ab)).filter(F.col("c_acctbal") > F.col("ab"))
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    no_orders = rich.join(urgent, rich.c_custkey == urgent.o_custkey, "left_anti")
+    return (
+        no_orders.groupBy(F.expr("right(c_name, 1)").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
