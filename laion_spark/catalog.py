@@ -5445,8 +5445,8 @@ def q85_promotion_effect(spark, sf_dir):
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
     JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
-    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
     GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
     ORDER BY supp_nation, cust_nation, l_year
     """,
@@ -5472,8 +5472,8 @@ def q86_volume_shipping(spark, sf_dir):
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(
-            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
-            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+            ((F.col("supp_nation") == "NATION_18") & (F.col("cust_nation") == "NATION_19"))
+            | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_18"))
         )
     )
     return (
