@@ -529,7 +529,53 @@ def main() -> None:
         def topk10m():
             return topk_approx(ev10, "event_type", k=3).collect()
 
-        for key, fn in (("funnel10m", funnel10m), ("sessions10m", sessions10m), ("topk10m", topk10m)):
+        # dedup at 1M documents: ids < 200k are base texts (40 tokens
+        # from a 5k-word hash vocabulary), 200k-400k are near-dup
+        # variants of those bases (one appended token, Jaccard ~0.95),
+        # the rest unique — ~200k true pairs, found via the banded
+        # bucket join with no all-pairs step anywhere
+        dpath = "/tmp/laion_docs_1m.parquet"
+        N_DOCS = 1_000_000
+        if not os.path.exists(f"{dpath}/_SUCCESS"):
+            t0 = time.perf_counter()
+            (
+                spark.range(N_DOCS)
+                .repartition(64)
+                .selectExpr(
+                    "id AS doc_id",
+                    "CASE WHEN id < 400000 THEN pmod(id, 200000) ELSE id END AS base_key",
+                )
+                .selectExpr(
+                    "doc_id",
+                    "concat_ws(' ', transform(sequence(1, 40), "
+                    " i -> concat('w', pmod(xxhash64(base_key, i), 5000)))) AS base",
+                )
+                .selectExpr(
+                    "doc_id",
+                    "CASE WHEN doc_id >= 200000 AND doc_id < 400000 "
+                    "THEN concat(base, ' x', pmod(doc_id, 97)) ELSE base END AS text",
+                )
+                .write.mode("overwrite")
+                .parquet(dpath)
+            )
+            print(f"  docs1m build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        docs1m = spark.read.parquet(dpath)
+
+        def dedup1m():
+            from laion_spark.operators.dedup import minhash_lsh_pairs
+
+            return (
+                minhash_lsh_pairs(docs1m, "doc_id", "text", num_hashes=32, bands=8, threshold=0.8)
+                .count()
+            )
+
+        stress = (
+            ("funnel10m", funnel10m, N_EV),
+            ("sessions10m", sessions10m, N_EV),
+            ("topk10m", topk10m, N_EV),
+            ("dedup1m", dedup1m, N_DOCS),
+        )
+        for key, fn, denom in stress:
             if over_budget(errors, key):
                 continue
             fn()  # warm
@@ -537,7 +583,7 @@ def main() -> None:
             ts = sorted(timed(fn) for _ in range(3))
             queries[key] = ts[1]
             extras[f"{key}_best_sec"] = ts[0]
-            extras[f"{key}_rows_per_sec"] = round(N_EV / ts[0])
+            extras[f"{key}_rows_per_sec"] = round(denom / ts[0])
             print(f"  {key}: {ts}", file=sys.stderr)
     except _BudgetSkip:
         pass
