@@ -5600,7 +5600,7 @@ def q88_small_quantity_revenue(spark, sf_dir):
     "the average positive balance with no URGENT orders (every synthetic customer has SOME order, so the faithful Q22 anti-set is empty — this keeps the shape non-vacuous) — an ungrouped scalar "
     "subquery (one number broadcast), then a LEFT ANTI join against "
     "orders (the NOT EXISTS decorrelation), grouped by a name-derived "
-    "code. Scan of orders prunes to o_custkey only",
+    "code. The orders scan prunes to (o_custkey, o_orderpriority)",
 )
 def q89_global_sales_opportunity(spark, sf_dir):
     c = t(spark, sf_dir, "customer")
