@@ -194,10 +194,11 @@ def managed_layout(spark, sf_dir: str, n_parts: int = 32) -> str:
     group each -> n_parts-way scan parallelism); small dims are
     rewritten as a single file. Cached across runs via _SUCCESS.
     """
-    # cache key carries n_parts AND the source's mtime so a regenerated
-    # testdata fixture or a different layout can never silently reuse a
-    # stale ingest under an unchanged path
-    src_mtime = int(os.path.getmtime(f"{sf_dir}/lineitem.parquet"))
+    # cache key carries n_parts AND the newest mtime across ALL source
+    # tables so a regenerated testdata fixture (any table, not just
+    # lineitem — ADVICE r4) or a different layout can never silently
+    # reuse a stale ingest under an unchanged path
+    src_mtime = max(int(os.path.getmtime(f"{sf_dir}/{t}.parquet")) for t in _TABLES)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = f"/tmp/laion_star_sf{sf}_{n_parts}p_{src_mtime}"
     for name in _TABLES:

@@ -4834,7 +4834,8 @@ def q75_rank_corr(spark, sf_dir):
              CAST(sum(t - t1) AS BIGINT) AS n2,
              CAST(sum(t) AS BIGINT) AS n,
              CAST(sum(CAST(t1 * (cum_less + (t + 1) / 2.0) AS DECIMAL(30,6))) AS DOUBLE) AS r1,
-             CAST(sum(CAST(t * t * t - t AS DECIMAL(30,6))) AS DOUBLE) AS tie3
+             CAST(sum(CAST(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0))
+                           * CAST(t AS DECIMAL(12,0)) - t AS DECIMAL(38,6))) AS DOUBLE) AS tie3
       FROM r
     )
     SELECT n1, n2,
@@ -4868,12 +4869,18 @@ def e19_mann_whitney_u(spark, sf_dir):
         "t", "t1", "cum_less"
     )
     d30 = lambda c: F.sum(c.cast("decimal(30,6)")).cast("double")  # noqa: E731
+    _td = F.col("t").cast("decimal(12,0)")
     s = r.select(
         F.sum("t1").alias("n1"),
         F.sum(F.col("t") - F.col("t1")).alias("n2"),
         F.sum("t").alias("n"),
         d30(F.col("t1") * (F.col("cum_less") + (F.col("t") + 1) / 2.0)).alias("r1"),
-        d30(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"),
+        # cube in DECIMAL, not BIGINT: a tie group above ~2.09M rows
+        # would overflow int64 under ANSI (ADVICE r4); decimal(12,0)^3
+        # is exact to t = 1e12 and both engines sum identical values
+        F.sum(
+            (_td * _td * _td - F.col("t")).cast("decimal(38,6)")
+        ).cast("double").alias("tie3"),
     )
     u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
     z = (u1 - F.col("n1") * F.col("n2") / 2.0) / F.sqrt(

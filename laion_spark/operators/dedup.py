@@ -225,8 +225,27 @@ def minhash_lsh_pairs(
         .select("da", "db")
         .distinct()
     )
-    # verify candidates with exact Jaccard on shingle sets
-    sh = df.select(F.col(id_col).alias("_id"), shingles(text_col, ngram).alias("_set"))
+    # Verify candidates with exact Jaccard over HASHED shingle sets
+    # (VERDICT r4 #4: the verify join was the dedup1m hot spot).  Two
+    # cost cuts, both semantics-preserving:
+    #   * int64 xxhash64(shingle) arrays instead of string arrays —
+    #     shingles are distinct per document, so |A∩B| / |A∪B| over the
+    #     hashes equals Jaccard over the shingles (a cross-document
+    #     xxhash64 collision is ~2^-64 per pair — negligible, and d04 is
+    #     declared approximate anyway).  ~3x fewer bytes per array, and
+    #     the expression is the SAME hashed-shingle base the signature
+    #     stage computes, so nothing new is invented.
+    #   * only documents that appear in some candidate pair ever ship
+    #     their array through the verify shuffle: an id-only semi-join
+    #     prunes the other (typically vast) majority of the corpus.
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(shingles(text_col, ngram), lambda s: F.xxhash64(s)).alias("_set"),
+    )
+    cand_ids = (
+        cands.select(F.col("da").alias("_id")).union(cands.select(F.col("db").alias("_id"))).distinct()
+    )
+    sh = sh.join(cand_ids, "_id", "left_semi")
     sa = sh.select(F.col("_id").alias("da"), F.col("_set").alias("_sa"))
     sb = sh.select(F.col("_id").alias("db"), F.col("_set").alias("_sb"))
     jac = (

@@ -218,6 +218,24 @@ def test_minhash_base_array_computed_once(spark, sf_dir):
     assert p.count("xxhash64") <= 3, f"base hash array re-inlined {p.count('xxhash64')}x"
 
 
+def test_near_dup_candidate_exchange_is_id_only(spark, sf_dir):
+    """embedding_near_dup_pairs: the (t, b) bucket self-join and the
+    candidate distinct must shuffle IDS ONLY — at 768-d float64 a
+    vector riding that exchange costs ~6 KB x n_tables per row where
+    16 bytes of id suffice (VERDICT r4 #1). The vectors may appear only
+    in the post-distinct verify joins."""
+    from laion_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    p = plan_str(embedding_near_dup_pairs(e, "vec_id", "embedding", threshold=0.9, dim=64))
+    # the old vector-riding plan's fingerprint: dropDuplicates(ida, idb)
+    # materialized first(_va)/first(_vb) aggregates, i.e. every vector
+    # crossed the distinct exchange n_tables times
+    assert "first(_va" not in p and "first(_vb" not in p, p
+    # and the vector columns join in AFTER the distinct (two id joins)
+    assert p.count("Join") >= 3, p  # bucket self-join + 2 vector re-joins
+
+
 def test_funnel_is_single_shuffle(spark, sf_dir):
     """windowFunnel: one Exchange on the user key, then a pure
     projection fold — a second shuffle or a Python node would mean the
@@ -517,7 +535,11 @@ def test_q75_rank_windows_share_partitioning(spark, sf_dir):
     import re
 
     p = plan_str(REGISTRY["q75_rank_corr"].fn(spark, sf_dir), "simple")
-    assert p.count("Exchange") == 2, p
+    # <= rather than == : AQE / planner-version node merges must not
+    # redden this pin without a real regression (ADVICE r4). The real
+    # invariant is the next assert — every hash exchange keys on
+    # l_returnflag, i.e. there is no second partitioning key anywhere.
+    assert p.count("Exchange") <= 2, p
     hashparts = re.findall(r"hashpartitioning\(([^,)]+)", p)
     assert hashparts and all("l_returnflag" in h for h in hashparts), hashparts
     assert "rangepartitioning" in p, p  # final ORDER BY only
