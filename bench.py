@@ -467,6 +467,53 @@ def main() -> None:
                      if os.path.isdir(f"{ivf_path}/ivf_cluster={p}"))
         extras["ann768_bytes_fraction"] = round(probed / du(ivf_path), 4)
         print(f"  ann768: {ts} recall={extras['ann768_recall_at_10']} speedup={extras['ann768_speedup']}", file=sys.stderr)
+
+        # Batched probes (VERDICT r4 #3): single-probe wall-clock carries
+        # ~0.4 s of fixed per-job cost (driver planning + task dispatch)
+        # that a bigger table would amortize but this host can't fit
+        # (16M x 768 x 2 copies = 98 GB). The serving-shaped measurement
+        # instead: 8 in-distribution queries answered by ONE
+        # knn_join_parquet pass (each probed cluster's splits scanned
+        # once, scoring all of its queries in one GEMM) vs 8 sequential
+        # exact scans. Recall is checked per query against the exact
+        # scan — the amortized speedup only counts at recall parity.
+        if not over_budget(errors, "ann768_batch8"):
+            NB = 8
+            b_ids = sorted({int(N_ANN * f) for f in
+                            (0.0123, 0.111, 0.234567, 0.3456, 0.5001, 0.678, 0.8642, 0.95)})[:NB]
+            b_rows = {r.id: [float(x) for x in r.embedding]
+                      for r in vecs_c.filter(F.col("id").isin(b_ids)).collect()}
+            qdf = spark.createDataFrame(
+                [(i, b_rows[i]) for i in b_ids], "id long, embedding array<float>"
+            )
+
+            def ann_batch():
+                return idx.knn_join_parquet(
+                    spark, ivf_path, qdf, k=10, query_id="id", query_vec="embedding",
+                    corpus_id="id", vector_col="embedding",
+                ).collect()
+
+            # recall truth: one exact scan per query (untimed)
+            exact_ids = {qid: {r.id for r in exact_with(b_rows[qid])} for qid in b_ids}
+            got = ann_batch()  # doubles as the warm run
+            by_q: dict[int, set] = {}
+            for r in got:
+                by_q.setdefault(r[0], set()).add(r[1])
+            bhits = sum(len(exact_ids[q] & by_q.get(q, set())) for q in b_ids)
+            extras["ann768_batch8_recall_at_10"] = round(bhits / (10 * NB), 2)
+            bts = sorted(timed(ann_batch) for _ in range(3))
+            queries["ann768_batch8"] = bts[1]
+            extras["ann768_batch8_best_sec"] = bts[0]
+            extras["ann768_batch8_per_query_sec"] = round(bts[0] / NB, 4)
+            # exact serving cost for the same batch = NB sequential scans
+            # (measured best-of single scan x NB — the scan cost is the
+            # same for every query vector)
+            extras["ann768_batch_speedup"] = round(NB * ets[0] / bts[0], 2)
+            print(
+                f"  ann768_batch8: {bts} recall={extras['ann768_batch8_recall_at_10']} "
+                f"speedup={extras['ann768_batch_speedup']}",
+                file=sys.stderr,
+            )
     except _BudgetSkip:
         pass
     except Exception as ex:  # noqa: BLE001
@@ -598,6 +645,131 @@ def main() -> None:
     except Exception as ex:  # noqa: BLE001
         errors["events10m"] = f"{type(ex).__name__}: {ex}"[:500]
         print(f"  events10m: FAILED {errors['events10m'].splitlines()[0]}", file=sys.stderr)
+
+    # Shard-ETL throughput (VERDICT r4 missing #4): the reference's
+    # process.py is half its codebase (65,536-row batches, one shard
+    # per mp.Pool task — process.py:22,115); x01 proves correctness at
+    # 250 rows, this measures rows/s through the full positional-join
+    # pipeline (metadata parquet + row-aligned .npy matrices -> curly-
+    # quote cleanup -> exif JSON->map -> schema projection -> zstd
+    # parquet sink) at 16 shards x 32,768 rows x 768-d (~3.2 GB of
+    # embedding matrices). Shard-per-task, no shuffle anywhere.
+    try:
+        # needs ~4 min headroom (fixture build + 3 pipeline runs) — a
+        # section started just under the wire would overshoot the
+        # harness timeout, the round-3 no-JSON failure mode
+        if over_budget(errors, "etl_shards") or time.perf_counter() - _T_START > BUDGET_S - 240:
+            if "etl_shards" not in errors:
+                errors["etl_shards"] = "skipped: < 240s of bench budget left"
+                print("  etl_shards: SKIPPED (headroom)", file=sys.stderr)
+            raise _BudgetSkip
+        from laion_spark.sources.npy import etl_shards, write_fact_table
+
+        N_SHARDS, ROWS_PER_SHARD, ETL_DIM = 16, 32_768, DIM
+        etl_in = f"/tmp/laion_etl_{N_SHARDS}x{ROWS_PER_SHARD}x{ETL_DIM}"
+        if not os.path.exists(f"{etl_in}/_DONE"):
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            t0 = time.perf_counter()
+            for d in ("metadata", "img_emb", "text_emb"):
+                os.makedirs(f"{etl_in}/{d}", exist_ok=True)
+            for sid in range(N_SHARDS):
+                rng = np.random.default_rng(1000 + sid)
+                n = ROWS_PER_SHARD
+                base = sid * n
+                meta = pa.table(
+                    {
+                        "key": [f"k{base + i:09d}" for i in range(n)],
+                        "url": [f"https://example.com/{base + i}.jpg" for i in range(n)],
+                        "caption": [f"caption {base + i} ’quoted‘ text" for i in range(n)],
+                        "similarity": pa.array(rng.random(n)),
+                        "width": pa.array(rng.integers(64, 2048, n)),
+                        "height": pa.array(rng.integers(64, 2048, n)),
+                        "original_width": pa.array(rng.integers(64, 4096, n)),
+                        "original_height": pa.array(rng.integers(64, 4096, n)),
+                        "status": ["success"] * n,
+                        "nsfw": ["UNLIKELY"] * n,
+                        "exif_json": ['{"Make": "m", "Model": "x"}'] * n,
+                    }
+                )
+                pq.write_table(meta, f"{etl_in}/metadata/metadata_{sid}.parquet")
+                np.save(
+                    f"{etl_in}/img_emb/img_emb_{sid}.npy",
+                    rng.random((n, ETL_DIM), dtype=np.float32),
+                )
+                if sid != 13:  # one missing matrix exercises S4 zero-fill
+                    np.save(
+                        f"{etl_in}/text_emb/text_emb_{sid}.npy",
+                        rng.random((n, ETL_DIM), dtype=np.float32),
+                    )
+            open(f"{etl_in}/_DONE", "w").close()
+            print(f"  etl fixture build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+        etl_out = "/tmp/laion_etl_fact.parquet"
+
+        def run_etl():
+            write_fact_table(etl_shards(spark, etl_in, dim=ETL_DIM), etl_out)
+
+        run_etl()  # warm (python workers + codegen)
+        etl_ts = sorted(timed(run_etl) for _ in range(2))
+        n_rows = N_SHARDS * ROWS_PER_SHARD
+        queries["etl_shards"] = etl_ts[0] if len(etl_ts) == 1 else etl_ts[len(etl_ts) // 2]
+        extras["etl_shards_best_sec"] = etl_ts[0]
+        extras["etl_shards_rows_per_sec"] = round(n_rows / etl_ts[0])
+        extras["etl_shards_count"] = N_SHARDS
+        extras["etl_shards_rows"] = n_rows
+        print(f"  etl_shards: {etl_ts} ({extras['etl_shards_rows_per_sec']} rows/s)", file=sys.stderr)
+    except _BudgetSkip:
+        pass
+    except Exception as ex:  # noqa: BLE001
+        errors["etl_shards"] = f"{type(ex).__name__}: {ex}"[:500]
+        print(f"  etl_shards: FAILED {errors['etl_shards'].splitlines()[0]}", file=sys.stderr)
+
+    # 10M-row soak (VERDICT r4 missing #3): one measured point at the
+    # reference's OWN published brute-force scale (BASELINE.md rows:
+    # 10M x 768 in 3.747-10.272 s server-side) — turns the "linear in
+    # rows x dim" claim into data. ~30 GB fixture: gated on free disk
+    # as well as the wall-clock budget.
+    try:
+        N_10M = 10_000_000
+        path_10m = f"/tmp/laion_bench_{N_10M}x{DIM}.parquet"
+        # cold fixture build is ~5-8 min of generation + 30 GB write;
+        # require real headroom so the JSON line always prints
+        head = 600 if not os.path.exists(f"{path_10m}/_SUCCESS") else 120
+        if over_budget(errors, "knn768_10m") or time.perf_counter() - _T_START > BUDGET_S - head:
+            if "knn768_10m" not in errors:
+                errors["knn768_10m"] = f"skipped: < {head}s of bench budget left"
+                print("  knn768_10m: SKIPPED (headroom)", file=sys.stderr)
+            raise _BudgetSkip
+        import shutil as _sh
+        need = 36 * 1024**3 if not os.path.exists(f"{path_10m}/_SUCCESS") else 2 * 1024**3
+        if _sh.disk_usage("/tmp").free < need:
+            errors["knn768_10m"] = "skipped: insufficient /tmp space for 30 GB fixture"
+            print("  knn768_10m: SKIPPED (disk)", file=sys.stderr)
+            raise _BudgetSkip
+        t0 = time.perf_counter()
+        synth_vectors(spark, N_10M, DIM)
+        print(f"  synth_vectors({N_10M}x{DIM}): {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+        def run_10m():
+            return knn_search_parquet(
+                spark, path_10m, qvec, k=10, vector_col="embedding", select=["id"]
+            ).collect()
+
+        run_10m()  # warm (page cache will NOT hold 30 GB — this is a
+        # disk-bound scan, closest in spirit to the reference's NVMe runs)
+        ts10 = sorted(timed(run_10m) for _ in range(3))
+        queries["knn768_10m"] = ts10[1]
+        extras["knn768_10m_best_sec"] = ts10[0]
+        extras["knn768_10m_rows_per_sec"] = round(N_10M / ts10[0])
+        print(f"  knn768_10m: {ts10}", file=sys.stderr)
+    except _BudgetSkip:
+        pass
+    except Exception as ex:  # noqa: BLE001
+        errors["knn768_10m"] = f"{type(ex).__name__}: {ex}"[:500]
+        print(f"  knn768_10m: FAILED {errors['knn768_10m'].splitlines()[0]}", file=sys.stderr)
 
     total = round(sum(queries.values()), 4)
     out = {

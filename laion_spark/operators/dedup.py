@@ -77,15 +77,27 @@ def tokens(text_col: str | Column, lowercase: bool = True) -> Column:
 
 
 def shingles(text_col: str | Column, n: int = 3, lowercase: bool = True) -> Column:
-    """Distinct word n-gram set as an array column (pure HOFs)."""
+    """Distinct word n-gram set as an array column (pure HOFs).
+
+    The token array is bound ONCE as a lambda variable via a
+    single-element outer ``transform``: referencing the ``split(...)``
+    expression directly inside the index-mapping lambda would inline it
+    into the lambda body, where the HOF re-evaluates it once PER SHINGLE
+    INDEX (~n_tokens splits per row — measured 13.5 s of the 1M-doc
+    dedup run, >10x the actual shingling work; the same
+    recompute-inside-HOF class as the r1 ``_mh_base`` fix)."""
     toks = tokens(text_col, lowercase)
     if n == 1:
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    grams = F.array_distinct(F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")))
-    # shorter-than-n documents have no shingles (sequence(1, m<1) would
-    # count DOWN and slice(.., 0, ..) errors)
-    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+    def from_tokens(t: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+        grams = F.array_distinct(F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " ")))
+        # shorter-than-n documents have no shingles (sequence(1, m<1)
+        # would count DOWN and slice(.., 0, ..) errors)
+        return F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(toks), from_tokens), 1)
 
 
 def jaccard_similar_pairs(
@@ -203,26 +215,55 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, ngram, seed)
+    # Band hashes as UNROLLED per-band expressions, NOT a transform over
+    # sequence(0, bands-1): inside a higher-order function `signature`
+    # appears once textually, so CollapseProject inlines the whole
+    # minhash array computation into the lambda body — which the HOF
+    # then re-evaluates once PER BAND (measured: 8x recompute, 17 s of
+    # the 1M-doc run; the same bug class as the r1 `_mh_base` 41x fix,
+    # one level up). With `signature` referenced `bands` times textually
+    # the Project boundary survives and the signature is computed once.
     banded = sigs.select(
         "id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.array_join(F.slice("signature", b * rows_per_band + 1, rows_per_band), ",")).alias(
-                        "bucket"
-                    ),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array_join(F.slice("signature", b * rows_per_band + 1, rows_per_band), ",")
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    a = banded.select(F.col("id").alias("da"), "band", "bucket")
-    b = banded.select(F.col("id").alias("db"), "band", "bucket")
+    # Candidate pairs WITHOUT a self-join: a (band, bucket) self-join
+    # evaluates the whole signature pipeline on BOTH join inputs and
+    # shuffle-sorts the banded stream twice (measured: 18 s of the 1M-doc
+    # run's 28 s — the pipeline's actual hot spot once the verify was
+    # fixed). One groupBy instead: collect each bucket's id set, expand
+    # ordered pairs in-place with array expressions. Same output, one
+    # shuffle, signatures computed once. Per-bucket fan-out is m^2/2
+    # exactly as the join's, so no semantic or complexity change — just
+    # no duplicate compute and half the exchanges.
+    ids = F.sort_array(F.collect_set("id"))
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("da"), y.alias("db")),
+            ),
+        )
+    )
     cands = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("da") < F.col("db"))
-        .select("da", "db")
+        banded.groupBy("band", "bucket")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(combos).alias("p"))
+        .select("p.da", "p.db")
         .distinct()
     )
     # Verify candidates with exact Jaccard over HASHED shingle sets

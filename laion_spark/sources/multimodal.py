@@ -71,9 +71,20 @@ def decode_images(
     Arrow-batched mapInPandas; one input row -> one output row. The
     ``fake`` backend is deterministic from the byte content (sha256),
     making the full pipeline testable without codec libraries.
+    ``auto`` resolves DRIVER-side to ``pil`` when Pillow imports and
+    ``fake`` otherwise — the opportunistic real-decode path; it assumes
+    driver and executors share the Python environment (true for every
+    standard Spark deployment mode).
     """
-    if decode_backend not in ("fake", "pil"):
-        raise ValueError("decode_backend must be 'fake' or 'pil'")
+    if decode_backend not in ("fake", "pil", "auto"):
+        raise ValueError("decode_backend must be 'fake', 'pil', or 'auto'")
+    if decode_backend == "auto":
+        try:
+            import PIL  # type: ignore # noqa: F401
+
+            decode_backend = "pil"
+        except ImportError:
+            decode_backend = "fake"
     pruned = df.select(path_col, content_col)
 
     def decode(batches):

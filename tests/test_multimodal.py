@@ -56,6 +56,38 @@ def test_decode_pil_backend_is_marked_stub(spark, bin_dir):
         decode_images(df, decode_backend="pil").collect()
 
 
+def test_decode_auto_without_pil_falls_back_to_fake(spark, bin_dir):
+    """``auto`` must resolve to the deterministic fake backend when
+    Pillow is absent — identical rows, no error."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL installed; fallback path not reachable")
+    except ImportError:
+        pass
+    df = read_binary(spark, bin_dir)
+    auto = {os.path.basename(r.path): r for r in decode_images(df, decode_backend="auto").collect()}
+    fake = {os.path.basename(r.path): r for r in decode_images(df, decode_backend="fake").collect()}
+    assert auto == fake
+
+
+def test_decode_auto_with_pil_decodes_real_png(spark, tmp_path):
+    """With Pillow present, ``auto`` takes the real decode path: a
+    genuine 3x2 PNG must come back with its true dimensions, not the
+    sha256-derived fake ones."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    buf = io.BytesIO()
+    Image.new("RGB", (3, 2), color=(10, 20, 30)).save(buf, format="PNG")
+    (tmp_path / "real.png").write_bytes(buf.getvalue())
+    meta = decode_images(read_binary(spark, str(tmp_path)), decode_backend="auto").collect()
+    assert len(meta) == 1
+    r = meta[0]
+    assert (r.width, r.height, r.channels, r.fmt) == (3, 2, 3, "png")
+    assert abs(r.mean_pixel - (10 + 20 + 30) / 3) < 1e-6
+
+
 def test_sample_frames(spark, bin_dir):
     df = read_binary(spark, bin_dir)
     frames = sample_frames(df, every_n=30)
