@@ -5624,3 +5624,81 @@ def q89_global_sales_opportunity(spark, sf_dir):
         )
         .orderBy("cntrycode")
     )
+
+
+@query(
+    "t08_repetition_ratios",
+    oracle=r"""
+    WITH b AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 2
+          THEN [array_to_string(toks[i:i+1], ' ') for i in generate_series(1, len(toks)-1)]
+          ELSE [] END AS g2,
+        CASE WHEN len(toks) >= 3
+          THEN [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)]
+          ELSE [] END AS g3
+      FROM b
+    )
+    SELECT doc_id,
+           1.0 - CAST(len(list_distinct(g2)) AS DOUBLE)/len(g2) AS dup2,
+           1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)/len(g3) AS dup3
+    FROM g WHERE len(g3) >= 1
+    ORDER BY dup2 DESC, doc_id LIMIT 100
+    """,
+    note="Gopher/C4-style intra-document repetition quality signal "
+    "(duplicate 2-gram and 3-gram fractions): the standard pretraining "
+    "filter for boilerplate / keyword stuffing / generation loops. One "
+    "scan, pure JVM HOFs with the token array bound once per row "
+    "(functions/text.py ngrams); output unrounded doubles — both "
+    "engines divide identical IEEE ints, the driver canon rounds",
+)
+def t08_repetition_ratios(spark, sf_dir):
+    from laion_spark.functions.text import dup_ngram_ratio
+
+    d = t(spark, sf_dir, "documents")
+    out = d.select(
+        "doc_id",
+        dup_ngram_ratio("text", 2).alias("dup2"),
+        dup_ngram_ratio("text", 3).alias("dup3"),
+    )
+    return out.filter(F.col("dup3").isNotNull()).orderBy(F.col("dup2").desc(), "doc_id").limit(100)
+
+
+@query(
+    "d09_ngram_contamination",
+    oracle=r"""
+    WITH b AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 5
+        THEN [array_to_string(toks[i:i+4], ' ') for i in generate_series(1, len(toks)-4)]
+        ELSE [] END)) AS gram
+      FROM b
+    )
+    SELECT gram, count(DISTINCT doc_id) AS df
+    FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 3
+    ORDER BY df DESC, gram LIMIT 50
+    """,
+    note="Cross-document 5-gram contamination scan (decontamination / "
+    "boilerplate detection for training corpora): per-doc DISTINCT "
+    "shingles explode into (gram, doc) pairs — unique by construction, "
+    "so document frequency is a plain count(*) hash agg with map-side "
+    "partials; no count-distinct state. At 100 TB this is the same "
+    "one-shuffle shape as t02 corpus token frequency",
+)
+def d09_ngram_contamination(spark, sf_dir):
+    from laion_spark.operators.dedup import shingles
+
+    d = t(spark, sf_dir, "documents")
+    g = d.select("doc_id", F.explode(shingles("text", 5)).alias("gram"))
+    return (
+        g.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 3)
+        .orderBy(F.col("df").desc(), "gram")
+        .limit(50)
+    )

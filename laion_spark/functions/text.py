@@ -120,15 +120,54 @@ def doc_fingerprint(col: ColumnOrName) -> Column:
     return F.md5(_c(col).cast("binary"))
 
 
+def _bind_tokens(col: ColumnOrName, body, lowercase: bool = True) -> Column:
+    """Evaluate ``body(token_array)`` with the token array bound ONCE as
+    a lambda variable. Referencing the ``split(...)`` expression inside
+    an index-mapping ``transform`` lambda inlines it into the body,
+    which the HOF then re-evaluates once per element — one split per
+    n-gram/window index (the recompute-inside-HOF class measured at
+    >10x the real work in the dedup pipeline)."""
+    return F.element_at(F.transform(F.array(tokens(col, lowercase)), body), 1)
+
+
+def ngrams(col: ColumnOrName, n: int = 2, lowercase: bool = True) -> Column:
+    """Word n-grams WITH duplicates — repetition analysis needs the
+    multiset; ``laion_spark.operators.dedup.shingles`` is the
+    distinct-set variant for dedup."""
+
+    def body(t: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+        grams = F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
+        # sequence(1, m<1) counts DOWN; short docs get an empty list
+        return F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+    return _bind_tokens(col, body, lowercase)
+
+
+def dup_ngram_ratio(col: ColumnOrName, n: int = 2) -> Column:
+    """Fraction of word n-grams that repeat an earlier n-gram:
+    1 - distinct/total (the Gopher/C4-style intra-document repetition
+    signal — high values mark boilerplate, keyword stuffing, and
+    generation loops). NULL for documents with no n-grams."""
+    g = ngrams(col, n)
+    return F.when(
+        F.size(g) >= 1,
+        F.lit(1.0) - F.size(F.array_distinct(g)).cast("double") / F.size(g),
+    )
+
+
 def rolling_hashes(col: ColumnOrName, window: int = 5) -> Column:
     """Winnowing-style token-window rolling hashes (Spark-only; xxhash64
     over joined token windows). Used for substring-level fingerprinting:
     two documents sharing any window hash share a 5-token run."""
-    t = tokens(col)
-    idx = F.sequence(F.lit(1), F.size(t) - (window - 1))
-    hashes = F.transform(idx, lambda i: F.xxhash64(F.array_join(F.slice(t, i, window), " ")))
-    # sequence(1, m<1) counts DOWN; short docs get an empty hash list
-    return F.when(F.size(t) >= window, hashes).otherwise(F.array().cast("array<bigint>"))
+
+    def body(t: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(t) - (window - 1))
+        hashes = F.transform(idx, lambda i: F.xxhash64(F.array_join(F.slice(t, i, window), " ")))
+        # sequence(1, m<1) counts DOWN; short docs get an empty hash list
+        return F.when(F.size(t) >= window, hashes).otherwise(F.array().cast("array<bigint>"))
+
+    return _bind_tokens(col, body)
 
 
 #: BPE-style pretokenizer (north star Q26): a simplified GPT-2-shape
