@@ -665,7 +665,8 @@ def main() -> None:
             raise _BudgetSkip
         from laion_spark.sources.npy import etl_shards, write_fact_table
 
-        N_SHARDS, ROWS_PER_SHARD, ETL_DIM = 16, 32_768, DIM
+        # one shard per task: 32 shards fill the 32-core host exactly
+        N_SHARDS, ROWS_PER_SHARD, ETL_DIM = 32, 16_384, DIM
         etl_in = f"/tmp/laion_etl_{N_SHARDS}x{ROWS_PER_SHARD}x{ETL_DIM}"
         if not os.path.exists(f"{etl_in}/_DONE"):
             import numpy as np

@@ -88,38 +88,80 @@ _JOBS_SCHEMA = T.StructType(
 _CURLY = {ord("’"): " ", ord("‘"): " "}
 
 
-def _process_shard_pdfs(job, dim: int):
-    """Yield pandas DataFrames for one shard — the reference's
-    per-shard loop (process.py:14-92) minus the writer."""
+def _emb_list_array(mat, offset: int, n: int, dim: int):
+    """Row-aligned matrix slice [offset, offset+n) as a flat Arrow
+    list<float32> array — one contiguous copy off the mmap, never a
+    Python object per row. ``mat=None`` zero-fills (S4)."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
+
+    if mat is None:
+        flat = np.zeros(n * dim, dtype=np.float32)
+    else:
+        flat = np.ascontiguousarray(mat[offset : offset + n], dtype=np.float32).ravel()
+    offsets = pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32))
+    return pa.ListArray.from_arrays(offsets, pa.array(flat, type=pa.float32()))
+
+
+def _process_shard_batches(job, dim: int):
+    """Yield Arrow RecordBatches for one shard — the reference's
+    per-shard loop (process.py:14-92) minus the writer.
+
+    Arrow-native on purpose: the original pandas formulation built one
+    Python ndarray object PER ROW for each embedding column and paid
+    the object-column -> Arrow conversion on the way out (~5k rows/s
+    at dim=768, same pathology the bench's synth_vectors docstring
+    records); flat ListArray builds + vectorized string compute move
+    the pipeline to near-memcpy, with only the exif JSON parse left
+    per-row (small strings, unavoidable for a map column)."""
+    import numpy as np  # noqa: F401  (via _emb_list_array)
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     img = np.load(job.img_emb_path, mmap_mode="r") if job.img_emb_path else None
     txt = np.load(job.text_emb_path, mmap_mode="r") if job.text_emb_path else None
+    out_fields = [
+        (
+            f.name,
+            pa.map_(pa.string(), pa.string())
+            if f.name == "exif"
+            else pa.list_(pa.float32())
+            if f.name in ("text_embedding", "image_embedding")
+            else pa.float64()
+            if f.dataType.simpleString() == "double"
+            else pa.int64()
+            if f.dataType.simpleString() == "bigint"
+            else pa.string(),
+        )
+        for f in LAION_SCHEMA.fields
+    ]
     offset = 0
     pf = pq.ParquetFile(job.metadata_path)
     for batch in pf.iter_batches(batch_size=BATCH_ROWS):
-        pdf = batch.to_pandas()
-        n = len(pdf)
-        if img is not None:
-            img_rows = [np.asarray(r, dtype=np.float32) for r in img[offset : offset + n]]
-        else:
-            img_rows = [np.zeros(dim, dtype=np.float32)] * n  # S4 zero-fill
-        if txt is not None:
-            txt_rows = [np.asarray(r, dtype=np.float32) for r in txt[offset : offset + n]]
-        else:
-            txt_rows = [np.zeros(dim, dtype=np.float32)] * n
+        n = batch.num_rows
+        cols = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
+
+        # P5 curly-quote cleanup, vectorized (process.py:75)
+        cap = cols["caption"]
+        for q in ("’", "‘"):
+            cap = pc.replace_substring(cap, pattern=q, replacement=" ")
+        cols["caption"] = cap
+
+        # P6 exif JSON -> map (process.py:76) — per-row parse of small
+        # strings; the one remaining scalar loop
+        exif_src = cols.get("exif_json", cols.get("exif"))
+        parsed = [
+            json.loads(s) if isinstance(s, str) else {} for s in exif_src.to_pylist()
+        ]
+        cols["exif"] = pa.array(parsed, type=pa.map_(pa.string(), pa.string()))
+
+        cols["image_embedding"] = _emb_list_array(img, offset, n, dim)
+        cols["text_embedding"] = _emb_list_array(txt, offset, n, dim)
         offset += n
 
-        pdf["caption"] = pdf["caption"].map(
-            lambda s: s.translate(_CURLY) if isinstance(s, str) else s
-        )
-        exif_src = "exif_json" if "exif_json" in pdf.columns else "exif"
-        pdf["exif"] = pdf[exif_src].map(lambda s: json.loads(s) if isinstance(s, str) else {})
-        pdf["text_embedding"] = txt_rows
-        pdf["image_embedding"] = img_rows
-        yield pdf[[f.name for f in LAION_SCHEMA.fields]]  # P2 projection
+        arrays = [cols[name].cast(typ) for name, typ in out_fields]  # P2 projection
+        yield pa.RecordBatch.from_arrays(arrays, [name for name, _ in out_fields])
 
 
 def etl_shards(spark: SparkSession, input_dir: str, dim: int = 768) -> DataFrame:
@@ -135,11 +177,11 @@ def etl_shards(spark: SparkSession, input_dir: str, dim: int = 768) -> DataFrame
     ).repartition(len(shards), "shard_id")
 
     def run(batches):
-        for jobs_pdf in batches:
-            for job in jobs_pdf.itertuples(index=False):
-                yield from _process_shard_pdfs(job, dim)
+        for rb in batches:
+            for job in rb.to_pandas().itertuples(index=False):
+                yield from _process_shard_batches(job, dim)
 
-    return jobs.mapInPandas(run, LAION_SCHEMA)
+    return jobs.mapInArrow(run, LAION_SCHEMA)
 
 
 def write_fact_table(df: DataFrame, path: str, compression: str = "zstd") -> None:
@@ -198,7 +240,7 @@ def shard_report(spark: SparkSession, input_dir: str, dim: int = 768) -> DataFra
         for jobs_pdf in batches:
             for job in jobs_pdf.itertuples(index=False):
                 try:
-                    rows = sum(len(p) for p in _process_shard_pdfs(job, dim))
+                    rows = sum(b.num_rows for b in _process_shard_batches(job, dim))
                     yield pd.DataFrame(
                         [{"shard_id": job.shard_id, "success": True, "rows": rows, "error": None}]
                     )
