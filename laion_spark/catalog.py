@@ -5702,3 +5702,39 @@ def d09_ngram_contamination(spark, sf_dir):
         .orderBy(F.col("df").desc(), "gram")
         .limit(50)
     )
+
+
+@query(
+    "t09_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 20
+    ORDER BY lang, doc_id
+    """,
+    note="Deterministic stratified quota sampling — the data-mixture "
+    "curation primitive (N docs per language, reproducible across "
+    "runs/engines): rank within stratum by md5(doc_id), a seedless "
+    "portable hash both engines spell identically. One shuffle on the "
+    "stratum key; at 100 TB a skewed stratum is bounded because only "
+    "rank <= quota rows survive the window's per-partition sort "
+    "(TakeOrdered-per-key shape), and the q70 SAMPLE-clause op covers "
+    "the unstratified case",
+)
+def t09_stratified_sample(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    rk = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", "source", rk.alias("rk"))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", "lang", "source")
+        .orderBy("lang", "doc_id")
+    )
