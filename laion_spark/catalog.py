@@ -5738,3 +5738,34 @@ def t09_stratified_sample(spark, sf_dir):
         .select("doc_id", "lang", "source")
         .orderBy("lang", "doc_id")
     )
+
+
+@query(
+    "d10_shared_window_pairs",
+    oracle=r"""
+    WITH b AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 5
+        THEN [array_to_string(toks[i:i+4], ' ') for i in generate_series(1, len(toks)-4)]
+        ELSE [] END)) AS w
+      FROM b
+    )
+    SELECT a.doc_id AS da, c.doc_id AS db, count(*) AS shared
+    FROM g a JOIN g c ON a.w = c.w AND a.doc_id < c.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    ORDER BY shared DESC, da, db
+    """,
+    note="Substring-level partial-copy detection (winnowing-style "
+    "shared 5-token runs): catches quotation/boilerplate overlap that "
+    "set-level Jaccard dilutes. Spark side shuffles hashed windows "
+    "(int64) through the no-self-join group-and-expand shape; oracle "
+    "counts the same distinct-window co-occurrences on strings — "
+    "counts are identical (collision odds ~2^-64/pair)",
+)
+def d10_shared_window_pairs(spark, sf_dir):
+    from laion_spark.operators.dedup import shared_window_pairs
+
+    d = t(spark, sf_dir, "documents")
+    return shared_window_pairs(d, "doc_id", "text", window=5, min_shared=2)

@@ -391,3 +391,57 @@ def hamming_distance(a: Column | str, b: Column | str) -> Column:
     """Popcount of XOR — distance between two simhash fingerprints."""
     x = (F.col(a) if isinstance(a, str) else a).bitwiseXOR(F.col(b) if isinstance(b, str) else b)
     return F.bit_count(x)
+
+
+def shared_window_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 5,
+    min_shared: int = 2,
+    max_df: int | None = None,
+    hashed: bool = True,
+) -> DataFrame:
+    """Substring-level overlap pairs (winnowing-style): documents
+    sharing >= ``min_shared`` DISTINCT ``window``-token runs — the
+    quotation / boilerplate / partial-copy detector that set-level
+    Jaccard misses (a 5-token verbatim run is strong evidence of
+    copying even when the documents' overall vocabularies differ;
+    cf. Schleimer et al., SIGMOD'03 winnowing).
+
+    Plan: per-doc distinct windows -> explode -> (optional max_df cap,
+    same corpus-scale guard as ``jaccard_similar_pairs``) -> group by
+    window, expand ordered pairs in-array (the no-self-join shape of
+    ``minhash_lsh_pairs`` — one shuffle, the window stream computed
+    once) -> count shared windows per pair. ``hashed=True`` shuffles
+    xxhash64(window) int64s instead of window strings (~4x fewer
+    bytes; a cross-document collision altering a count is ~2^-64 per
+    window pair). Output: (da, db, shared), ordered by shared desc.
+    """
+    win = shingles(text_col, window)
+    if hashed:
+        win = F.transform(win, lambda s: F.xxhash64(s))
+    ex = df.select(F.col(id_col).alias("_id"), F.explode(win).alias("_w"))
+    if max_df is not None:
+        keep = ex.groupBy("_w").agg(F.count("*").alias("_df")).filter(F.col("_df") <= max_df)
+        ex = ex.join(keep.select("_w"), "_w")
+    ids = F.sort_array(F.collect_set("_id"))
+    combos = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("da"), y.alias("db")),
+            ),
+        )
+    )
+    return (
+        ex.groupBy("_w")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(combos).alias("p"))
+        .groupBy("p.da", "p.db")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+        .orderBy(F.col("shared").desc(), "da", "db")
+    )
