@@ -125,6 +125,43 @@ def test_minhash_lsh_finds_near_duplicates(spark):
     assert all(3 not in p for p in got)  # unrelated doc never pairs
 
 
+def test_shared_window_pairs_detects_partial_copies(spark):
+    """A verbatim 6-token run shared by two otherwise-different docs
+    must surface with the right shared count; unrelated docs never
+    pair; hashed and string windows agree exactly."""
+    from laion_spark.operators.dedup import shared_window_pairs
+
+    quote = "four score and seven years ago our fathers brought forth"
+    rows = [
+        (0, f"intro words then {quote} and some closing remarks here"),
+        (1, f"completely different framing yet {quote} appears verbatim inside"),
+        (2, "unrelated document with none of those words present at all today"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {(r.da, r.db): r.shared for r in shared_window_pairs(df, "id", "text", window=5).collect()}
+    # the 10-token quote yields 6 distinct shared 5-token runs
+    assert got == {(0, 1): 6}
+    unhashed = {
+        (r.da, r.db): r.shared
+        for r in shared_window_pairs(df, "id", "text", window=5, hashed=False).collect()
+    }
+    assert unhashed == got
+
+
+def test_shared_window_pairs_max_df_caps_boilerplate(spark):
+    """A window present in every document (df=20) is boilerplate, not
+    evidence — max_df drops it so no all-pairs blowup occurs."""
+    from laion_spark.operators.dedup import shared_window_pairs
+
+    boiler = "standard footer text all rights reserved"
+    rows = [(i, f"doc {i} body {i * 7} content {boiler}") for i in range(20)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    uncapped = shared_window_pairs(df, "id", "text", window=5, min_shared=1)
+    capped = shared_window_pairs(df, "id", "text", window=5, min_shared=1, max_df=5)
+    assert uncapped.count() == 190  # C(20,2): everyone shares the footer
+    assert capped.count() == 0
+
+
 def test_simhash_hamming(spark):
     from laion_spark.operators.dedup import hamming_distance, simhash
 
