@@ -478,9 +478,14 @@ def main() -> None:
         # exact scans. Recall is checked per query against the exact
         # scan — the amortized speedup only counts at recall parity.
         if not over_budget(errors, "ann768_batch8"):
-            NB = 8
+          try:  # own failure domain: a batch error must not relabel the
+            # already-recorded single-probe ann768 results (noqa: E117)
             b_ids = sorted({int(N_ANN * f) for f in
-                            (0.0123, 0.111, 0.234567, 0.3456, 0.5001, 0.678, 0.8642, 0.95)})[:NB]
+                            (0.0123, 0.111, 0.234567, 0.3456, 0.5001, 0.678, 0.8642, 0.95)})
+            # NB follows the ACTUAL query count: a shrunken
+            # SPARK_GRAFT_BENCH_ANN_ROWS can collapse the id fractions,
+            # and a hardcoded 8 would deflate recall / inflate speedup
+            NB = len(b_ids)
             b_rows = {r.id: [float(x) for x in r.embedding]
                       for r in vecs_c.filter(F.col("id").isin(b_ids)).collect()}
             qdf = spark.createDataFrame(
@@ -514,6 +519,9 @@ def main() -> None:
                 f"speedup={extras['ann768_batch_speedup']}",
                 file=sys.stderr,
             )
+          except Exception as bex:  # noqa: BLE001
+            errors["ann768_batch8"] = f"{type(bex).__name__}: {bex}"[:500]
+            print(f"  ann768_batch8: FAILED {errors['ann768_batch8'].splitlines()[0]}", file=sys.stderr)
     except _BudgetSkip:
         pass
     except Exception as ex:  # noqa: BLE001
@@ -652,7 +660,7 @@ def main() -> None:
     # 250 rows, this measures rows/s through the full positional-join
     # pipeline (metadata parquet + row-aligned .npy matrices -> curly-
     # quote cleanup -> exif JSON->map -> schema projection -> zstd
-    # parquet sink) at 16 shards x 32,768 rows x 768-d (~3.2 GB of
+    # parquet sink) at 32 shards x 16,384 rows x 768-d (~3.2 GB of
     # embedding matrices). Shard-per-task, no shuffle anywhere.
     try:
         # needs ~4 min headroom (fixture build + 3 pipeline runs) — a

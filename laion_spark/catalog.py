@@ -4835,7 +4835,7 @@ def q75_rank_corr(spark, sf_dir):
              CAST(sum(t) AS BIGINT) AS n,
              CAST(sum(CAST(t1 * (cum_less + (t + 1) / 2.0) AS DECIMAL(30,6))) AS DOUBLE) AS r1,
              CAST(sum(CAST(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0))
-                           * CAST(t AS DECIMAL(12,0)) - t AS DECIMAL(38,6))) AS DOUBLE) AS tie3
+                           * CAST(t AS DECIMAL(12,0)) - t AS DECIMAL(38,0))) AS DOUBLE) AS tie3
       FROM r
     )
     SELECT n1, n2,
@@ -4876,10 +4876,13 @@ def e19_mann_whitney_u(spark, sf_dir):
         F.sum("t").alias("n"),
         d30(F.col("t1") * (F.col("cum_less") + (F.col("t") + 1) / 2.0)).alias("r1"),
         # cube in DECIMAL, not BIGINT: a tie group above ~2.09M rows
-        # would overflow int64 under ANSI (ADVICE r4); decimal(12,0)^3
-        # is exact to t = 1e12 and both engines sum identical values
+        # would overflow int64 under ANSI (ADVICE r4). The scale-0
+        # 38-digit accumulator holds t^3 exactly to t ~ 4.6e12 — a
+        # scale-6 cast would have re-capped it at t ~ 4.6e10; tie3 is
+        # integral so no fractional digits are needed. Both engines sum
+        # identical values
         F.sum(
-            (_td * _td * _td - F.col("t")).cast("decimal(38,6)")
+            (_td * _td * _td - F.col("t")).cast("decimal(38,0)")
         ).cast("double").alias("tie3"),
     )
     u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0

@@ -86,9 +86,10 @@ def shingles(text_col: str | Column, n: int = 3, lowercase: bool = True) -> Colu
     INDEX (~n_tokens splits per row — measured 13.5 s of the 1M-doc
     dedup run, >10x the actual shingling work; the same
     recompute-inside-HOF class as the r1 ``_mh_base`` fix)."""
-    toks = tokens(text_col, lowercase)
+    from laion_spark.functions.text import _bind_tokens
+
     if n == 1:
-        return F.array_distinct(toks)
+        return F.array_distinct(tokens(text_col, lowercase))
 
     def from_tokens(t: Column) -> Column:
         idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
@@ -105,7 +106,7 @@ def shingles(text_col: str | Column, n: int = 3, lowercase: bool = True) -> Colu
         # would count DOWN)
         return F.when(F.size(t) >= n, grams).otherwise(F.array().cast("array<string>"))
 
-    return F.element_at(F.transform(F.array(toks), from_tokens), 1)
+    return _bind_tokens(text_col, from_tokens, lowercase)
 
 
 def jaccard_similar_pairs(
@@ -200,6 +201,29 @@ def minhash_signatures(
     return base_df.select(F.col(id_col).alias("id"), sig.alias("signature"))
 
 
+def _expand_bucket_pairs(grouped: DataFrame) -> DataFrame:
+    """Ordered (da, db) id pairs from a grouped frame carrying a
+    sorted-array ``ids`` column — one output row per (bucket, pair),
+    so multiplicity across buckets is preserved for shared-count
+    consumers.
+
+    Two chained generators, NOT one in-array combos build: posexplode
+    yields (position, da) rows still carrying the ids array, then a
+    second explode emits da's ordered partners from slice(ids, i+2).
+    Peak per-row memory is O(bucket size) — a degenerate bucket (all
+    empty docs in one LSH bucket, a boilerplate window) streams its
+    m^2/2 pairs row-at-a-time instead of materializing them inside ONE
+    m^2-element aggregation cell and OOMing the executor. No join, so
+    the upstream aggregate is computed exactly once.
+    """
+    step = grouped.filter(F.size("ids") >= 2).select(
+        "ids", F.posexplode("ids").alias("_i", "da")
+    )
+    return step.select(
+        "da", F.explode(F.slice("ids", F.col("_i") + 2, F.size("ids"))).alias("db")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -222,6 +246,18 @@ def minhash_lsh_pairs(
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
+    # Documents with NO shingles (< ngram tokens, empty/NULL text) have
+    # all-NULL signatures; every band hash degenerates to xxhash64("")
+    # so ALL such docs would collide into one bucket per band — a k^2
+    # candidate blowup whose verify then computes 0/0 = NaN, and NaN
+    # compares ABOVE the threshold under Spark's NaN-largest semantics,
+    # ranking garbage pairs first. MinHash is undefined on the empty
+    # set: exclude those docs BEFORE the signature stage, on a cheap
+    # token-count predicate. (Filtering the computed signature column
+    # instead re-inlines the whole minhash expression into the pushed
+    # predicate and destroys the _mh_base compute-once boundary —
+    # measured 5x slower end-to-end.)
+    df = df.filter(F.size(tokens(text_col)) >= ngram)
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, ngram, seed)
     # Band hashes as UNROLLED per-band expressions, NOT a transform over
     # sequence(0, bands-1): inside a higher-order function `signature`
@@ -252,28 +288,12 @@ def minhash_lsh_pairs(
     # shuffle-sorts the banded stream twice (measured: 18 s of the 1M-doc
     # run's 28 s — the pipeline's actual hot spot once the verify was
     # fixed). One groupBy instead: collect each bucket's id set, expand
-    # ordered pairs in-place with array expressions. Same output, one
-    # shuffle, signatures computed once. Per-bucket fan-out is m^2/2
-    # exactly as the join's, so no semantic or complexity change — just
-    # no duplicate compute and half the exchanges.
-    ids = F.sort_array(F.collect_set("id"))
-    combos = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("da"), y.alias("db")),
-            ),
-        )
-    )
-    cands = (
-        banded.groupBy("band", "bucket")
-        .agg(ids.alias("ids"))
-        .filter(F.size("ids") >= 2)
-        .select(F.explode(combos).alias("p"))
-        .select("p.da", "p.db")
-        .distinct()
-    )
+    # ordered pairs via _expand_bucket_pairs (in-array for normal
+    # buckets, spillable within-bucket join for degenerate ones). Same
+    # output cardinality as the join, one shuffle, signatures computed
+    # once.
+    grouped = banded.groupBy("band", "bucket").agg(F.sort_array(F.collect_set("id")).alias("ids"))
+    cands = _expand_bucket_pairs(grouped).distinct()
     # Verify candidates with exact Jaccard over HASHED shingle sets
     # (VERDICT r4 #4: the verify join was the dedup1m hot spot).  Two
     # cost cuts, both semantics-preserving:
@@ -417,38 +437,28 @@ def shared_window_pairs(
     copying even when the documents' overall vocabularies differ;
     cf. Schleimer et al., SIGMOD'03 winnowing).
 
-    Plan: per-doc distinct windows -> explode -> (optional max_df cap,
-    same corpus-scale guard as ``jaccard_similar_pairs``) -> group by
-    window, expand ordered pairs in-array (the no-self-join shape of
-    ``minhash_lsh_pairs`` — one shuffle, the window stream computed
-    once) -> count shared windows per pair. ``hashed=True`` shuffles
-    xxhash64(window) int64s instead of window strings (~4x fewer
-    bytes; a cross-document collision altering a count is ~2^-64 per
-    window pair). Output: (da, db, shared), ordered by shared desc.
+    Plan: per-doc distinct windows -> explode -> group by window ->
+    drop buckets above ``max_df`` (windows are distinct per doc, so the
+    bucket's id count IS the window's document frequency — the cap is a
+    filter on the one aggregate, no second pass over the corpus; same
+    guard role as ``jaccard_similar_pairs.max_df``) -> expand ordered
+    pairs via ``_expand_bucket_pairs`` (in-array normally, spillable
+    join for degenerate buckets) -> count shared windows per pair.
+    ``hashed=True`` shuffles xxhash64(window) int64s instead of window
+    strings (~4x fewer bytes; a cross-document collision altering a
+    count is ~2^-64 per window pair). Output: (da, db, shared),
+    ordered by shared desc.
     """
     win = shingles(text_col, window)
     if hashed:
         win = F.transform(win, lambda s: F.xxhash64(s))
     ex = df.select(F.col(id_col).alias("_id"), F.explode(win).alias("_w"))
+    grouped = ex.groupBy("_w").agg(F.sort_array(F.collect_set("_id")).alias("ids"))
     if max_df is not None:
-        keep = ex.groupBy("_w").agg(F.count("*").alias("_df")).filter(F.col("_df") <= max_df)
-        ex = ex.join(keep.select("_w"), "_w")
-    ids = F.sort_array(F.collect_set("_id"))
-    combos = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("da"), y.alias("db")),
-            ),
-        )
-    )
+        grouped = grouped.filter(F.size("ids") <= max_df)
     return (
-        ex.groupBy("_w")
-        .agg(ids.alias("ids"))
-        .filter(F.size("ids") >= 2)
-        .select(F.explode(combos).alias("p"))
-        .groupBy("p.da", "p.db")
+        _expand_bucket_pairs(grouped)
+        .groupBy("da", "db")
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= min_shared)
         .orderBy(F.col("shared").desc(), "da", "db")

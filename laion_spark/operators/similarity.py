@@ -253,6 +253,11 @@ def embedding_near_dup_pairs(
     ~6 KB x n_tables per row where 16 bytes of id suffice — VERDICT r4
     #1). The two vector columns are re-joined only for the exact-cosine
     verify, after the distinct has collapsed the n_tables-way fan-out.
+
+    Contract: ``id_col`` must be unique. A duplicated id would fan each
+    of its pairs back out through the vector re-join (the pre-r5 plan
+    picked one of the duplicate vectors arbitrarily instead — neither
+    behavior is meaningful; dedup ids first).
     """
     import numpy as np  # noqa: F401  (index construction)
 

@@ -125,6 +125,25 @@ def test_minhash_lsh_finds_near_duplicates(spark):
     assert all(3 not in p for p in got)  # unrelated doc never pairs
 
 
+def test_minhash_short_docs_never_pair(spark):
+    """Documents with fewer than ngram tokens have EMPTY shingle sets —
+    MinHash is undefined there. They must not all collide into one
+    all-NULL-signature bucket and come back as NaN-jaccard pairs (NaN
+    compares above any threshold under Spark's NaN-largest semantics
+    and would rank garbage first)."""
+    import math
+
+    from laion_spark.operators.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(0, "hi"), (1, "yo"), (2, ""), (3, None), (4, base), (5, base + " ok")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = minhash_lsh_pairs(df, "id", "text", num_hashes=32, bands=16, ngram=3, threshold=0.4).collect()
+    pairs = {(r.da, r.db) for r in got}
+    assert pairs == {(4, 5)}, pairs
+    assert all(not math.isnan(r.jaccard) for r in got)
+
+
 def test_shared_window_pairs_detects_partial_copies(spark):
     """A verbatim 6-token run shared by two otherwise-different docs
     must surface with the right shared count; unrelated docs never
