@@ -585,6 +585,37 @@ def main() -> None:
         def topk10m():
             return topk_approx(ev10, "event_type", k=3).collect()
 
+        def stream10m():
+            # Structured-Streaming ingest throughput: the 64-file 10M-event
+            # table replayed as a file stream through the engine's
+            # watermarked tumbling-window aggregate (streaming/windows.py
+            # tumbling_counts) into a noop sink, availableNow trigger —
+            # the analog of the reference's MergeTree ingest+MV path.
+            # Fresh checkpoint per run so every run re-processes all 10M.
+            import shutil
+            import tempfile
+
+            from laion_spark.streaming.windows import tumbling_counts
+
+            ck = tempfile.mkdtemp(prefix="laion_stream_ck_")
+            try:
+                src = (
+                    spark.readStream.schema(ev10.schema)
+                    .option("maxFilesPerTrigger", "16")
+                    .parquet(epath)
+                    .withColumn("ts_t", F.timestamp_micros("ts_us"))
+                )
+                q = (
+                    tumbling_counts(src, window="1 hour", watermark="30 minutes")
+                    .writeStream.format("noop")
+                    .option("checkpointLocation", ck)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+            finally:
+                shutil.rmtree(ck, ignore_errors=True)
+
         def dedup1m():
             # dedup at 1M documents: ids < 200k are base texts (40
             # tokens from a 5k-word hash vocabulary), 200k-400k are
@@ -631,6 +662,7 @@ def main() -> None:
             ("funnel10m", funnel10m, N_EV),
             ("sessions10m", sessions10m, N_EV),
             ("topk10m", topk10m, N_EV),
+            ("stream10m", stream10m, N_EV),
             ("dedup1m", dedup1m, N_DOCS),
         )
         for key, fn, denom in stress:
