@@ -5772,3 +5772,52 @@ def d10_shared_window_pairs(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return shared_window_pairs(d, "doc_id", "text", window=5, min_shared=2)
+
+
+@query(
+    "q90_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 35)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+    note="TPC-H Q19 shape (discounted revenue under a DISJUNCTION of "
+    "brand/size/quantity conjunctions — the classic OR-of-ANDs "
+    "predicate that cannot be fully pushed to either scan because "
+    "each disjunct spans both join sides; adapted to this schema's "
+    "columns: no l_shipmode/p_container in the driver testdata). "
+    "part broadcasts; the disjunction evaluates as the broadcast "
+    "join's post-condition inside whole-stage codegen, so lineitem "
+    "is still read once with no shuffle; revenue accumulates in "
+    "DECIMAL(18,6) per the engine money-sum rule",
+)
+def q90_disjunctive_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    disj = (
+        (F.col("p_brand") == "Brand#11")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    ) | (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return j.filter(disj).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )

@@ -567,3 +567,15 @@ def test_q85_zero_data_shuffles(spark, sf_dir):
     assert "hashpartitioning" not in p, p
     push_p = plan_str(REGISTRY["q85_promotion_effect"].fn(spark, sf_dir))
     assert any("l_shipdate" in ln for ln in push_p.splitlines() if "PushedFilters" in ln), push_p
+
+
+def test_q90_broadcasts_part_no_data_shuffle(spark, sf_dir):
+    """TPC-H Q19 shape: part must broadcast and the ungrouped aggregate
+    means lineitem is scanned once with NO hashpartitioning exchange;
+    the OR-of-ANDs lives in the join condition / post-join filter, not
+    a second scan."""
+    from laion_spark.catalog import REGISTRY
+
+    p = plan_str(REGISTRY["q90_disjunctive_revenue"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "hashpartitioning" not in p, p
