@@ -616,17 +616,14 @@ def main() -> None:
             finally:
                 shutil.rmtree(ck, ignore_errors=True)
 
-        def dedup1m():
-            # dedup at 1M documents: ids < 200k are base texts (40
+        def ensure_docs1m():
+            # 1M-document dedup fixture: ids < 200k are base texts (40
             # tokens from a 5k-word hash vocabulary), 200k-400k are
             # near-dup variants of those bases (one appended token,
-            # Jaccard ~0.95), the rest unique — ~200k true pairs, found
-            # via the banded bucket join with no all-pairs step. The
-            # fixture builds lazily INSIDE the benchmark so a slow/
-            # failing docs build can only skip dedup1m, never the
-            # (independent, already-warm) event benchmarks.
-            from laion_spark.operators.dedup import minhash_lsh_pairs
-
+            # Jaccard ~0.95), the rest unique — ~200k true pairs. Built
+            # lazily INSIDE the dedup benchmarks so a slow/failing docs
+            # build can only skip them, never the (independent,
+            # already-warm) event benchmarks.
             dpath = "/tmp/laion_docs_1m.parquet"
             if not os.path.exists(f"{dpath}/_SUCCESS"):
                 t0 = time.perf_counter()
@@ -651,11 +648,27 @@ def main() -> None:
                     .parquet(dpath)
                 )
                 print(f"  docs1m build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-            docs1m = spark.read.parquet(dpath)
+            return spark.read.parquet(dpath)
+
+        def dedup1m():
+            from laion_spark.operators.dedup import minhash_lsh_pairs
+
             return (
-                minhash_lsh_pairs(docs1m, "doc_id", "text", num_hashes=32, bands=8, threshold=0.8)
+                minhash_lsh_pairs(ensure_docs1m(), "doc_id", "text", num_hashes=32, bands=8, threshold=0.8)
                 .count()
             )
+
+        def winnow1m():
+            # substring-overlap pair detection over the same 1M-doc
+            # fixture: the planted variants share >= 30 of their ~37
+            # distinct 5-token windows with their base, so min_shared=30
+            # must find exactly the 200k planted pairs; max_df=8 caps
+            # boilerplate-window fan-out (the corpus-scale guard)
+            from laion_spark.operators.dedup import shared_window_pairs
+
+            return shared_window_pairs(
+                ensure_docs1m(), "doc_id", "text", window=5, min_shared=30, max_df=8
+            ).count()
 
         N_DOCS = 1_000_000
         stress = (
@@ -664,6 +677,7 @@ def main() -> None:
             ("topk10m", topk10m, N_EV),
             ("stream10m", stream10m, N_EV),
             ("dedup1m", dedup1m, N_DOCS),
+            ("winnow1m", winnow1m, N_DOCS),
         )
         for key, fn, denom in stress:
             if over_budget(errors, key):
