@@ -5821,3 +5821,51 @@ def q90_disjunctive_revenue(spark, sf_dir):
         .alias("revenue"),
         F.count("*").alias("n_lines"),
     )
+
+
+@query(
+    "e20_seasonal_decompose",
+    oracle="""
+    WITH hourly AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+             count(*) AS observed
+      FROM events GROUP BY 1
+    ), trended AS (
+      SELECT hr, observed,
+             avg(observed) OVER (ORDER BY hr
+               ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS trend
+      FROM hourly
+    )
+    SELECT CAST(hr % 24 AS INTEGER) AS hod,
+           avg(observed - trend) AS seasonal,
+           CAST(count(*) AS BIGINT) AS n_hours
+    FROM trended
+    GROUP BY 1 ORDER BY 1
+    """,
+    note="ClickHouse seriesDecomposeSTL analog, simplified to the "
+    "classic additive decomposition: hourly event counts -> centered "
+    "24-point moving-average trend -> per-hour-of-day mean residual = "
+    "the seasonal profile. Scale shape: raw events reduce to ONE row "
+    "per hour BEFORE any ordered pass, so the global window runs over "
+    "the bounded series (#hours in range), never the event stream — "
+    "the same pre-aggregate-then-series rule as e19's rank stats. "
+    "Buckets derive from epoch micros arithmetic, immune to session "
+    "timezone; the MA averages int64 counts (order-safe in double)",
+)
+def e20_seasonal_decompose(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    e = ev(spark, sf_dir)
+    hourly = e.groupBy((F.col("ts_us") / 3_600_000_000).cast("long").alias("hr")).agg(
+        F.count("*").alias("observed")
+    )
+    w = W.orderBy("hr").rowsBetween(-11, 12)
+    trended = hourly.withColumn("trend", F.avg("observed").over(w))
+    return (
+        trended.groupBy(F.pmod(F.col("hr"), F.lit(24)).cast("int").alias("hod"))
+        .agg(
+            F.avg(F.col("observed") - F.col("trend")).alias("seasonal"),
+            F.count("*").alias("n_hours"),
+        )
+        .orderBy("hod")
+    )
