@@ -5869,3 +5869,57 @@ def e20_seasonal_decompose(spark, sf_dir):
         )
         .orderBy("hod")
     )
+
+
+@query(
+    "t10_corpus_filter_reasons",
+    oracle=r"""
+    WITH b AS (
+      SELECT doc_id, n_chars,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+        n_chars < 100 AS too_short,
+        CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to'))) AS DOUBLE)
+          / len(toks) < 0.01 AS low_stopword,
+        CASE WHEN len(toks) >= 2 THEN
+          1.0 - CAST(len(list_distinct([array_to_string(toks[i:i+1], ' ')
+                                        for i in generate_series(1, len(toks)-1)])) AS DOUBLE)
+                / (len(toks) - 1)
+        ELSE 0.0 END > 0.1 AS repetitive
+      FROM b
+    )
+    SELECT CASE WHEN too_short THEN 'too_short'
+                WHEN low_stopword THEN 'low_stopword'
+                WHEN repetitive THEN 'repetitive'
+                ELSE 'kept' END AS reason,
+           count(*) AS n_docs
+    FROM m GROUP BY 1 ORDER BY 1
+    """,
+    note="C4/Gopher-style corpus filter with drop-reason accounting — "
+    "the curation composite on top of M1/Q26: length gate, stopword "
+    "floor, duplicate-2-gram ceiling, FIRST failing gate wins, one "
+    "count per reason plus the kept bucket. One scan, pure JVM "
+    "expressions, a 5-row hash agg output at any corpus size; the "
+    "per-reason tallies are the monitoring surface a production "
+    "pretraining pipeline alerts on",
+)
+def t10_corpus_filter_reasons(spark, sf_dir):
+    from laion_spark.functions.text import dup_ngram_ratio, tokens as ttokens
+
+    d = t(spark, sf_dir, "documents")
+    toks = ttokens("text")
+    stop = F.size(F.filter(toks, lambda x: x.isin("the", "a", "and", "of", "to")))
+    m = d.select(
+        (F.col("n_chars") < 100).alias("too_short"),
+        (stop.cast("double") / F.size(toks) < 0.01).alias("low_stopword"),
+        (F.coalesce(dup_ngram_ratio("text", 2), F.lit(0.0)) > 0.1).alias("repetitive"),
+    )
+    reason = (
+        F.when(F.col("too_short"), "too_short")
+        .when(F.col("low_stopword"), "low_stopword")
+        .when(F.col("repetitive"), "repetitive")
+        .otherwise("kept")
+    )
+    return m.groupBy(reason.alias("reason")).agg(F.count("*").alias("n_docs")).orderBy("reason")
