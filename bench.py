@@ -820,6 +820,27 @@ def main() -> None:
         extras["knn768_10m_best_sec"] = ts10[0]
         extras["knn768_10m_rows_per_sec"] = round(N_10M / ts10[0])
         print(f"  knn768_10m: {ts10}", file=sys.stderr)
+
+        # concept math at the reference's OWN published scale: BASELINE
+        # row 4 is `(Cubism + Surrealism) / 2` over laion_10m in
+        # 8.837 s — this is the direct same-row-count comparison (the
+        # 1M concept768 row is the scaled one). Constant folding makes
+        # it one brute-force scan, so the target is "equals knn768_10m".
+        from laion_spark.functions.encoder import HashEncoder
+        from laion_spark.plans.concept import eval_concept
+
+        cvec10 = eval_concept("(cubism + surrealism) / 2", HashEncoder(DIM))
+
+        def run_c10m():
+            return knn_search_parquet(
+                spark, path_10m, cvec10, k=10, vector_col="embedding", select=["id"]
+            ).collect()
+
+        run_c10m()
+        tc10 = sorted(timed(run_c10m) for _ in range(3))
+        queries["concept768_10m"] = tc10[1]
+        extras["concept768_10m_best_sec"] = tc10[0]
+        print(f"  concept768_10m: {tc10} (reference laion_10m: 8.837s)", file=sys.stderr)
     except _BudgetSkip:
         pass
     except Exception as ex:  # noqa: BLE001
