@@ -199,3 +199,56 @@ def test_prefix_sum_matches_cumsum(spark, seed):
     for k, v in sorted(rows):
         assert got[k] == run, (seed, k)
         run += v
+
+
+@given(seed=st.integers(0, 2**16))
+@settings(max_examples=3, deadline=None)
+def test_shared_window_pairs_matches_bruteforce(spark, seed):
+    """shared_window_pairs equals the brute-force distinct-window
+    intersection count for any random small corpus (windows hashed or
+    not — counts identical)."""
+    import itertools
+    import random
+
+    from laion_spark.operators.dedup import shared_window_pairs
+
+    rng = random.Random(seed)
+    vocab = [f"w{j}" for j in range(12)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 14)))) for i in range(12)]
+    df = spark.createDataFrame(rows, "id int, text string")
+
+    def windows(text, w=3):
+        toks = text.lower().split()
+        return {" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)}
+
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        shared = len(windows(ta) & windows(tb))
+        if shared >= 1:
+            want[(ia, ib)] = shared
+    got = {
+        (r.da, r.db): r.shared
+        for r in shared_window_pairs(df, "id", "text", window=3, min_shared=1).collect()
+    }
+    assert got == want, (seed, got, want)
+
+
+@given(seed=st.integers(0, 2**16))
+@settings(max_examples=3, deadline=None)
+def test_dup_ngram_ratio_matches_python(spark, seed):
+    """dup_ngram_ratio equals 1 - distinct/total over the Python
+    n-gram multiset for any random text."""
+    import random
+
+    from laion_spark.functions.text import dup_ngram_ratio
+
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c", "d"]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 20)))) for i in range(8)]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {r.id: r.r for r in df.select("id", dup_ngram_ratio("text", 2).alias("r")).collect()}
+    for i, text in rows:
+        toks = text.lower().split()
+        grams = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        want = 1.0 - len(set(grams)) / len(grams)
+        assert got[i] == pytest.approx(want), (seed, i)
