@@ -220,11 +220,93 @@ def main() -> None:
     # cluster the default (128MB ~ one row group) is correct.
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
     queries: dict[str, float] = {}
+    extras: dict[str, float | int] = {}
     #: per-query failures — a red query yields an errors entry, never a
     #: dead bench (round-3 lesson: one broken warm-up zeroed BENCH_r03)
     errors: dict[str, str] = {}
 
     from laion_spark.catalog import REGISTRY
+
+    # Document-dedup stress runs FIRST, in a pristine JVM — measured
+    # engine pathology (reproduced with pure built-ins, no laion_spark
+    # code): ONE sort_array(collect_list(struct)) aggregation with
+    # large per-group buffers (the funnel/sessionization shape)
+    # permanently degrades every later collect_set/collect_list
+    # aggregation ~4x JVM-wide (4.2 s -> 16.6 s on the winnow bucket
+    # agg; conf-independent, survives System.gc(), identical under
+    # SortAggregate — i.e. JIT profile pollution of the shared
+    # TypedImperativeAggregate paths, not spill or planning). Ordering
+    # the dedup family before any funnel query records each family's
+    # honest number; the cluster-scale analog is not co-scheduling
+    # funnel and dedup stages on the same long-lived executors.
+    N_DOCS = 1_000_000
+
+    def ensure_docs1m():
+        # 1M-document dedup fixture: ids < 200k are base texts (40
+        # tokens from a 5k-word hash vocabulary), 200k-400k are
+        # near-dup variants of those bases (one appended token,
+        # Jaccard ~0.95), the rest unique — ~200k true pairs. Built
+        # lazily INSIDE this guarded section so a slow/failing docs
+        # build can only skip the dedup rows, nothing else.
+        dpath = "/tmp/laion_docs_1m.parquet"
+        if not os.path.exists(f"{dpath}/_SUCCESS"):
+            t0 = time.perf_counter()
+            (
+                spark.range(N_DOCS)
+                .repartition(64)
+                .selectExpr(
+                    "id AS doc_id",
+                    "CASE WHEN id < 400000 THEN pmod(id, 200000) ELSE id END AS base_key",
+                )
+                .selectExpr(
+                    "doc_id",
+                    "concat_ws(' ', transform(sequence(1, 40), "
+                    " i -> concat('w', pmod(xxhash64(base_key, i), 5000)))) AS base",
+                )
+                .selectExpr(
+                    "doc_id",
+                    "CASE WHEN doc_id >= 200000 AND doc_id < 400000 "
+                    "THEN concat(base, ' x', pmod(doc_id, 97)) ELSE base END AS text",
+                )
+                .write.mode("overwrite")
+                .parquet(dpath)
+            )
+            print(f"  docs1m build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        return spark.read.parquet(dpath)
+
+    def dedup1m():
+        from laion_spark.operators.dedup import minhash_lsh_pairs
+
+        return (
+            minhash_lsh_pairs(ensure_docs1m(), "doc_id", "text", num_hashes=32, bands=8, threshold=0.8)
+            .count()
+        )
+
+    def winnow1m():
+        # substring-overlap pair detection over the same 1M-doc
+        # fixture: the planted variants share >= 30 of their ~37
+        # distinct 5-token windows with their base, so min_shared=30
+        # must find exactly the 200k planted pairs; max_df=8 caps
+        # boilerplate-window fan-out (the corpus-scale guard)
+        from laion_spark.operators.dedup import shared_window_pairs
+
+        return shared_window_pairs(
+            ensure_docs1m(), "doc_id", "text", window=5, min_shared=30, max_df=8
+        ).count()
+
+    for key, fn in (("dedup1m", dedup1m), ("winnow1m", winnow1m)):
+        if over_budget(errors, key):
+            continue
+        try:
+            fn()  # warm (includes lazy fixture build)
+            ts = sorted(timed(fn) for _ in range(3))
+            queries[key] = ts[1]
+            extras[f"{key}_best_sec"] = ts[0]
+            extras[f"{key}_rows_per_sec"] = round(N_DOCS / ts[0])
+            print(f"  {key}: {ts}", file=sys.stderr)
+        except Exception as ex:  # noqa: BLE001
+            errors[key] = f"{type(ex).__name__}: {ex}"[:500]
+            print(f"  {key}: FAILED {errors[key].splitlines()[0]}", file=sys.stderr)
 
     # ingest once into engine-managed layout (row groups sized for
     # parallel scan), then run every headliner against it — the
@@ -261,6 +343,127 @@ def main() -> None:
             errors[name] = f"{type(ex).__name__}: {ex}"[:500]
             print(f"  {name}: FAILED {errors[name].splitlines()[0]}", file=sys.stderr)
 
+    # Stress runs BEFORE the vector sections on purpose: after ~60 GB of
+    # Arrow scans the shared JVM's allocator/GC state inflates the
+    # HOF-heavy dedup pipelines ~2-3x (measured: winnow1m 4.8 s in a
+    # fresh session vs 17 s after the ann/f16/10M blocks) — ordering
+    # records each family's honest number.
+    # Pipeline-operator stress: the LLM-data-pipeline operators at 10M
+    # events / 1M users — two orders of magnitude over the sf0.1 star
+    # schema. Their catalog entries prove CORRECTNESS at sf0.01; this
+    # proves the PLANS (one user-key shuffle each, bounded state) hold
+    # when the data no longer fits one task, and records rows/s.
+    try:
+        if over_budget(errors, "events10m"):
+            raise _BudgetSkip
+        from laion_spark.operators.funnel import window_funnel
+        from laion_spark.operators.topk import topk_approx
+
+        N_EV, N_USERS = 10_000_000, 1_000_000
+        epath = f"/tmp/laion_events_{N_EV}.parquet"
+        if not os.path.exists(f"{epath}/_SUCCESS"):
+            t0 = time.perf_counter()
+            types = F.array(*[F.lit(s) for s in ("view", "click", "purchase", "signup", "error")])
+            (
+                spark.range(N_EV)
+                .repartition(64)
+                .select(
+                    F.col("id").alias("event_id"),
+                    (F.lit(1_700_000_000_000_000) + F.pmod(F.xxhash64("id", F.lit(1)), F.lit(30 * 86_400_000_000))).alias("ts_us"),
+                    F.pmod(F.xxhash64("id", F.lit(2)), F.lit(N_USERS)).alias("user_id"),
+                    F.element_at(types, (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(5)) + 1).cast("int")).alias("event_type"),
+                    (F.pmod(F.xxhash64("id", F.lit(4)), F.lit(1_000_000)) / 1000.0).alias("value"),
+                )
+                .write.mode("overwrite")
+                .parquet(epath)
+            )
+            print(f"  events10m build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        ev10 = spark.read.parquet(epath)
+
+        def funnel10m():
+            return window_funnel(ev10, ["view", "click", "purchase"], 3_600_000_000).groupBy(
+                "level"
+            ).count().collect()
+
+        def sessions10m():
+            from pyspark.sql import Window as W
+
+            w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+            wc = W.partitionBy("user_id").orderBy("ts_us").rowsBetween(W.unboundedPreceding, 0)
+            g = ev10.withColumn(
+                "is_new",
+                F.when(
+                    F.lag("ts_us").over(w).isNull()
+                    | ((F.col("ts_us") - F.lag("ts_us").over(w)) > 30 * 60 * 1_000_000),
+                    1,
+                ).otherwise(0),
+            ).withColumn("sid", F.sum("is_new").over(wc))
+            return g.groupBy("user_id", "sid").count().groupBy().agg(
+                F.count("*"), F.sum("count")
+            ).collect()
+
+        def topk10m():
+            return topk_approx(ev10, "event_type", k=3).collect()
+
+        def stream10m():
+            # Structured-Streaming ingest throughput: the 64-file 10M-event
+            # table replayed as a file stream through the engine's
+            # watermarked tumbling-window aggregate (streaming/windows.py
+            # tumbling_counts) into a noop sink, availableNow trigger —
+            # the analog of the reference's MergeTree ingest+MV path.
+            # Fresh checkpoint per run so every run re-processes all 10M.
+            import shutil
+            import tempfile
+
+            from laion_spark.streaming.windows import tumbling_counts
+
+            ck = tempfile.mkdtemp(prefix="laion_stream_ck_")
+            try:
+                src = (
+                    spark.readStream.schema(ev10.schema)
+                    .option("maxFilesPerTrigger", "16")
+                    .parquet(epath)
+                    .withColumn("ts_t", F.timestamp_micros("ts_us"))
+                )
+                q = (
+                    tumbling_counts(src, window="1 hour", watermark="30 minutes")
+                    .writeStream.format("noop")
+                    .option("checkpointLocation", ck)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+            finally:
+                shutil.rmtree(ck, ignore_errors=True)
+
+        stress = (
+            ("funnel10m", funnel10m, N_EV),
+            ("sessions10m", sessions10m, N_EV),
+            ("topk10m", topk10m, N_EV),
+            ("stream10m", stream10m, N_EV),
+        )
+        for key, fn, denom in stress:
+            if over_budget(errors, key):
+                continue
+            try:  # per-key isolation: a dedup OOM must not erase or
+                # misattribute the already-measured event benchmarks
+                fn()  # warm
+                # house policy: queries{} holds the MEDIAN, extras the best
+                ts = sorted(timed(fn) for _ in range(3))
+                queries[key] = ts[1]
+                extras[f"{key}_best_sec"] = ts[0]
+                extras[f"{key}_rows_per_sec"] = round(denom / ts[0])
+                print(f"  {key}: {ts}", file=sys.stderr)
+            except Exception as ex:  # noqa: BLE001
+                errors[key] = f"{type(ex).__name__}: {ex}"[:500]
+                print(f"  {key}: FAILED {errors[key].splitlines()[0]}", file=sys.stderr)
+    except _BudgetSkip:
+        pass
+    except Exception as ex:  # noqa: BLE001
+        errors["events10m"] = f"{type(ex).__name__}: {ex}"[:500]
+        print(f"  events10m: FAILED {errors['events10m'].splitlines()[0]}", file=sys.stderr)
+
+
     # BASELINE-comparable: brute-force L2 top-10 over N_VEC x 768.
     # Back to default 128MB splits here: the synthetic table is ~600 MB
     # and 4MB splits (set above for the small star tables) would mean
@@ -268,7 +471,6 @@ def main() -> None:
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     qvec = [round(((j * 13) % 17 - 8) / 8.0, 6) for j in range(DIM)]
     bench_path = f"/tmp/laion_bench_{N_VEC}x{DIM}.parquet"
-    extras: dict[str, float | int] = {}
 
     try:
         if over_budget(errors, "knn768"):
@@ -527,178 +729,6 @@ def main() -> None:
     except Exception as ex:  # noqa: BLE001
         errors["ann768"] = f"{type(ex).__name__}: {ex}"[:500]
         print(f"  ann768: FAILED {errors['ann768'].splitlines()[0]}", file=sys.stderr)
-
-    # Pipeline-operator stress: the LLM-data-pipeline operators at 10M
-    # events / 1M users — two orders of magnitude over the sf0.1 star
-    # schema. Their catalog entries prove CORRECTNESS at sf0.01; this
-    # proves the PLANS (one user-key shuffle each, bounded state) hold
-    # when the data no longer fits one task, and records rows/s.
-    try:
-        if over_budget(errors, "events10m"):
-            raise _BudgetSkip
-        from laion_spark.operators.funnel import window_funnel
-        from laion_spark.operators.topk import topk_approx
-
-        N_EV, N_USERS = 10_000_000, 1_000_000
-        epath = f"/tmp/laion_events_{N_EV}.parquet"
-        if not os.path.exists(f"{epath}/_SUCCESS"):
-            t0 = time.perf_counter()
-            types = F.array(*[F.lit(s) for s in ("view", "click", "purchase", "signup", "error")])
-            (
-                spark.range(N_EV)
-                .repartition(64)
-                .select(
-                    F.col("id").alias("event_id"),
-                    (F.lit(1_700_000_000_000_000) + F.pmod(F.xxhash64("id", F.lit(1)), F.lit(30 * 86_400_000_000))).alias("ts_us"),
-                    F.pmod(F.xxhash64("id", F.lit(2)), F.lit(N_USERS)).alias("user_id"),
-                    F.element_at(types, (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(5)) + 1).cast("int")).alias("event_type"),
-                    (F.pmod(F.xxhash64("id", F.lit(4)), F.lit(1_000_000)) / 1000.0).alias("value"),
-                )
-                .write.mode("overwrite")
-                .parquet(epath)
-            )
-            print(f"  events10m build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-        ev10 = spark.read.parquet(epath)
-
-        def funnel10m():
-            return window_funnel(ev10, ["view", "click", "purchase"], 3_600_000_000).groupBy(
-                "level"
-            ).count().collect()
-
-        def sessions10m():
-            from pyspark.sql import Window as W
-
-            w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
-            wc = W.partitionBy("user_id").orderBy("ts_us").rowsBetween(W.unboundedPreceding, 0)
-            g = ev10.withColumn(
-                "is_new",
-                F.when(
-                    F.lag("ts_us").over(w).isNull()
-                    | ((F.col("ts_us") - F.lag("ts_us").over(w)) > 30 * 60 * 1_000_000),
-                    1,
-                ).otherwise(0),
-            ).withColumn("sid", F.sum("is_new").over(wc))
-            return g.groupBy("user_id", "sid").count().groupBy().agg(
-                F.count("*"), F.sum("count")
-            ).collect()
-
-        def topk10m():
-            return topk_approx(ev10, "event_type", k=3).collect()
-
-        def stream10m():
-            # Structured-Streaming ingest throughput: the 64-file 10M-event
-            # table replayed as a file stream through the engine's
-            # watermarked tumbling-window aggregate (streaming/windows.py
-            # tumbling_counts) into a noop sink, availableNow trigger —
-            # the analog of the reference's MergeTree ingest+MV path.
-            # Fresh checkpoint per run so every run re-processes all 10M.
-            import shutil
-            import tempfile
-
-            from laion_spark.streaming.windows import tumbling_counts
-
-            ck = tempfile.mkdtemp(prefix="laion_stream_ck_")
-            try:
-                src = (
-                    spark.readStream.schema(ev10.schema)
-                    .option("maxFilesPerTrigger", "16")
-                    .parquet(epath)
-                    .withColumn("ts_t", F.timestamp_micros("ts_us"))
-                )
-                q = (
-                    tumbling_counts(src, window="1 hour", watermark="30 minutes")
-                    .writeStream.format("noop")
-                    .option("checkpointLocation", ck)
-                    .trigger(availableNow=True)
-                    .start()
-                )
-                q.awaitTermination()
-            finally:
-                shutil.rmtree(ck, ignore_errors=True)
-
-        def ensure_docs1m():
-            # 1M-document dedup fixture: ids < 200k are base texts (40
-            # tokens from a 5k-word hash vocabulary), 200k-400k are
-            # near-dup variants of those bases (one appended token,
-            # Jaccard ~0.95), the rest unique — ~200k true pairs. Built
-            # lazily INSIDE the dedup benchmarks so a slow/failing docs
-            # build can only skip them, never the (independent,
-            # already-warm) event benchmarks.
-            dpath = "/tmp/laion_docs_1m.parquet"
-            if not os.path.exists(f"{dpath}/_SUCCESS"):
-                t0 = time.perf_counter()
-                (
-                    spark.range(N_DOCS)
-                    .repartition(64)
-                    .selectExpr(
-                        "id AS doc_id",
-                        "CASE WHEN id < 400000 THEN pmod(id, 200000) ELSE id END AS base_key",
-                    )
-                    .selectExpr(
-                        "doc_id",
-                        "concat_ws(' ', transform(sequence(1, 40), "
-                        " i -> concat('w', pmod(xxhash64(base_key, i), 5000)))) AS base",
-                    )
-                    .selectExpr(
-                        "doc_id",
-                        "CASE WHEN doc_id >= 200000 AND doc_id < 400000 "
-                        "THEN concat(base, ' x', pmod(doc_id, 97)) ELSE base END AS text",
-                    )
-                    .write.mode("overwrite")
-                    .parquet(dpath)
-                )
-                print(f"  docs1m build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-            return spark.read.parquet(dpath)
-
-        def dedup1m():
-            from laion_spark.operators.dedup import minhash_lsh_pairs
-
-            return (
-                minhash_lsh_pairs(ensure_docs1m(), "doc_id", "text", num_hashes=32, bands=8, threshold=0.8)
-                .count()
-            )
-
-        def winnow1m():
-            # substring-overlap pair detection over the same 1M-doc
-            # fixture: the planted variants share >= 30 of their ~37
-            # distinct 5-token windows with their base, so min_shared=30
-            # must find exactly the 200k planted pairs; max_df=8 caps
-            # boilerplate-window fan-out (the corpus-scale guard)
-            from laion_spark.operators.dedup import shared_window_pairs
-
-            return shared_window_pairs(
-                ensure_docs1m(), "doc_id", "text", window=5, min_shared=30, max_df=8
-            ).count()
-
-        N_DOCS = 1_000_000
-        stress = (
-            ("funnel10m", funnel10m, N_EV),
-            ("sessions10m", sessions10m, N_EV),
-            ("topk10m", topk10m, N_EV),
-            ("stream10m", stream10m, N_EV),
-            ("dedup1m", dedup1m, N_DOCS),
-            ("winnow1m", winnow1m, N_DOCS),
-        )
-        for key, fn, denom in stress:
-            if over_budget(errors, key):
-                continue
-            try:  # per-key isolation: a dedup OOM must not erase or
-                # misattribute the already-measured event benchmarks
-                fn()  # warm
-                # house policy: queries{} holds the MEDIAN, extras the best
-                ts = sorted(timed(fn) for _ in range(3))
-                queries[key] = ts[1]
-                extras[f"{key}_best_sec"] = ts[0]
-                extras[f"{key}_rows_per_sec"] = round(denom / ts[0])
-                print(f"  {key}: {ts}", file=sys.stderr)
-            except Exception as ex:  # noqa: BLE001
-                errors[key] = f"{type(ex).__name__}: {ex}"[:500]
-                print(f"  {key}: FAILED {errors[key].splitlines()[0]}", file=sys.stderr)
-    except _BudgetSkip:
-        pass
-    except Exception as ex:  # noqa: BLE001
-        errors["events10m"] = f"{type(ex).__name__}: {ex}"[:500]
-        print(f"  events10m: FAILED {errors['events10m'].splitlines()[0]}", file=sys.stderr)
 
     # Shard-ETL throughput (VERDICT r4 missing #4): the reference's
     # process.py is half its codebase (65,536-row batches, one shard
