@@ -305,3 +305,24 @@ def test_ivf_knn_join_parquet_query_cap(spark, emb, tmp_path):
         idx.knn_join_parquet(spark, path, emb, k=2, query_id="vec_id",
                              query_vec="embedding", corpus_id="vec_id",
                              vector_col="embedding", max_queries=5)
+
+
+def test_expand_bucket_pairs_degenerate_bucket_streams(spark):
+    """One bucket with 2,000 colliding ids must expand to exactly
+    C(2000,2) pairs without materializing a ~2M-element array cell in
+    one aggregation row (the review-flagged OOM shape): the chained
+    posexplode/slice generators stream pairs with O(bucket) per-row
+    memory."""
+    from pyspark.sql import functions as F
+
+    from laion_spark.operators.dedup import _expand_bucket_pairs
+
+    m = 2000
+    grouped = spark.range(1).select(
+        F.sequence(F.lit(0), F.lit(m - 1)).alias("ids")
+    )
+    n = _expand_bucket_pairs(grouped).count()
+    assert n == m * (m - 1) // 2
+    # ordered, no duplicates: spot-check the first id pairs with all
+    sample = _expand_bucket_pairs(grouped).filter(F.col("da") == 0).count()
+    assert sample == m - 1
