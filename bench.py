@@ -308,6 +308,63 @@ def main() -> None:
             errors[key] = f"{type(ex).__name__}: {ex}"[:500]
             print(f"  {key}: FAILED {errors[key].splitlines()[0]}", file=sys.stderr)
 
+    # Scale curve point: the same pipeline at 4M docs / 800k planted
+    # pairs — linearity evidence beyond the 1M row (an LSH pipeline
+    # that quietly superlinears would show here first). Budget-gated;
+    # warm + best-of-2 to bound the cost.
+    try:
+        if over_budget(errors, "dedup4m") or time.perf_counter() - _T_START > BUDGET_S - 300:
+            if "dedup4m" not in errors:
+                errors["dedup4m"] = "skipped: < 300s of bench budget left"
+                print("  dedup4m: SKIPPED (headroom)", file=sys.stderr)
+            raise _BudgetSkip
+        N_DOCS4 = 4_000_000
+        dpath4 = "/tmp/laion_docs_4m.parquet"
+        if not os.path.exists(f"{dpath4}/_SUCCESS"):
+            t0 = time.perf_counter()
+            (
+                spark.range(N_DOCS4)
+                .repartition(64)
+                .selectExpr(
+                    "id AS doc_id",
+                    "CASE WHEN id < 1600000 THEN pmod(id, 800000) ELSE id END AS base_key",
+                )
+                .selectExpr(
+                    "doc_id",
+                    "concat_ws(' ', transform(sequence(1, 40), "
+                    " i -> concat('w', pmod(xxhash64(base_key, i), 5000)))) AS base",
+                )
+                .selectExpr(
+                    "doc_id",
+                    "CASE WHEN doc_id >= 800000 AND doc_id < 1600000 "
+                    "THEN concat(base, ' x', pmod(doc_id, 97)) ELSE base END AS text",
+                )
+                .write.mode("overwrite")
+                .parquet(dpath4)
+            )
+            print(f"  docs4m build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        docs4m = spark.read.parquet(dpath4)
+
+        def dedup4m():
+            from laion_spark.operators.dedup import minhash_lsh_pairs
+
+            return minhash_lsh_pairs(
+                docs4m, "doc_id", "text", num_hashes=32, bands=8, threshold=0.8
+            ).count()
+
+        n_pairs4 = dedup4m()  # warm
+        ts4 = sorted(timed(dedup4m) for _ in range(2))
+        queries["dedup4m"] = ts4[-1]
+        extras["dedup4m_best_sec"] = ts4[0]
+        extras["dedup4m_rows_per_sec"] = round(N_DOCS4 / ts4[0])
+        extras["dedup4m_pairs"] = n_pairs4
+        print(f"  dedup4m: {ts4} pairs={n_pairs4}", file=sys.stderr)
+    except _BudgetSkip:
+        pass
+    except Exception as ex:  # noqa: BLE001
+        errors["dedup4m"] = f"{type(ex).__name__}: {ex}"[:500]
+        print(f"  dedup4m: FAILED {errors['dedup4m'].splitlines()[0]}", file=sys.stderr)
+
     # ingest once into engine-managed layout (row groups sized for
     # parallel scan), then run every headliner against it — the
     # reference's numbers are likewise measured on its own tables.
