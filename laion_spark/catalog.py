@@ -5776,9 +5776,8 @@ def d10_shared_window_pairs(spark, sf_dir):
 
 @query(
     "q90_disjunctive_revenue",
-    oracle="""
-    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
-                AS DOUBLE) AS revenue,
+    oracle=f"""
+    SELECT {_dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
            count(*) AS n_lines
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
@@ -5816,9 +5815,7 @@ def q90_disjunctive_revenue(spark, sf_dir):
         & F.col("l_quantity").between(20, 50)
     )
     return j.filter(disj).agg(
-        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)"))
-        .cast("double")
-        .alias("revenue"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
         F.count("*").alias("n_lines"),
     )
 
