@@ -497,11 +497,51 @@ def main() -> None:
             finally:
                 shutil.rmtree(ck, ignore_errors=True)
 
+        def stream10m_wm():
+            # Watermark-advancing multi-batch replay — the honest
+            # version of incremental ingest: a TIME-ORDERED copy of the
+            # fixture (repartitionByRange(ts_us) -> path order == time
+            # order) streamed 8 files per micro-batch, so each batch's
+            # watermark finalizes old windows and evicts their state,
+            # like a real day-long ingest. (On the hash-ordered fixture
+            # this pattern would silently drop later rows as late.)
+            import shutil
+            import tempfile
+
+            from laion_spark.streaming.windows import tumbling_counts
+
+            spath = "/tmp/laion_events_10000000_tsorted.parquet"
+            if not os.path.exists(f"{spath}/_SUCCESS"):
+                t0 = time.perf_counter()
+                ev10.repartitionByRange(64, "ts_us").sortWithinPartitions("ts_us").write.mode(
+                    "overwrite"
+                ).parquet(spath)
+                print(f"  tsorted build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+            ck = tempfile.mkdtemp(prefix="laion_stream_wm_ck_")
+            try:
+                src = (
+                    spark.readStream.schema(ev10.schema)
+                    .option("maxFilesPerTrigger", "8")
+                    .parquet(spath)
+                    .withColumn("ts_t", F.timestamp_micros("ts_us"))
+                )
+                q = (
+                    tumbling_counts(src, window="1 hour", watermark="30 minutes")
+                    .writeStream.format("noop")
+                    .option("checkpointLocation", ck)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+            finally:
+                shutil.rmtree(ck, ignore_errors=True)
+
         stress = (
             ("funnel10m", funnel10m, N_EV),
             ("sessions10m", sessions10m, N_EV),
             ("topk10m", topk10m, N_EV),
             ("stream10m", stream10m, N_EV),
+            ("stream10m_wm", stream10m_wm, N_EV),
         )
         for key, fn, denom in stress:
             if over_budget(errors, key):
