@@ -5920,3 +5920,49 @@ def t10_corpus_filter_reasons(spark, sf_dir):
         .otherwise("kept")
     )
     return m.groupBy(reason.alias("reason")).agg(F.count("*").alias("n_docs")).orderBy("reason")
+
+
+@query(
+    "q91_moving_week_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority, o_orderdate,
+             sum(CAST(o_totalprice AS DECIMAL(18,6))) AS rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, o_orderdate,
+           CAST(rev AS DOUBLE) AS day_rev,
+           CAST(sum(rev) OVER (PARTITION BY o_orderpriority ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS week_rev
+    FROM daily
+    ORDER BY o_orderpriority, o_orderdate
+    """,
+    note="Time-RANGE window frame (trailing 7 calendar days — NOT 7 "
+    "rows: gap days must widen the frame), the rolling-metric shape "
+    "ClickHouse writes with RANGE frames. Orders pre-aggregate to one "
+    "row per (priority, day) before the ordered pass, so the window "
+    "runs over the bounded daily series partitioned by priority — no "
+    "Exchange SinglePartition. Spark lacks interval RANGE frames, so "
+    "the frame orders by unix_date (days since epoch, integral) with "
+    "rangeBetween(-6, 0) — value-identical to the SQL interval frame. "
+    "Revenue accumulates in DECIMAL through both the daily agg and the "
+    "window sum; only the output casts to double",
+)
+def q91_moving_week_revenue(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy("o_orderpriority", F.col("o_orderdate").cast("date").alias("o_orderdate")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("rev")
+    )
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy(F.unix_date("o_orderdate"))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "o_orderpriority",
+        "o_orderdate",
+        F.col("rev").cast("double").alias("day_rev"),
+        F.sum("rev").over(w).cast("double").alias("week_rev"),
+    ).orderBy("o_orderpriority", "o_orderdate")
