@@ -49,7 +49,11 @@ def canon(rows, ndigits=6):
                 v = round(v, ndigits)
                 if v == 0.0:
                     v = 0.0  # normalize -0.0
-            vals.append(str(v))
+            s = str(v)
+            # DuckDB surfaces DATE as midnight datetime through
+            # fetchall; Spark DATE stays datetime.date — normalize both
+            # to YYYY-MM-DD (same rule as the driver / driver_mirror)
+            vals.append(s[:-9] if s.endswith(" 00:00:00") else s)
         out.append(tuple(vals))
     return sorted(out)
 
