@@ -5966,3 +5966,40 @@ def q91_moving_week_revenue(spark, sf_dir):
         F.col("rev").cast("double").alias("day_rev"),
         F.sum("rev").over(w).cast("double").alias("week_rev"),
     ).orderBy("o_orderpriority", "o_orderdate")
+
+
+@query(
+    "e21_cohort_matrix",
+    oracle="""
+    WITH wk AS (
+      SELECT user_id, (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) // 7 AS week
+      FROM events
+    ), first AS (
+      SELECT user_id, min(week) AS cohort FROM wk GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, week FROM wk
+    )
+    SELECT f.cohort, CAST(a.week - f.cohort AS INTEGER) AS week_offset,
+           count(*) AS n_users
+    FROM activity a JOIN first f ON a.user_id = f.user_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    note="Cohort retention matrix (first-seen week x weeks-since x "
+    "distinct active users) — the product-analytics staple that "
+    "ClickHouse users assemble from minIf + uniq per offset; here one "
+    "min-per-user pass, one distinct (user, week) pass, an equi-join "
+    "on the user key and a tiny final agg. (user, week) is unique "
+    "after the distinct, so n_users is a plain count(*). Weeks are "
+    "integer epoch-day arithmetic — tz-immune, identical both engines",
+)
+def e21_cohort_matrix(spark, sf_dir):
+    e = ev(spark, sf_dir)
+    wk = e.select("user_id", ((F.col("ts_us") / 86_400_000_000).cast("long") / 7).cast("long").alias("week"))
+    first = wk.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    activity = wk.distinct()
+    return (
+        activity.join(first, "user_id")
+        .groupBy("cohort", (F.col("week") - F.col("cohort")).cast("int").alias("week_offset"))
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort", "week_offset")
+    )
