@@ -5853,7 +5853,9 @@ def e20_seasonal_decompose(spark, sf_dir):
     from pyspark.sql import Window as W
 
     e = ev(spark, sf_dir)
-    hourly = e.groupBy((F.col("ts_us") / 3_600_000_000).cast("long").alias("hr")).agg(
+    # floor, not cast-truncate: DuckDB's ``//`` floors, so pre-1970
+    # (negative ts_us) events must bucket identically (ADVICE r5)
+    hourly = e.groupBy(F.floor(F.col("ts_us") / F.lit(3_600_000_000)).cast("long").alias("hr")).agg(
         F.count("*").alias("observed")
     )
     w = W.orderBy("hr").rowsBetween(-11, 12)
@@ -5994,7 +5996,12 @@ def q91_moving_week_revenue(spark, sf_dir):
 )
 def e21_cohort_matrix(spark, sf_dir):
     e = ev(spark, sf_dir)
-    wk = e.select("user_id", ((F.col("ts_us") / 86_400_000_000).cast("long") / 7).cast("long").alias("week"))
+    # double-floor matches DuckDB's ``//`` chain for all sign ranges
+    # (cast-truncate diverged pre-1970; ADVICE r5)
+    wk = e.select(
+        "user_id",
+        F.floor(F.floor(F.col("ts_us") / F.lit(86_400_000_000)) / F.lit(7)).cast("long").alias("week"),
+    )
     first = wk.groupBy("user_id").agg(F.min("week").alias("cohort"))
     activity = wk.distinct()
     return (

@@ -99,6 +99,13 @@ def _emb_list_array(mat, offset: int, n: int, dim: int):
         flat = np.zeros(n * dim, dtype=np.float32)
     else:
         flat = np.ascontiguousarray(mat[offset : offset + n], dtype=np.float32).ravel()
+        if flat.size != n * dim:
+            raise ValueError(
+                f"embedding shard misaligned: need rows [{offset}, {offset + n}) "
+                f"x dim {dim} but matrix slice yields {flat.size} values "
+                f"(matrix shape {mat.shape}) — truncated .npy or metadata/shard "
+                "row-count mismatch"
+            )
     offsets = pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32))
     return pa.ListArray.from_arrays(offsets, pa.array(flat, type=pa.float32()))
 
