@@ -6010,3 +6010,124 @@ def e21_cohort_matrix(spark, sf_dir):
         .agg(F.count("*").alias("n_users"))
         .orderBy("cohort", "week_offset")
     )
+
+
+@query(
+    "t11_vocab_growth",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+    SELECT source,
+           count(*) AS total_tokens,
+           count(DISTINCT tok) AS vocab,
+           round(count(DISTINCT tok) / CAST(count(*) AS DOUBLE), 6) AS ttr
+    FROM toks GROUP BY source ORDER BY source
+    """,
+    note="Per-source vocabulary growth (Heaps'-law inputs): total token "
+    "mass, distinct vocabulary, and type-token ratio per corpus source "
+    "— the corpus-quality scan that flags templated/synthetic sources "
+    "(abnormally low TTR) before training. Scale shape: one explode + "
+    "one hash aggregate; count_distinct runs as partial aggregation "
+    "over (source, tok) then per-source count — no driver-side state, "
+    "no window. Tokenization parity with the oracle's string_split is "
+    "pinned by d08 (same split-on-space contract).",
+)
+def t11_vocab_growth(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count("*").alias("total_tokens"),
+            F.count_distinct("tok").alias("vocab"),
+        )
+        .select(
+            "source",
+            "total_tokens",
+            "vocab",
+            F.round(F.col("vocab") / F.col("total_tokens").cast("double"), 6).alias("ttr"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "d11_dedup_survivors",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents WHERE doc_id < 100
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT da, db
+      FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+      WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.4
+    ), edges AS (
+      SELECT da AS a, db AS b FROM pairs UNION ALL SELECT db, da FROM pairs
+    ), reach AS (
+      SELECT a, a AS b FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ), comp AS (
+      SELECT a AS id, min(b) AS comp FROM reach GROUP BY a
+    ), labeled AS (
+      SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp, d.n_chars
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+      WHERE d.doc_id < 100
+    ), surv AS (
+      SELECT comp, doc_id AS survivor_id,
+             row_number() OVER (PARTITION BY comp
+               ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM labeled
+    )
+    SELECT l.doc_id, l.comp, s.survivor_id,
+           CAST(l.doc_id = s.survivor_id AS INTEGER) AS is_survivor
+    FROM labeled l JOIN surv s ON l.comp = s.comp AND s.rn = 1
+    ORDER BY l.doc_id
+    """,
+    note="Near-dup SURVIVOR SELECTION — the canonicalization step a "
+    "training pipeline runs after clustering (keep the highest-quality "
+    "doc per dup cluster, here max n_chars then min doc_id): jaccard "
+    "pairs -> connected components (d08's min-label fixpoint) -> "
+    "left-join back so singletons survive as themselves -> one "
+    "max(struct) aggregate per component picks the survivor "
+    "deterministically. Scale shape: the argmax is an algebraic "
+    "partial aggregate on the component key (no window over raw "
+    "docs); components are d08's checkpoint-truncated propagation. "
+    "Oracle: recursive-CTE closure + row_number survivor — both "
+    "engines must agree on clusters AND tie-breaks.",
+)
+def d11_dedup_survivors(spark, sf_dir):
+    from laion_spark.operators.dedup import connected_components, jaccard_similar_pairs
+
+    d = t(spark, sf_dir, "documents").filter("doc_id < 100")
+    pairs = jaccard_similar_pairs(d, id_col="doc_id", text_col="text", ngram=1, threshold=0.4)
+    comps = connected_components(pairs, "da", "db")
+    labeled = (
+        d.select("doc_id", "n_chars")
+        .join(comps, d.doc_id == comps.id, "left")
+        .select(
+            F.col("doc_id"),
+            F.coalesce(F.col("comp"), F.col("doc_id")).alias("comp"),
+            F.col("n_chars"),
+        )
+    )
+    surv = labeled.groupBy("comp").agg(
+        F.max(F.struct(F.col("n_chars").alias("q"), (-F.col("doc_id")).alias("neg"))).alias("b")
+    )
+    return (
+        labeled.join(surv, "comp")
+        .select(
+            "doc_id",
+            "comp",
+            (-F.col("b.neg")).cast("long").alias("survivor_id"),
+            (F.col("doc_id") == -F.col("b.neg")).cast("int").alias("is_survivor"),
+        )
+        .orderBy("doc_id")
+    )

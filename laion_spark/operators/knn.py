@@ -415,6 +415,53 @@ def _list_parquet_files(paths: Sequence[str]):
     return fs, sorted(files), remote
 
 
+class ScanPlan:
+    """Precomputed scan inputs for ``knn_search_parquet`` — the
+    per-probe fixed cost (directory listing, one footer open per file
+    for row-group counts, schema read) hoisted out of the query path so
+    REPEATED probes over the same table pay it once. ``IVFIndex``
+    caches one of these per partition dir and assembles per-probe plans
+    by concatenation (similarity.py); a serving loop should do the
+    same. The object is driver-side only — workers still receive just
+    (path, row_group) pairs and the pickled FileSystem."""
+
+    __slots__ = ("fs", "files", "remote", "tasks", "arrow_schema")
+
+    def __init__(self, fs, files, remote, tasks, arrow_schema):
+        self.fs = fs
+        self.files = files
+        self.remote = remote
+        self.tasks = tasks
+        self.arrow_schema = arrow_schema
+
+
+def build_scan_plan(path: str | Sequence[str]) -> ScanPlan:
+    """Resolve ``path`` (dir(s)/file(s)/URIs) into a reusable
+    :class:`ScanPlan`: sorted file list + (file, row_group) task table
+    + Arrow schema. Row-group splits are enumerated only when files are
+    few (<= 256) and row groups matter for parallelism; with many files
+    one task per file already saturates a cluster."""
+    import pyarrow.parquet as pq
+
+    paths = [path] if isinstance(path, str) else list(path)
+    fs, files, remote = _list_parquet_files(paths)
+    tasks: list[tuple[str, int]] = []
+    if len(files) <= 256:
+        for f in files:
+            try:
+                n_rg = pq.ParquetFile(fs.open_input_file(f)).metadata.num_row_groups
+                tasks.extend((f, g) for g in range(n_rg))
+            except OSError:
+                # transient footer-read failure (object-store throttle):
+                # fall back to a whole-file task — a (f, 0) guess would
+                # silently drop this file's other row groups
+                tasks.append((f, -1))
+    else:
+        tasks = [(f, -1) for f in files]  # -1 = whole file
+    arrow_schema = pq.ParquetFile(fs.open_input_file(files[0])).schema_arrow
+    return ScanPlan(fs, files, remote, tasks, arrow_schema)
+
+
 def knn_search_parquet(
     spark,
     path: str | Sequence[str],
@@ -427,6 +474,7 @@ def knn_search_parquet(
     batch_rows: int | None = None,
     n_partitions: int | None = None,
     pa_filter=None,
+    plan: ScanPlan | None = None,
 ) -> DataFrame:
     """Brute-force top-k over a parquet table via a *scan-side* scorer:
     each Spark task opens its (file, row_group) split directly with
@@ -472,18 +520,18 @@ def knn_search_parquet(
     """
     if metric not in _METRICS:
         raise ValueError(f"metric must be one of {_METRICS}, got {metric!r}")
-    import pyarrow.parquet as pq
-
     from laion_spark.session import _ship_package
 
     _ship_package(spark)  # worker closures unpickle laion_spark by module ref
-    paths = [path] if isinstance(path, str) else list(path)
-    fs, files, remote = _list_parquet_files(paths)
+    if plan is None:
+        plan = build_scan_plan(path)
+    fs, files, remote, tasks, arrow_schema = (
+        plan.fs, plan.files, plan.remote, plan.tasks, plan.arrow_schema,
+    )
 
     # partition columns (Hive dirs) are not in the physical files — the
     # worker-side reader can only produce physical columns; reject an
     # explicit select of one.
-    arrow_schema = pq.ParquetFile(fs.open_input_file(files[0])).schema_arrow
     phys = set(arrow_schema.names)
     if vector_col not in phys:
         raise ValueError(f"vector column {vector_col!r} not in parquet files ({sorted(phys)})")
@@ -498,23 +546,6 @@ def knn_search_parquet(
         cols = list(select)
     else:
         cols = [c for c in arrow_schema.names if c != vector_col]
-
-    # Bound the driver-side serial footer enumeration: row-group splits
-    # only matter when files are few and huge; with many files, one task
-    # per file already saturates the cluster.
-    tasks: list[tuple[str, int]] = []
-    if len(files) <= 256:
-        for f in files:
-            try:
-                n_rg = pq.ParquetFile(fs.open_input_file(f)).metadata.num_row_groups
-                tasks.extend((f, g) for g in range(n_rg))
-            except OSError:
-                # transient footer-read failure (object-store throttle):
-                # fall back to a whole-file task — a (f, 0) guess would
-                # silently drop this file's other row groups
-                tasks.append((f, -1))
-    else:
-        tasks = [(f, -1) for f in files]  # -1 = whole file
 
     qvec = [float(x) for x in query_vec]
     if batch_rows is None:
@@ -561,9 +592,13 @@ def knn_search_parquet(
         dim = len(q)
         qq = float(q @ q)
         for rb in batches:
-            paths = rb.column(0).to_pylist()
-            groups = rb.column(1).to_pylist()
-            for fpath, rg in zip(paths, groups):
+            # range-leaf dispatch: the batch holds this partition's
+            # group id(s); the (file, row_group) assignment rides the
+            # closure (small strings), so no task-table shuffle exists
+            assigned = [
+                t for gid in rb.column(0).to_pylist() for t in task_groups[gid]
+            ]
+            for fpath, rg in assigned:
                 # use_threads=False: every core is already running its
                 # own task; per-task decode threads only fight each other
                 rgs = None if rg < 0 else [rg]
@@ -662,19 +697,22 @@ def knn_search_parquet(
                 arrays.append(pa.array(s[keep.to_numpy()], type=pa.float64()))
                 yield pa.RecordBatch.from_arrays(arrays, list(cols) + ["_raw"])
 
-    # Task table as a JVM-side LocalRelation + explicit repartition(N):
-    # the shuffle moves only (path, row_group) strings — trivial — while
-    # an RDD-backed task table (sc.parallelize) would re-run a second
-    # Python runner per execution just to deserialize the pickled rows
-    # (measured: ~0.2 s extra per query, pure fixed floor on the ANN
-    # probe path). The explicit N is deliberate: AQE never coalesces a
-    # user-specified repartition(N), so the scan's one-wave parallelism
-    # survives the tiny shuffle.
+    # Task dispatch as a shuffle-FREE range leaf: spark.range(n, ...,
+    # numPartitions=n) materializes one row per partition JVM-side, so
+    # the probe is a single stage (scan+score -> TakeOrdered reduce).
+    # The previous LocalRelation + repartition(N) form moved only tiny
+    # (path, row_group) strings but still paid a full shuffle stage
+    # boundary — pure fixed overhead on the ANN probe path (measured
+    # ~0.1-0.2 s/probe). Round-robin assignment interleaves row groups
+    # of the same file across partitions, which also spreads a skewed
+    # probed cluster over the wave. An RDD task table (sc.parallelize)
+    # would be worse still: a second Python runner per execution just
+    # to deserialize pickled rows (~0.2 s, measured r3).
     n_parts = n_partitions or min(len(tasks), spark.sparkContext.defaultParallelism)
-    task_df = spark.createDataFrame(tasks, "path string, row_group int")
-    if n_parts > 1:
-        task_df = task_df.repartition(n_parts)
-    partial = task_df.mapInArrow(score_split, out_schema)
+    n_parts = max(1, min(n_parts, len(tasks)))
+    task_groups = [tasks[i::n_parts] for i in range(n_parts)]
+    base = spark.range(0, n_parts, 1, n_parts)
+    partial = base.mapInArrow(score_split, out_schema)
     if metric == "cosine":
         # zero-norm vectors score NaN, and NaN sorts ABOVE every double
         # under desc — null it so desc_nulls_last ranks it last (same

@@ -491,12 +491,85 @@ class IVFIndex:
             .partitionBy("ivf_cluster")
             .parquet(path)
         )
+        self._scan_cache = None  # table changed — probes must re-list
 
     def probe_dirs(self, path: str, qvec: Sequence[float], nprobe: int | None = None) -> list[str]:
         """Partition dirs a probe should read for ``qvec`` — feed to
         ``knn_search_parquet`` (missing dirs = empty clusters are
         skipped by its listing)."""
         return [f"{path}/ivf_cluster={p}" for p in self.probe_clusters(qvec, nprobe)]
+
+    def scan_plans(self, path: str, refresh: bool = False):
+        """Per-cluster (file, row_group) task lists for a ``write_index``
+        table, listed and footer-enumerated ONCE and cached on the index
+        object. A probe's fixed driver cost then drops to assembling its
+        nprobe task lists (list concatenation) — the serving-loop
+        amortization the reference's resident Annoy index gets for free
+        by mmapping once per process. ``write_index`` invalidates the
+        cache; call with ``refresh=True`` after rewriting the table
+        out-of-band."""
+        import pyarrow.parquet as pq
+
+        from laion_spark.operators.knn import _list_parquet_files
+
+        cache = getattr(self, "_scan_cache", None)
+        if not refresh and cache is not None and cache[0] == path:
+            return cache[1]
+        fs, files, remote = _list_parquet_files([path])
+
+        def cluster_of(f: str) -> int:
+            parts = [s for s in f.split("/") if s.startswith("ivf_cluster=")]
+            return int(parts[-1].split("=", 1)[1]) if parts else -1
+
+        by_c: dict[int, list[tuple[str, int]]] = {}
+        if len(files) <= 4096:  # one-time cost, so a larger bound than per-probe
+            for f in files:
+                c = cluster_of(f)
+                try:
+                    n_rg = pq.ParquetFile(fs.open_input_file(f)).metadata.num_row_groups
+                    by_c.setdefault(c, []).extend((f, g) for g in range(n_rg))
+                except OSError:
+                    by_c.setdefault(c, []).append((f, -1))
+        else:
+            for f in files:
+                by_c.setdefault(cluster_of(f), []).append((f, -1))
+        arrow_schema = pq.ParquetFile(fs.open_input_file(files[0])).schema_arrow
+        info = {"fs": fs, "remote": remote, "by_cluster": by_c, "schema": arrow_schema}
+        self._scan_cache = (path, info)
+        return info
+
+    def search_parquet(
+        self,
+        spark,
+        path: str,
+        qvec: Sequence[float],
+        k: int = 10,
+        vector_col: str = "embedding",
+        select: Sequence[str] | None = None,
+        metric: str = "l2",
+        nprobe: int | None = None,
+    ):
+        """Single-probe ANN over a ``write_index`` table with the cached
+        scan plan: prunes to the nprobe nearest clusters' (file,
+        row_group) splits and exact-rescoring only those — same results
+        as ``knn_search_parquet(probe_dirs(...))``, minus the per-probe
+        listing/footer cost (the fixed ~0.1-0.2 s that capped measured
+        single-probe speedup at 4M rows)."""
+        from laion_spark.operators.knn import ScanPlan, knn_search_parquet
+
+        info = self.scan_plans(path)
+        probes = self.probe_clusters(qvec, nprobe)
+        tasks = [t for c in probes for t in info["by_cluster"].get(c, [])]
+        if not tasks:
+            raise FileNotFoundError(
+                f"no parquet files in probed clusters {probes} under {path}"
+            )
+        files = sorted({f for f, _g in tasks})
+        plan = ScanPlan(info["fs"], files, info["remote"], tasks, info["schema"])
+        return knn_search_parquet(
+            spark, path, qvec, k=k, vector_col=vector_col, select=select,
+            metric=metric, plan=plan,
+        )
 
     def knn_join_parquet(
         self,
@@ -535,9 +608,7 @@ class IVFIndex:
             raise ValueError("metric must be l2|cosine")
         if self.centroids is None:
             raise ValueError("call fit() first")
-        import pyarrow.parquet as pq
-
-        from laion_spark.operators.knn import _arrow_to_ddl, _list_parquet_files
+        from laion_spark.operators.knn import _arrow_to_ddl
         from laion_spark.session import _ship_package
 
         _ship_package(spark)
@@ -563,29 +634,20 @@ class IVFIndex:
             for c in self.probe_clusters(q_mat[qi], nprobe):
                 by_cluster.setdefault(c, []).append(qi)
 
-        # one listing over the involved partition dirs (missing = empty
-        # cluster, skipped); files map back to their cluster by path
-        dirs = [f"{path}/ivf_cluster={c}" for c in sorted(by_cluster)]
-        fs, files, _remote = _list_parquet_files(dirs)
-
-        def cluster_of(f: str) -> int:
-            part = [s for s in f.split("/") if s.startswith("ivf_cluster=")][-1]
-            return int(part.split("=", 1)[1])
-
-        tasks: list[tuple[str, int, int]] = []
-        if len(files) <= 256:
-            for f in files:
-                try:
-                    n_rg = pq.ParquetFile(fs.open_input_file(f)).metadata.num_row_groups
-                    tasks.extend((f, g, cluster_of(f)) for g in range(n_rg))
-                except OSError:
-                    # whole-file fallback — a (f, 0) guess would drop
-                    # the file's other row groups silently
-                    tasks.append((f, -1, cluster_of(f)))
-        else:
-            tasks = [(f, -1, cluster_of(f)) for f in files]
-
-        arrow_schema = pq.ParquetFile(fs.open_input_file(files[0])).schema_arrow
+        # cluster -> task lists come from the CACHED one-time listing
+        # (scan_plans); missing cluster = empty, skipped
+        info = self.scan_plans(path)
+        fs = info["fs"]
+        tasks: list[tuple[str, int, int]] = [
+            (f, g, c)
+            for c in sorted(by_cluster)
+            for (f, g) in info["by_cluster"].get(c, [])
+        ]
+        if not tasks:
+            raise FileNotFoundError(
+                f"no parquet files in probed clusters {sorted(by_cluster)} under {path}"
+            )
+        arrow_schema = info["schema"]
         cid_t = _arrow_to_ddl(arrow_schema.field(corpus_id).type)
         qid_t = queries.schema[query_id].dataType.simpleString()
         dim = self.dim
@@ -602,9 +664,12 @@ class IVFIndex:
             Qfull = np.asarray(q_mat, dtype=np.float64)
             qn_full = np.linalg.norm(Qfull, axis=1)
             for rb in batches:
-                for fpath, rg, cl in zip(
-                    rb.column(0).to_pylist(), rb.column(1).to_pylist(), rb.column(2).to_pylist()
-                ):
+                # range-leaf dispatch (see knn_search_parquet): the
+                # batch holds group id(s); tasks ride the closure
+                assigned = [
+                    t for gid in rb.column(0).to_pylist() for t in task_groups[gid]
+                ]
+                for fpath, rg, cl in assigned:
                     qidx = by_cluster.get(cl)
                     if not qidx:
                         continue
@@ -656,11 +721,12 @@ class IVFIndex:
                             ["qid", "cid", "score"],
                         )
 
-        n_parts = min(len(tasks), spark.sparkContext.defaultParallelism)
-        task_df = spark.createDataFrame(tasks, "path string, row_group int, cluster int")
-        if n_parts > 1:
-            task_df = task_df.repartition(n_parts)
-        partial = task_df.mapInArrow(score_split, f"qid {qid_t}, cid {cid_t}, score double")
+        # shuffle-free range leaf, one row per partition; round-robin
+        # interleaves each cluster's row groups across the wave
+        n_parts = max(1, min(len(tasks), spark.sparkContext.defaultParallelism))
+        task_groups = [tasks[i::n_parts] for i in range(n_parts)]
+        base = spark.range(0, n_parts, 1, n_parts)
+        partial = base.mapInArrow(score_split, f"qid {qid_t}, cid {cid_t}, score double")
         asc = metric == "l2"
         w = W.partitionBy("qid").orderBy(
             F.col("score").asc_nulls_last() if asc else F.col("score").desc_nulls_last(),

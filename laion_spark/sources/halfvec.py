@@ -38,6 +38,13 @@ def write_half_table(
     Local filesystems only (the bench/fixture path); the read side
     (``knn_search_parquet``) also handles remote stores. Returns a
     DataFrame of (path, rows) — one row per written file.
+
+    The source's directory tree is PRESERVED relative to ``src_path``:
+    a Hive-partitioned layout (e.g. an ``IVFIndex.write_index`` table's
+    ``ivf_cluster=K/`` dirs) comes out with the same partition dirs, so
+    pruning layers stack on the half-width twin unchanged — the
+    compounding the reference gets from running Annoy over its bfloat16
+    table.
     """
     from laion_spark.operators.knn import _list_parquet_files
     from laion_spark.session import _ship_package
@@ -46,10 +53,15 @@ def write_half_table(
     fs, files, remote = _list_parquet_files([src_path])
     if remote:
         raise NotImplementedError("write_half_table targets local paths (fixture/bench use)")
-    os.makedirs(dst_path, exist_ok=True)
-    tasks = [
-        (f, os.path.join(dst_path, f"part-{i:05d}.parquet")) for i, f in enumerate(files)
-    ]
+    root = src_path[7:] if src_path.startswith("file:///") else src_path
+    root = root.rstrip("/")
+    tasks = []
+    for i, f in enumerate(files):
+        rel = f[len(root):].lstrip("/") if f.startswith(root) else f"part-{i:05d}.parquet"
+        rel = rel or os.path.basename(f)  # src_path was a single file
+        dst = os.path.join(dst_path, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        tasks.append((f, dst))
     vcols = list(vector_cols)
 
     def conv(batches):

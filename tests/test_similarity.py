@@ -326,3 +326,60 @@ def test_expand_bucket_pairs_degenerate_bucket_streams(spark):
     # ordered, no duplicates: spot-check the first id pairs with all
     sample = _expand_bucket_pairs(grouped).filter(F.col("da") == 0).count()
     assert sample == m - 1
+
+
+def test_ivf_search_parquet_cached_plan(spark, emb, tmp_path):
+    """search_parquet (cached scan plan) must return exactly what the
+    uncached probe_dirs + knn_search_parquet path returns; the listing
+    is paid once (plan object reused) and invalidated by write_index."""
+    from laion_spark.operators.knn import knn_search_parquet
+    from laion_spark.operators.similarity import IVFIndex
+
+    idx = IVFIndex(dim=64, n_clusters=8, n_iters=2, nprobe=3).fit(
+        emb, id_col="vec_id", vector_col="embedding"
+    )
+    path = str(tmp_path / "ivf_sp")
+    idx.write_index(emb, path, "embedding")
+    qvec = [float(x) for x in emb.filter("vec_id = 7").collect()[0].embedding]
+    via_dirs = knn_search_parquet(
+        spark, idx.probe_dirs(path, qvec), qvec, k=5, vector_col="embedding", select=["vec_id"]
+    ).collect()
+    via_plan = idx.search_parquet(
+        spark, path, qvec, k=5, vector_col="embedding", select=["vec_id"]
+    ).collect()
+    assert [(r.vec_id, round(r.score, 6)) for r in via_plan] == [
+        (r.vec_id, round(r.score, 6)) for r in via_dirs
+    ]
+    info1 = idx.scan_plans(path)
+    assert idx.scan_plans(path) is info1  # second probe reuses the listing
+    idx.write_index(emb, path, "embedding")
+    assert idx.scan_plans(path) is not info1  # rewrite invalidates
+
+
+def test_half_twin_preserves_ivf_tree_and_probes(spark, emb, tmp_path):
+    """write_half_table keeps the ivf_cluster=K partition dirs, so IVF
+    pruning composes with float16 storage (the compounding-storage
+    path: probe reads nprobe clusters of half-width vectors)."""
+    import os
+
+    from laion_spark.operators.similarity import IVFIndex
+    from laion_spark.sources.halfvec import write_half_table
+
+    idx = IVFIndex(dim=64, n_clusters=4, n_iters=1, nprobe=2).fit(
+        emb, id_col="vec_id", vector_col="embedding"
+    )
+    src = str(tmp_path / "ivf_full")
+    idx.write_index(emb, src, "embedding")
+    dst = str(tmp_path / "ivf_f16")
+    write_half_table(spark, src, dst, ["embedding"]).collect()
+    src_dirs = {d for d in os.listdir(src) if d.startswith("ivf_cluster=")}
+    dst_dirs = {d for d in os.listdir(dst) if d.startswith("ivf_cluster=")}
+    assert src_dirs and src_dirs == dst_dirs
+    qvec = [float(x) for r in emb.filter("vec_id = 3").collect() for x in r.embedding]
+    idx16 = IVFIndex(dim=64, n_clusters=4, nprobe=2)
+    idx16.centroids = idx.centroids
+    full = idx.search_parquet(spark, src, qvec, k=3, vector_col="embedding", select=["vec_id"]).collect()
+    half = idx16.search_parquet(spark, dst, qvec, k=3, vector_col="embedding", select=["vec_id"]).collect()
+    assert len(half) == 3
+    # same probed clusters + f16's ~1e-3 grain: neighbor sets agree
+    assert {r.vec_id for r in half} == {r.vec_id for r in full}
