@@ -6131,3 +6131,48 @@ def d11_dedup_survivors(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "t12_sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ), run AS (
+      SELECT doc_id, source, n_tok,
+             coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      FROM toks
+    )
+    SELECT source, CAST(prior // 256 AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+    FROM run GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    note="Sequence packing for training prep: documents are laid into "
+    "fixed token-budget bins (256 here) per source in deterministic "
+    "doc_id order — the running-total chunking used to assemble "
+    "context-length training sequences from variable-length docs. One "
+    "exclusive-prefix window per source then a hash agg on (source, "
+    "bin). Scale shape: the ordered pass IS the packing contract; at "
+    "corpus scale, range-partition by (source, doc_id) so each "
+    "partition's window is local — the same pre-partitioned-window "
+    "rule as q91's RANGE frames. Token counts via split-on-space, "
+    "parity pinned by d08/t11.",
+)
+def t12_sequence_packing(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    run = (
+        d.select("doc_id", "source", F.size(F.split("text", " ")).alias("n_tok"))
+        .withColumn("prior", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    )
+    return (
+        run.groupBy("source", F.floor(F.col("prior") / F.lit(256)).cast("long").alias("bin"))
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tok").cast("long").alias("bin_tokens"),
+        )
+        .orderBy("source", "bin")
+    )

@@ -66,6 +66,12 @@ _CODEGEN_DIM_LIMIT = 2048
 #: ~4x slower measured)
 _CODEGEN_CHUNK = 48
 
+#: above this many (file, row_group) splits the scan scorer ships the
+#: task table through a tiny shuffle instead of the task closure — the
+#: closure is broadcast with the task binary, so a 10^6-split listing
+#: (100 TB table) would bloat every stage submission
+_TASKS_INLINE_MAX = 65536
+
 
 def knn_search(
     df: DataFrame,
@@ -594,10 +600,15 @@ def knn_search_parquet(
         for rb in batches:
             # range-leaf dispatch: the batch holds this partition's
             # group id(s); the (file, row_group) assignment rides the
-            # closure (small strings), so no task-table shuffle exists
-            assigned = [
-                t for gid in rb.column(0).to_pylist() for t in task_groups[gid]
-            ]
+            # closure (small strings), so no task-table shuffle exists.
+            # task_groups=None = task-table mode (huge listings): the
+            # batch itself carries (path, row_group) rows instead
+            if task_groups is not None:
+                assigned = [
+                    t for gid in rb.column(0).to_pylist() for t in task_groups[gid]
+                ]
+            else:
+                assigned = list(zip(rb.column(0).to_pylist(), rb.column(1).to_pylist()))
             for fpath, rg in assigned:
                 # use_threads=False: every core is already running its
                 # own task; per-task decode threads only fight each other
@@ -710,8 +721,19 @@ def knn_search_parquet(
     # to deserialize pickled rows (~0.2 s, measured r3).
     n_parts = n_partitions or min(len(tasks), spark.sparkContext.defaultParallelism)
     n_parts = max(1, min(n_parts, len(tasks)))
-    task_groups = [tasks[i::n_parts] for i in range(n_parts)]
-    base = spark.range(0, n_parts, 1, n_parts)
+    if len(tasks) <= _TASKS_INLINE_MAX:
+        task_groups = [tasks[i::n_parts] for i in range(n_parts)]
+        base = spark.range(0, n_parts, 1, n_parts)
+    else:
+        # huge listings (100 TB-scale table: ~10^5-10^6 splits): the
+        # full assignment no longer belongs in the task closure (it is
+        # broadcast with the task binary); ship each partition only its
+        # own (path, row_group) rows via the tiny task-table shuffle —
+        # one extra stage, amortized at this scan size
+        task_groups = None
+        base = spark.createDataFrame(tasks, "path string, row_group int")
+        if n_parts > 1:
+            base = base.repartition(n_parts)
     partial = base.mapInArrow(score_split, out_schema)
     if metric == "cosine":
         # zero-norm vectors score NaN, and NaN sorts ABOVE every double

@@ -665,10 +665,16 @@ class IVFIndex:
             qn_full = np.linalg.norm(Qfull, axis=1)
             for rb in batches:
                 # range-leaf dispatch (see knn_search_parquet): the
-                # batch holds group id(s); tasks ride the closure
-                assigned = [
-                    t for gid in rb.column(0).to_pylist() for t in task_groups[gid]
-                ]
+                # batch holds group id(s); tasks ride the closure.
+                # task_groups=None = task-table mode for huge listings
+                if task_groups is not None:
+                    assigned = [
+                        t for gid in rb.column(0).to_pylist() for t in task_groups[gid]
+                    ]
+                else:
+                    assigned = list(zip(
+                        rb.column(0).to_pylist(), rb.column(1).to_pylist(), rb.column(2).to_pylist()
+                    ))
                 for fpath, rg, cl in assigned:
                     qidx = by_cluster.get(cl)
                     if not qidx:
@@ -722,10 +728,20 @@ class IVFIndex:
                         )
 
         # shuffle-free range leaf, one row per partition; round-robin
-        # interleaves each cluster's row groups across the wave
+        # interleaves each cluster's row groups across the wave. Huge
+        # listings fall back to the task-table shuffle so the closure
+        # stays small (see knn_search_parquet)
+        from laion_spark.operators.knn import _TASKS_INLINE_MAX
+
         n_parts = max(1, min(len(tasks), spark.sparkContext.defaultParallelism))
-        task_groups = [tasks[i::n_parts] for i in range(n_parts)]
-        base = spark.range(0, n_parts, 1, n_parts)
+        if len(tasks) <= _TASKS_INLINE_MAX:
+            task_groups = [tasks[i::n_parts] for i in range(n_parts)]
+            base = spark.range(0, n_parts, 1, n_parts)
+        else:
+            task_groups = None
+            base = spark.createDataFrame(tasks, "path string, row_group int, cluster int")
+            if n_parts > 1:
+                base = base.repartition(n_parts)
         partial = base.mapInArrow(score_split, f"qid {qid_t}, cid {cid_t}, score double")
         asc = metric == "l2"
         w = W.partitionBy("qid").orderBy(

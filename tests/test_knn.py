@@ -261,3 +261,24 @@ def test_list_parquet_files_local_and_remote(monkeypatch, tmp_path):
 
     with _pytest.raises(ValueError, match="mixed filesystems"):
         _list_parquet_files([f"s3://bkt{d}/a.parquet", "gs://other/y.parquet"])
+
+
+def test_knn_parquet_task_table_fallback(spark, sf_dir, monkeypatch):
+    """Above _TASKS_INLINE_MAX splits the scorer ships (path, row_group)
+    rows through the task-table shuffle instead of the task closure
+    (100 TB-scale listings must not bloat the broadcast task binary);
+    both dispatch modes must return identical rows."""
+    from laion_spark.operators import knn as knn_mod
+    from laion_spark.operators.knn import knn_search_parquet
+
+    path = f"{sf_dir}/embeddings.parquet"
+    inline = [
+        (r.vec_id, round(r.score, 6))
+        for r in knn_search_parquet(spark, path, QVEC, k=7, vector_col="embedding", select=["vec_id"]).collect()
+    ]
+    monkeypatch.setattr(knn_mod, "_TASKS_INLINE_MAX", 0)
+    shuffled = [
+        (r.vec_id, round(r.score, 6))
+        for r in knn_search_parquet(spark, path, QVEC, k=7, vector_col="embedding", select=["vec_id"]).collect()
+    ]
+    assert inline == shuffled
