@@ -6176,3 +6176,56 @@ def t12_sequence_packing(spark, sf_dir):
         )
         .orderBy("source", "bin")
     )
+
+
+@query(
+    "t13_unigram_nll_quality",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ), tot AS (
+      SELECT count(*) AS n FROM toks
+    ), doc_nll AS (
+      SELECT t.doc_id, t.lang,
+             avg(-ln(f.c / CAST(tot.n AS DOUBLE))) AS nll
+      FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
+      GROUP BY t.doc_id, t.lang
+    )
+    SELECT lang, CAST(floor(nll) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS docs,
+           round(avg(nll), 6) AS avg_nll
+    FROM doc_nll GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    note="Unigram-LM negative-log-likelihood quality score — the "
+    "perplexity-proxy filter (KenLM-style) a training pipeline uses to "
+    "drop out-of-distribution text, self-trained on the corpus: token "
+    "frequencies -> per-doc mean -ln p(tok) -> per-lang NLL histogram. "
+    "Scale shape: the unigram table is vocabulary-sized (bounded, "
+    "broadcast-joined to the token stream — no shuffle of the corpus "
+    "side), the grand total is a 1-row agg cross-joined in, and the "
+    "per-doc avg is one hash agg on doc_id. Double-log parity: ULP "
+    "differences in ln sum to ~1e-15 over a doc, far under the "
+    "round(6) grain.",
+)
+def t13_unigram_nll_quality(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = toks.agg(F.count("*").alias("n"))
+    doc_nll = (
+        toks.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(F.avg(-F.log(F.col("c") / F.col("n").cast("double"))).alias("nll"))
+    )
+    return (
+        doc_nll.groupBy("lang", F.floor("nll").cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("docs"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+        )
+        .orderBy("lang", "bucket")
+    )

@@ -579,3 +579,17 @@ def test_q90_broadcasts_part_no_data_shuffle(spark, sf_dir):
     p = plan_str(REGISTRY["q90_disjunctive_revenue"].fn(spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in p, p
     assert "hashpartitioning" not in p, p
+
+
+def test_new_corpus_scans_stay_jvm_side(spark, sf_dir):
+    """t11/t12/t13 corpus scans: no Python operator anywhere, and t13's
+    vocabulary join must broadcast (the token stream never shuffles for
+    the frequency lookup)."""
+    from laion_spark.catalog import REGISTRY
+
+    for name in ("t11_vocab_growth", "t12_sequence_packing", "t13_unigram_nll_quality"):
+        p = REGISTRY[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in p and "MapInArrow" not in p, (name, p)
+        assert "SortMergeJoin" not in p, (name, p)
+    p13 = REGISTRY["t13_unigram_nll_quality"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p13, p13
