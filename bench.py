@@ -1,8 +1,11 @@
 #!/usr/bin/env python
 """BENCH harness — headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS], printing ONE JSON line:
+sf0.1) on local[$SPARK_GRAFT_CPUS], printing TWO JSON lines on stdout:
+the full detail dict first, then a compact (<1.9 kB) final line
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+sized for tail-capture parsers that keep only the last ~2000 chars.
 
 Two classes of measurement:
   - catalog headliners: representative oracle-checked queries from

@@ -593,3 +593,19 @@ def test_new_corpus_scans_stay_jvm_side(spark, sf_dir):
         assert "SortMergeJoin" not in p, (name, p)
     p13 = REGISTRY["t13_unigram_nll_quality"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p13, p13
+
+
+def test_scan_scorer_probe_is_single_stage(spark, sf_dir):
+    """The parquet scan scorer's dispatch is a shuffle-free range leaf:
+    the whole probe (scan+score -> TakeOrdered) must plan with ZERO
+    Exchange nodes — the r6 fix that removed the per-probe task-table
+    shuffle stage (r5's fixed ~0.1-0.2 s/probe)."""
+    from laion_spark.operators.knn import knn_search_parquet
+
+    df = knn_search_parquet(
+        spark, f"{sf_dir}/embeddings.parquet", QVEC64, k=5,
+        vector_col="embedding", select=["vec_id"],
+    )
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p
+    assert "TakeOrderedAndProject" in p, p
