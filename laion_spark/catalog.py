@@ -6229,3 +6229,54 @@ def t13_unigram_nll_quality(spark, sf_dir):
         )
         .orderBy("lang", "bucket")
     )
+
+
+@query(
+    "s10_streaming_upsert_final",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, round(value, 6) AS last_value
+    FROM ranked WHERE rn = 1 ORDER BY user_id, event_type
+    """,
+    note="Streaming upsert, the ReplacingMergeTree ingest model end to "
+    "end: the event stream appends immutable parts through the "
+    "exactly-once file sink (no stream state, no watermark — the sink "
+    "manifest is the delivery guarantee), and keep-last semantics "
+    "resolve at READ time via replacing_final (one key shuffle, "
+    "WindowGroupLimit keeps each partition's winner) — the same "
+    "append-parts + FINAL contract q50 checks on static data, here "
+    "driven through a real micro-batch replay. Scale shape: ingest "
+    "never rewrites (append-only), dedup cost is paid by readers that "
+    "ask for FINAL, identical to ClickHouse.",
+)
+def s10_streaming_upsert_final(spark, sf_dir):
+    import tempfile
+
+    from laion_spark.operators.mergetree import replacing_final
+    from laion_spark.streaming.windows import replay_as_stream
+
+    tune_session(spark)
+    stream = replay_as_stream(spark, f"{sf_dir}/events.parquet", n_splits=4)
+    sink = tempfile.mkdtemp(prefix="laion_upsert_sink_")
+    ck = tempfile.mkdtemp(prefix="laion_upsert_ck_")
+    q = (
+        stream.selectExpr(
+            "user_id", "event_type", "value", "unix_micros(ts_t) AS ver", "event_id"
+        )
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    parts = spark.read.parquet(sink)
+    out = replacing_final(parts, ["user_id", "event_type"], "ver", tiebreak=["event_id"])
+    return out.select(
+        "user_id", "event_type", F.round("value", 6).alias("last_value")
+    ).orderBy("user_id", "event_type")
