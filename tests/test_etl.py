@@ -84,3 +84,25 @@ def test_roundtrip_write_read(spark, fixtures, tmp_path):
     back = spark.read.parquet(out)
     assert back.schema == LAION_SCHEMA
     assert back.count() == 1000
+
+
+def test_etl_direct_sink_matches_generic_sink(spark, fixtures, tmp_path):
+    """etl_shards_to_parquet (writer inside the task, process.py parity)
+    must produce byte-equivalent CONTENT to the generic JVM sink: same
+    rows, same values, one file per shard."""
+    from laion_spark.sources.npy import etl_shards, etl_shards_to_parquet
+
+    out = str(tmp_path / "direct")
+    res = etl_shards_to_parquet(spark, f"{fixtures}/etl_input", out, dim=8).collect()
+    assert len(res) == len({r.path for r in res})  # one file per shard
+    direct = spark.read.parquet(out)
+    generic = etl_shards(spark, f"{fixtures}/etl_input", dim=8)
+    assert direct.count() == sum(r.rows for r in res) == generic.count()
+    cols = [c for c in generic.columns if c != "exif"]  # map compares poorly in sets
+    a = {tuple(str(v) for v in r) for r in direct.select(cols).collect()}
+    b = {tuple(str(v) for v in r) for r in generic.select(cols).collect()}
+    assert a == b
+    # exif maps compare row-aligned by key
+    ea = {r.key: sorted((r.exif or {}).items()) for r in direct.select("key", "exif").collect()}
+    eb = {r.key: sorted((r.exif or {}).items()) for r in generic.select("key", "exif").collect()}
+    assert ea == eb
