@@ -658,6 +658,116 @@ def main() -> None:
         print(f"  events10m: FAILED {errors['events10m'].splitlines()[0]}", file=sys.stderr)
 
 
+    # ETL runs BEFORE the vector sections for the same reason the
+    # stress family does: the generic JVM sink is sensitive to the
+    # allocator/GC state the ~60 GB of Arrow scans leave behind
+    # (measured: 8.7 s before the ann/f16 blocks vs 32.7 s after —
+    # same fixture, same code; the in-task direct sink moves 4.1 s
+    # -> 4.1 s, immune). Ordering records each family's honest
+    # number.
+    # Shard-ETL throughput (VERDICT r4 missing #4): the reference's
+    # process.py is half its codebase (65,536-row batches, one shard
+    # per mp.Pool task — process.py:22,115); x01 proves correctness at
+    # 250 rows, this measures rows/s through the full positional-join
+    # pipeline (metadata parquet + row-aligned .npy matrices -> curly-
+    # quote cleanup -> exif JSON->map -> schema projection -> zstd
+    # parquet sink) at 32 shards x 16,384 rows x 768-d (~3.2 GB of
+    # embedding matrices). Shard-per-task, no shuffle anywhere.
+    try:
+        # needs ~4 min headroom (fixture build + 3 pipeline runs) — a
+        # section started just under the wire would overshoot the
+        # harness timeout, the round-3 no-JSON failure mode
+        if over_budget(errors, "etl_shards") or time.perf_counter() - _T_START > BUDGET_S - 240:
+            if "etl_shards" not in errors:
+                errors["etl_shards"] = "skipped: < 240s of bench budget left"
+                print("  etl_shards: SKIPPED (headroom)", file=sys.stderr)
+            raise _BudgetSkip
+        from laion_spark.sources.npy import etl_shards, write_fact_table
+
+        # one shard per task: 32 shards fill the 32-core host exactly
+        N_SHARDS, ROWS_PER_SHARD, ETL_DIM = 32, 16_384, DIM
+        etl_in = f"/tmp/laion_etl_{N_SHARDS}x{ROWS_PER_SHARD}x{ETL_DIM}"
+        if not os.path.exists(f"{etl_in}/_DONE"):
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            t0 = time.perf_counter()
+            for d in ("metadata", "img_emb", "text_emb"):
+                os.makedirs(f"{etl_in}/{d}", exist_ok=True)
+            for sid in range(N_SHARDS):
+                rng = np.random.default_rng(1000 + sid)
+                n = ROWS_PER_SHARD
+                base = sid * n
+                meta = pa.table(
+                    {
+                        "key": [f"k{base + i:09d}" for i in range(n)],
+                        "url": [f"https://example.com/{base + i}.jpg" for i in range(n)],
+                        "caption": [f"caption {base + i} ’quoted‘ text" for i in range(n)],
+                        "similarity": pa.array(rng.random(n)),
+                        "width": pa.array(rng.integers(64, 2048, n)),
+                        "height": pa.array(rng.integers(64, 2048, n)),
+                        "original_width": pa.array(rng.integers(64, 4096, n)),
+                        "original_height": pa.array(rng.integers(64, 4096, n)),
+                        "status": ["success"] * n,
+                        "nsfw": ["UNLIKELY"] * n,
+                        "exif_json": ['{"Make": "m", "Model": "x"}'] * n,
+                    }
+                )
+                pq.write_table(meta, f"{etl_in}/metadata/metadata_{sid}.parquet")
+                np.save(
+                    f"{etl_in}/img_emb/img_emb_{sid}.npy",
+                    rng.random((n, ETL_DIM), dtype=np.float32),
+                )
+                if sid != 13:  # one missing matrix exercises S4 zero-fill
+                    np.save(
+                        f"{etl_in}/text_emb/text_emb_{sid}.npy",
+                        rng.random((n, ETL_DIM), dtype=np.float32),
+                    )
+            open(f"{etl_in}/_DONE", "w").close()
+            print(f"  etl fixture build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+        etl_out = "/tmp/laion_etl_fact.parquet"
+
+        def run_etl():
+            write_fact_table(etl_shards(spark, etl_in, dim=ETL_DIM), etl_out)
+
+        run_etl()  # warm (python workers + codegen)
+        etl_ts = sorted(timed(run_etl) for _ in range(2))
+        n_rows = N_SHARDS * ROWS_PER_SHARD
+        # best-of-2, same policy as dedup4m (extras stat_policy note)
+        queries["etl_shards"] = etl_ts[0]
+        extras["etl_shards_best_sec"] = etl_ts[0]
+        extras["etl_shards_rows_per_sec"] = round(n_rows / etl_ts[0])
+        extras["etl_shards_count"] = N_SHARDS
+        extras["etl_shards_rows"] = n_rows
+        print(f"  etl_shards: {etl_ts} ({extras['etl_shards_rows_per_sec']} rows/s)", file=sys.stderr)
+
+        # Direct sink (full process.py parity — each task writes its own
+        # shard file, wide columns never become JVM rows; measured ~2.7x
+        # the generic-sink throughput, same output bytes)
+        from laion_spark.sources.npy import etl_shards_to_parquet
+
+        etl_out_d = "/tmp/laion_etl_fact_direct.parquet"
+
+        def run_etl_direct():
+            etl_shards_to_parquet(spark, etl_in, etl_out_d, dim=ETL_DIM).collect()
+
+        run_etl_direct()  # warm
+        etd = sorted(timed(run_etl_direct) for _ in range(2))
+        queries["etl_shards_direct"] = etd[0]  # best-of-2 (stat_policy)
+        extras["etl_shards_direct_rows_per_sec"] = round(n_rows / etd[0])
+        print(
+            f"  etl_shards_direct: {etd} ({extras['etl_shards_direct_rows_per_sec']} rows/s)",
+            file=sys.stderr,
+        )
+    except _BudgetSkip:
+        pass
+    except Exception as ex:  # noqa: BLE001
+        errors["etl_shards"] = f"{type(ex).__name__}: {ex}"[:500]
+        print(f"  etl_shards: FAILED {errors['etl_shards'].splitlines()[0]}", file=sys.stderr)
+
+
     # BASELINE-comparable: brute-force L2 top-10 over N_VEC x 768.
     # Back to default 128MB splits here: the synthetic table is ~600 MB
     # and 4MB splits (set above for the small star tables) would mean
@@ -1021,108 +1131,6 @@ def main() -> None:
     except Exception as ex:  # noqa: BLE001
         errors["ann768"] = f"{type(ex).__name__}: {ex}"[:500]
         print(f"  ann768: FAILED {errors['ann768'].splitlines()[0]}", file=sys.stderr)
-
-    # Shard-ETL throughput (VERDICT r4 missing #4): the reference's
-    # process.py is half its codebase (65,536-row batches, one shard
-    # per mp.Pool task — process.py:22,115); x01 proves correctness at
-    # 250 rows, this measures rows/s through the full positional-join
-    # pipeline (metadata parquet + row-aligned .npy matrices -> curly-
-    # quote cleanup -> exif JSON->map -> schema projection -> zstd
-    # parquet sink) at 32 shards x 16,384 rows x 768-d (~3.2 GB of
-    # embedding matrices). Shard-per-task, no shuffle anywhere.
-    try:
-        # needs ~4 min headroom (fixture build + 3 pipeline runs) — a
-        # section started just under the wire would overshoot the
-        # harness timeout, the round-3 no-JSON failure mode
-        if over_budget(errors, "etl_shards") or time.perf_counter() - _T_START > BUDGET_S - 240:
-            if "etl_shards" not in errors:
-                errors["etl_shards"] = "skipped: < 240s of bench budget left"
-                print("  etl_shards: SKIPPED (headroom)", file=sys.stderr)
-            raise _BudgetSkip
-        from laion_spark.sources.npy import etl_shards, write_fact_table
-
-        # one shard per task: 32 shards fill the 32-core host exactly
-        N_SHARDS, ROWS_PER_SHARD, ETL_DIM = 32, 16_384, DIM
-        etl_in = f"/tmp/laion_etl_{N_SHARDS}x{ROWS_PER_SHARD}x{ETL_DIM}"
-        if not os.path.exists(f"{etl_in}/_DONE"):
-            import numpy as np
-            import pyarrow as pa
-            import pyarrow.parquet as pq
-
-            t0 = time.perf_counter()
-            for d in ("metadata", "img_emb", "text_emb"):
-                os.makedirs(f"{etl_in}/{d}", exist_ok=True)
-            for sid in range(N_SHARDS):
-                rng = np.random.default_rng(1000 + sid)
-                n = ROWS_PER_SHARD
-                base = sid * n
-                meta = pa.table(
-                    {
-                        "key": [f"k{base + i:09d}" for i in range(n)],
-                        "url": [f"https://example.com/{base + i}.jpg" for i in range(n)],
-                        "caption": [f"caption {base + i} ’quoted‘ text" for i in range(n)],
-                        "similarity": pa.array(rng.random(n)),
-                        "width": pa.array(rng.integers(64, 2048, n)),
-                        "height": pa.array(rng.integers(64, 2048, n)),
-                        "original_width": pa.array(rng.integers(64, 4096, n)),
-                        "original_height": pa.array(rng.integers(64, 4096, n)),
-                        "status": ["success"] * n,
-                        "nsfw": ["UNLIKELY"] * n,
-                        "exif_json": ['{"Make": "m", "Model": "x"}'] * n,
-                    }
-                )
-                pq.write_table(meta, f"{etl_in}/metadata/metadata_{sid}.parquet")
-                np.save(
-                    f"{etl_in}/img_emb/img_emb_{sid}.npy",
-                    rng.random((n, ETL_DIM), dtype=np.float32),
-                )
-                if sid != 13:  # one missing matrix exercises S4 zero-fill
-                    np.save(
-                        f"{etl_in}/text_emb/text_emb_{sid}.npy",
-                        rng.random((n, ETL_DIM), dtype=np.float32),
-                    )
-            open(f"{etl_in}/_DONE", "w").close()
-            print(f"  etl fixture build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-
-        etl_out = "/tmp/laion_etl_fact.parquet"
-
-        def run_etl():
-            write_fact_table(etl_shards(spark, etl_in, dim=ETL_DIM), etl_out)
-
-        run_etl()  # warm (python workers + codegen)
-        etl_ts = sorted(timed(run_etl) for _ in range(2))
-        n_rows = N_SHARDS * ROWS_PER_SHARD
-        # best-of-2, same policy as dedup4m (extras stat_policy note)
-        queries["etl_shards"] = etl_ts[0]
-        extras["etl_shards_best_sec"] = etl_ts[0]
-        extras["etl_shards_rows_per_sec"] = round(n_rows / etl_ts[0])
-        extras["etl_shards_count"] = N_SHARDS
-        extras["etl_shards_rows"] = n_rows
-        print(f"  etl_shards: {etl_ts} ({extras['etl_shards_rows_per_sec']} rows/s)", file=sys.stderr)
-
-        # Direct sink (full process.py parity — each task writes its own
-        # shard file, wide columns never become JVM rows; measured ~2.7x
-        # the generic-sink throughput, same output bytes)
-        from laion_spark.sources.npy import etl_shards_to_parquet
-
-        etl_out_d = "/tmp/laion_etl_fact_direct.parquet"
-
-        def run_etl_direct():
-            etl_shards_to_parquet(spark, etl_in, etl_out_d, dim=ETL_DIM).collect()
-
-        run_etl_direct()  # warm
-        etd = sorted(timed(run_etl_direct) for _ in range(2))
-        queries["etl_shards_direct"] = etd[0]  # best-of-2 (stat_policy)
-        extras["etl_shards_direct_rows_per_sec"] = round(n_rows / etd[0])
-        print(
-            f"  etl_shards_direct: {etd} ({extras['etl_shards_direct_rows_per_sec']} rows/s)",
-            file=sys.stderr,
-        )
-    except _BudgetSkip:
-        pass
-    except Exception as ex:  # noqa: BLE001
-        errors["etl_shards"] = f"{type(ex).__name__}: {ex}"[:500]
-        print(f"  etl_shards: FAILED {errors['etl_shards'].splitlines()[0]}", file=sys.stderr)
 
     # 10M-row soak (VERDICT r4 missing #3): one measured point at the
     # reference's OWN published brute-force scale (BASELINE.md rows:

@@ -71,3 +71,33 @@ def test_fingerprints(spark, docs):
     by_id = {r.id: r.v for r in rh}
     assert len(by_id[0]) == 13 - 2  # n_tokens - window + 1
     assert by_id[4] == []  # shorter than the window -> empty
+
+
+def test_sequence_packing_conserves_tokens(spark, sf_dir):
+    """t12 invariant: bins partition each source's docs — summed
+    bin_tokens and docs across bins must equal the per-source totals,
+    and bin ids are dense from 0."""
+    from laion_spark.catalog import REGISTRY
+
+    from pyspark.sql import functions as F
+
+    out = REGISTRY["t12_sequence_packing"].fn(spark, sf_dir).cache()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = {
+        r.source: (r.docs, r.toks)
+        for r in docs.groupBy("source")
+        .agg(F.count("*").alias("docs"), F.sum(F.size(F.split("text", " "))).alias("toks"))
+        .collect()
+    }
+    got = {
+        r.source: (r.docs, r.toks)
+        for r in out.groupBy("source")
+        .agg(F.sum("docs").alias("docs"), F.sum("bin_tokens").alias("toks"))
+        .collect()
+    }
+    assert got == want
+    for r in out.groupBy("source").agg(
+        F.min("bin").alias("lo"), F.max("bin").alias("hi"), F.count("*").alias("n")
+    ).collect():
+        assert r.lo == 0 and r.n == r.hi + 1, r  # dense bins
+    out.unpersist()
