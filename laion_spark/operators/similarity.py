@@ -538,6 +538,53 @@ class IVFIndex:
         self._scan_cache = (path, info)
         return info
 
+    def tune_nprobe(
+        self,
+        spark,
+        path: str,
+        query_vecs: Sequence[Sequence[float]],
+        k: int = 10,
+        target_recall: float = 0.95,
+        widths: Sequence[int] = (1, 2, 3, 4, 6, 8),
+        exact_path: str | None = None,
+        vector_col: str = "embedding",
+        id_col: str = "id",
+    ) -> tuple[int, float]:
+        """Recall-targeted probe-width selection — how ANN indexes are
+        tuned in practice: ground truth comes from exact scans of the
+        sample queries (a one-time tuning cost), then the smallest
+        ``nprobe`` whose recall@k over the sample meets
+        ``target_recall`` wins. Returns (nprobe, measured recall); if
+        no width reaches the target the widest is returned with its
+        recall — callers decide whether that is acceptable.
+        ``exact_path`` defaults to the index table itself (same rows);
+        pass the unpartitioned source table to avoid reading the
+        Hive-partition layout for the brute-force pass."""
+        from laion_spark.operators.knn import knn_search_parquet
+
+        if not query_vecs:
+            raise ValueError("tune_nprobe needs at least one sample query vector")
+        truth = [
+            {r[0] for r in knn_search_parquet(
+                spark, exact_path or path, list(v), k=k,
+                vector_col=vector_col, select=[id_col],
+            ).collect()}
+            for v in query_vecs
+        ]
+        recall = 0.0
+        for w in widths:
+            hits = sum(
+                len(t & {r[0] for r in self.search_parquet(
+                    spark, path, list(v), k=k, vector_col=vector_col,
+                    select=[id_col], nprobe=w,
+                ).collect()})
+                for v, t in zip(query_vecs, truth)
+            )
+            recall = hits / (k * len(truth))
+            if recall >= target_recall:
+                return w, recall
+        return widths[-1], recall
+
     def search_parquet(
         self,
         spark,

@@ -383,3 +383,32 @@ def test_half_twin_preserves_ivf_tree_and_probes(spark, emb, tmp_path):
     assert len(half) == 3
     # same probed clusters + f16's ~1e-3 grain: neighbor sets agree
     assert {r.vec_id for r in half} == {r.vec_id for r in full}
+
+
+def test_ivf_tune_nprobe(spark, emb, tmp_path):
+    """tune_nprobe picks the smallest probe width meeting the recall
+    target on sample queries (ground truth = exact scans), and reports
+    honest recall when even the widest width misses."""
+    from laion_spark.operators.similarity import IVFIndex
+
+    idx = IVFIndex(dim=64, n_clusters=8, n_iters=2, nprobe=3).fit(
+        emb, id_col="vec_id", vector_col="embedding"
+    )
+    path = str(tmp_path / "ivf_tune")
+    idx.write_index(emb, path, "embedding")
+    qvecs = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter("vec_id IN (3, 17, 41)").collect()
+    ]
+    w, rec = idx.tune_nprobe(
+        spark, path, qvecs, k=3, target_recall=0.9,
+        widths=(1, 2, 4, 8), id_col="vec_id",
+    )
+    assert w in (1, 2, 4, 8)
+    assert rec >= 0.9  # 8 probes = every cluster -> recall 1.0 guaranteed
+    # full-width probe is exact: recall must be 1.0 there
+    w8, rec8 = idx.tune_nprobe(
+        spark, path, qvecs, k=3, target_recall=2.0,  # unreachable target
+        widths=(8,), id_col="vec_id",
+    )
+    assert w8 == 8 and rec8 == 1.0
