@@ -6317,3 +6317,409 @@ def x03_etl_direct_sink(spark, sf_dir):
         F.round(F.aggregate("text_embedding", acc, lambda a, x: a + x), 6).alias("txt_sum"),
         F.round("similarity", 6).alias("similarity"),
     ).orderBy("key")
+
+
+# --- TPC-H completion (round 6): the seven remaining query shapes -----------
+#
+# Q2, Q9, Q11, Q12, Q16, Q20, Q21 — with these, every one of the 22
+# TPC-H query shapes has an oracle-backed registry entry (reference
+# parity: ClickHouse executes the full TPC-H suite through its SQL
+# layer; see SURVEY §2.9). The test schema has no partsupp table, so
+# its role (per part-supplier supply cost / available quantity) is
+# reconstructed deterministically from lineitem: supply cost = the
+# minimum unit price (floored to whole cents) ever charged by that
+# supplier for that part, availqty = decimal-exact total quantity.
+# The cent arithmetic is deliberate: a raw price/qty quotient has
+# unbounded decimal scale, so its scale-2/scale-6 roundings sit
+# arbitrarily close to ties where Spark's exact-expansion HALF_UP and
+# DuckDB's scale-multiply-then-llround diverge by 1 ulp (observed:
+# min 615.095 → 615.09 vs 615.10). floor(round(price*100)/qty) is
+# exact in BOTH engines: price*100 is integral (2dp prices), and with
+# qty ≤ 50 the true quotient is ≥ 1/50 away from any integer unless
+# exactly integral — no FP boundary to disagree on.
+
+_PS_SQL = """
+      SELECT l_partkey, l_suppkey,
+             min(floor(round(l_extendedprice * 100) / l_quantity)) / 100.0 AS ps_supplycost,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS ps_availqty
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+"""
+
+
+def _pseudo_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partsupp stand-in derived from lineitem (see block comment).
+
+    One shuffle on (l_partkey, l_suppkey); at 100 TB this is the same
+    hash-aggregate any partsupp build pays, and every consumer below
+    joins it on l_partkey or l_suppkey so AQE can reuse the exchange.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    cents = F.floor(F.round(F.col("l_extendedprice") * 100, 0) / F.col("l_quantity"))
+    return li.groupBy("l_partkey", "l_suppkey").agg(
+        (F.min(cents) / F.lit(100.0)).alias("ps_supplycost"),
+        dsum("l_quantity", "ps_availqty"),
+    )
+
+
+@query(
+    "q92_late_shipment_priority",
+    oracle="""
+    SELECT l.l_returnflag AS ship_mode,
+           count(*) FILTER (WHERE o.o_orderpriority IN ('1-URGENT','2-HIGH')) AS high_line_count,
+           count(*) FILTER (WHERE o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY l.l_returnflag
+    ORDER BY ship_mode
+    """,
+    note="TPC-H Q12 shape (shipping modes & order priority; adapted — "
+    "this schema has no l_shipmode/commitdate, so the mode is "
+    "l_returnflag and 'late' is shipped >90 days after the order "
+    "date): one orderkey shuffle join, conditional BIGINT counts, "
+    "3-row output. Counts are exact so the hash match is trivial.",
+)
+def q92_late_shipment_priority(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        j.groupBy(F.col("l_returnflag").alias("ship_mode"))
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("ship_mode")
+    )
+
+
+@query(
+    "q93_product_type_profit",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount) - ps.ps_supplycost * l.l_quantity')} AS sum_profit
+    FROM lineitem l
+    JOIN ps ON ps.l_partkey = l.l_partkey AND ps.l_suppkey = l.l_suppkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+    note="TPC-H Q9 shape (product-type profit): profit = revenue minus "
+    "supply cost per line, grouped by supplier nation x order year. "
+    "part/supplier/nation broadcast; ps joins lineitem on its own "
+    "grouping key (exchange reuse); lineitem-orders is the one big "
+    "shuffle. Addends decimal-cast so partial-aggregate order can't "
+    "move a rounding boundary.",
+)
+def q93_product_type_profit(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    ps = _pseudo_partsupp(spark, sf_dir)
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    n = t(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("ps_supplycost") * F.col("l_quantity")
+    )
+    return (
+        li.join(ps, ["l_partkey", "l_suppkey"])
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(dsum(profit, "sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "q94_supplier_part_counts",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL})
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    note="TPC-H Q16 shape (parts/supplier relationship): distinct "
+    "supplier counts per (brand, type, size) over the pseudo-partsupp "
+    "relation, excluding suppliers with negative balances (the "
+    "customer-complaints NOT IN — a broadcast anti-join over a "
+    "100-row dim, never a shuffle). part broadcasts into ps; the only "
+    "shuffle is the final small-group distinct aggregate.",
+)
+def q94_supplier_part_counts(spark, sf_dir):
+    ps = _pseudo_partsupp(spark, sf_dir)
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q95_waiting_orders",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 150 DAY) AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    st AS (
+      SELECT l_orderkey,
+             count(DISTINCT l_suppkey) AS nsupp,
+             count(DISTINCT CASE WHEN late THEN l_suppkey END) AS nlate
+      FROM li GROUP BY l_orderkey
+    )
+    SELECT s.s_name, count(DISTINCT li.l_orderkey) AS numwait
+    FROM li
+    JOIN st ON st.l_orderkey = li.l_orderkey
+    JOIN supplier s ON s.s_suppkey = li.l_suppkey
+    WHERE li.late AND st.nsupp > 1 AND st.nlate = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+    note="TPC-H Q21 shape (suppliers who kept orders waiting; 'late' "
+    "adapted to shipped >150 days after order date): the classic "
+    "EXISTS / NOT EXISTS double correlation, expressed as one "
+    "per-order distinct-supplier aggregate re-joined to the lines — "
+    "Spark computes both correlated subqueries in a single shuffle "
+    "on l_orderkey instead of two more self-joins, which is the plan "
+    "you want at 100 TB (orders' line sets stay co-located).",
+)
+def q95_waiting_orders(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = t(spark, sf_dir, "supplier")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 150 DAYS")).alias("late"),
+        )
+    )
+    st = base.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("nsupp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("nlate"),
+    )
+    return (
+        base.filter(F.col("late"))
+        .join(st, "l_orderkey")
+        .filter((F.col("nsupp") > 1) & (F.col("nlate") == 1))
+        .join(F.broadcast(s), base.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+@query(
+    "q96_important_part_value",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    val AS (
+      SELECT ps.l_partkey AS p_partkey,
+             {_dsum_sql('ps.ps_supplycost * ps.ps_availqty')} AS part_value
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY ps.l_partkey
+    )
+    SELECT p_partkey, round(part_value, 6) AS part_value
+    FROM val
+    WHERE part_value > (
+      SELECT CAST(0.001 AS DOUBLE) * CAST(sum(CAST(part_value AS DECIMAL(18,6))) AS DOUBLE)
+      FROM val
+    )
+    ORDER BY part_value DESC, p_partkey
+    """,
+    note="TPC-H Q11 shape (important stock identification): per-part "
+    "inventory value restricted to one region's suppliers, kept only "
+    "above a fraction of the global total. The scalar subquery is a "
+    "single-row broadcast cross-join (no second scan of lineitem — "
+    "the per-part aggregate is reused for the total), and the "
+    "threshold itself is decimal-exact so the > boundary is "
+    "engine-identical.",
+)
+def q96_important_part_value(spark, sf_dir):
+    ps = _pseudo_partsupp(spark, sf_dir)
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    val = (
+        ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(dsum(F.col("ps_supplycost") * F.col("ps_availqty"), "part_value"))
+    )
+    thr = val.agg(
+        (
+            F.lit(0.001) * F.sum(F.col("part_value").cast("decimal(18,6)")).cast("double")
+        ).alias("_thr")
+    )
+    return (
+        val.crossJoin(F.broadcast(thr))
+        .filter(F.col("part_value") > F.col("_thr"))
+        .select("p_partkey", F.round("part_value", 6).alias("part_value"))
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+@query(
+    "q97_excess_quantity_suppliers",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    yr AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS year_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_name, round(s.s_acctbal, 6) AS acctbal, n.n_name AS nation
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT ps.l_suppkey
+      FROM ps
+      JOIN yr ON yr.l_partkey = ps.l_partkey AND yr.l_suppkey = ps.l_suppkey
+      JOIN part p ON p.p_partkey = ps.l_partkey
+      WHERE p.p_name LIKE '%bolt%'
+        AND ps.ps_availqty > CAST(2.5 AS DOUBLE) * yr.year_qty
+    )
+    ORDER BY s_name
+    """,
+    note="TPC-H Q20 shape (potential part promotion / excess "
+    "inventory): suppliers whose total shipped quantity of a named "
+    "part family exceeds 2.5x what they moved in 1997 — the nested "
+    "IN chain becomes ps joined to the date-pruned year aggregate on "
+    "its own grouping key, then a LEFT SEMI broadcast into the "
+    "100-row supplier dim. Both aggregates shuffle on the same "
+    "(partkey, suppkey) so the join is exchange-aligned.",
+)
+def q97_excess_quantity_suppliers(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    ps = _pseudo_partsupp(spark, sf_dir)
+    yr = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum("l_quantity", "year_qty"))
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    qual = (
+        ps.join(yr, ["l_partkey", "l_suppkey"])
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .filter(F.col("ps_availqty") > F.lit(2.5) * F.col("year_qty"))
+        .select("l_suppkey")
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(qual.distinct()), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", F.round("s_acctbal", 6).alias("acctbal"), F.col("n_name").alias("nation"))
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q98_min_cost_supplier",
+    oracle=f"""
+    WITH ps AS ({_PS_SQL}),
+    eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    cost AS (
+      SELECT ps.l_partkey, ps.l_suppkey, ps.ps_supplycost
+      FROM ps JOIN eu ON eu.s_suppkey = ps.l_suppkey
+    )
+    SELECT round(eu.s_acctbal, 6) AS acctbal, eu.s_name, eu.n_name AS nation,
+           p.p_partkey, p.p_name, round(c.ps_supplycost, 6) AS supplycost
+    FROM part p
+    JOIN cost c ON c.l_partkey = p.p_partkey
+    JOIN eu ON eu.s_suppkey = c.l_suppkey
+    WHERE p.p_size = 9
+      AND c.ps_supplycost = (
+        SELECT min(c2.ps_supplycost) FROM cost c2 WHERE c2.l_partkey = p.p_partkey
+      )
+    ORDER BY acctbal DESC, nation, s_name, p_partkey
+    LIMIT 25
+    """,
+    note="TPC-H Q2 shape (minimum-cost supplier): for each size-9 "
+    "part, the cheapest EU supplier(s). The correlated MIN subquery "
+    "is a per-part min aggregate joined back on (partkey, cost) — "
+    "cost values are engine-identical doubles from the same MIN set, "
+    "so the equality join is exact. Every dim broadcasts; the only "
+    "shuffles are the ps build and its per-part min, both keyed on "
+    "l_partkey (exchange reuse).",
+)
+def q98_min_cost_supplier(spark, sf_dir):
+    ps = _pseudo_partsupp(spark, sf_dir)
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = ps.join(F.broadcast(eu), ps.l_suppkey == eu.s_suppkey).select(
+        "l_partkey", "l_suppkey", "ps_supplycost"
+    )
+    mc = cost.groupBy("l_partkey").agg(F.min("ps_supplycost").alias("_min_cost"))
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") == 9)
+    return (
+        cost.join(mc, "l_partkey")
+        .filter(F.col("ps_supplycost") == F.col("_min_cost"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(eu), F.col("l_suppkey") == eu.s_suppkey)
+        .select(
+            F.round("s_acctbal", 6).alias("acctbal"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_name",
+            F.round("ps_supplycost", 6).alias("supplycost"),
+        )
+        .orderBy(F.desc("acctbal"), "nation", "s_name", "p_partkey")
+        .limit(25)
+    )
