@@ -609,3 +609,40 @@ def test_scan_scorer_probe_is_single_stage(spark, sf_dir):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p, p
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_q93_profit_dims_broadcast_no_python(spark, sf_dir):
+    """TPC-H Q9 shape: part/supplier/nation must broadcast (only the
+    ps build and lineitem-orders may shuffle data) and the whole plan
+    stays JVM-side."""
+    from laion_spark.catalog import REGISTRY
+
+    p = plan_str(REGISTRY["q93_product_type_profit"].fn(spark, sf_dir))
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert "Python" not in p, p
+
+
+def test_q95_correlation_is_single_orderkey_shuffle(spark, sf_dir):
+    """TPC-H Q21 shape: the EXISTS/NOT-EXISTS double correlation must
+    collapse into one per-order aggregate joined back to the lines.
+    At most two non-broadcast joins may remain (lineitem-orders, and
+    the aggregate re-join — both keyed on l_orderkey so the exchange
+    is reused), never the textbook two extra lineitem self-joins."""
+    from laion_spark.catalog import REGISTRY
+
+    p = plan_str(REGISTRY["q95_waiting_orders"].fn(spark, sf_dir))
+    assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") <= 2, p
+    # lineitem is scanned once for base + once reused for the aggregate,
+    # not three times (base, exists-side, not-exists-side)
+    scans = [ln for ln in p.splitlines() if "Scan parquet" in ln and "lineitem" in ln]
+    assert len(scans) <= 2, p
+
+
+def test_q96_threshold_is_one_row_broadcast(spark, sf_dir):
+    """TPC-H Q11 shape: the fraction-of-total threshold must arrive as
+    a 1-row broadcast (BroadcastNestedLoopJoin), and lineitem must not
+    be scanned a second time to compute the total."""
+    from laion_spark.catalog import REGISTRY
+
+    p = plan_str(REGISTRY["q96_important_part_value"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p, p
