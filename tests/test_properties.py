@@ -252,3 +252,22 @@ def test_dup_ngram_ratio_matches_python(spark, seed):
         grams = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
         want = 1.0 - len(set(grams)) / len(grams)
         assert got[i] == pytest.approx(want), (seed, i)
+
+
+@given(
+    cents=st.integers(1, 10_000_000),
+    qty=st.integers(1, 50),
+)
+@settings(max_examples=500, deadline=None)
+def test_pseudo_partsupp_cent_floor_is_exact(cents, qty):
+    """The TPC-H pseudo-partsupp derivation (catalog q92-q98) claims
+    floor(round(price*100)/qty) hits the TRUE integer quotient for any
+    2dp price and qty <= 50 — i.e. double division can never land on
+    the wrong side of an integer boundary, so Spark and DuckDB agree
+    bit-for-bit. Pin that against exact Fraction arithmetic."""
+    from fractions import Fraction
+
+    price = cents / 100.0  # the 2dp price as stored (closest double)
+    got = math.floor(round(price * 100) / qty)
+    want = Fraction(cents, qty).__floor__()
+    assert got == want, (cents, qty)
