@@ -83,6 +83,11 @@ HEADLINERS = [
     "q44_local_supplier_volume",
     "q50_replacing_final",
     "d03_jaccard_similar_pairs",
+    # round-6 TPC-H completion: the profit rollup (6-way join over the
+    # derived partsupp) and the double-correlation Q21 shape are the
+    # two heaviest of the seven new entries
+    "q93_product_type_profit",
+    "q95_waiting_orders",
 ]
 
 
