@@ -206,3 +206,55 @@ def test_stream_stream_join_parity(spark, events_batch, events_stream):
     bv = events_batch.filter("event_type = 'view'")
     want = canon(interval_pair_join(bp, bv), ["left_id", "right_id"])
     assert got == want and len(want) > 0
+
+
+def test_file_sink_exactly_once_across_restart(spark, events_batch, tmp_path):
+    """The append-parts ingest contract behind s09/s10: a NEW query
+    started on the SAME checkpoint after new files arrive ingests only
+    what the first run hadn't processed, and a restart with nothing
+    new is a no-op — no duplicates, no losses, across three runs."""
+    import glob
+    import os
+    import shutil
+
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+    halves = [
+        events_batch.filter(F.pmod(F.col("event_id"), F.lit(2)) == i)
+        for i in (0, 1)
+    ]
+
+    def arrive(i):
+        d = str(tmp_path / f"h{i}")
+        halves[i].drop("ts_us").coalesce(1).write.parquet(d)
+        shutil.move(glob.glob(d + "/part-*.parquet")[0], f"{watch}/{i}.parquet")
+
+    arrive(0)
+    schema = spark.read.parquet(watch).schema
+    sink, ck = str(tmp_path / "sink"), str(tmp_path / "ck")
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(watch)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    total = events_batch.count()
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == halves[0].count() and 0 < n1 < total
+
+    arrive(1)
+    run_once()  # restart: checkpoint must skip the already-seen file
+    out = spark.read.parquet(sink)
+    assert out.count() == total
+    assert out.select("event_id").distinct().count() == total
+
+    run_once()  # restart with nothing new: exact no-op
+    assert spark.read.parquet(sink).count() == total
