@@ -6723,3 +6723,149 @@ def q98_min_cost_supplier(spark, sf_dir):
         .orderBy(F.desc("acctbal"), "nation", "s_name", "p_partkey")
         .limit(25)
     )
+
+
+# --- Round-6 tail (enter the r7 verification window): containment dedup,
+# Zipf corpus health, counter-rate derivative ------------------------------
+
+
+@query(
+    "d12_containment_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents WHERE doc_id < 100
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT da, db, round(CAST(i AS DOUBLE) / sa.n, 6) AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = da
+    ORDER BY CAST(i AS DOUBLE) / sa.n DESC, da, db
+    LIMIT 25
+    """,
+    note="Asymmetric shingle containment |A∩B|/|A| (Broder's "
+    "resemblance/containment companion to d03's Jaccard): catches a "
+    "short document copied INTO a longer one, which Jaccard dilutes "
+    "via the union. Ordered pairs, same explode→equi-join→count "
+    "skeleton (never all-pairs); the contained side's size is the "
+    "only extra join. Ratio of small integer counts → 6 dp rounding "
+    "is tie-free in both engines.",
+)
+def d12_containment_pairs(spark, sf_dir):
+    from laion_spark.operators.dedup import containment_pairs
+
+    d = t(spark, sf_dir, "documents").filter("doc_id < 100")
+    return containment_pairs(d, id_col="doc_id", text_col="text", ngram=1, top=25)
+
+
+@query(
+    "t14_zipf_slope",
+    oracle="""
+    WITH freq AS (
+      SELECT source, tok, count(*) AS f
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY source, tok
+    ), ranked AS (
+      SELECT source,
+             CAST(floor(ln(row_number() OVER (PARTITION BY source
+                          ORDER BY f DESC, tok)) * 1000000) AS BIGINT) AS x6,
+             CAST(floor(ln(f) * 1000000) AS BIGINT) AS y6,
+             row_number() OVER (PARTITION BY source ORDER BY f DESC, tok) AS r
+      FROM freq
+    ), s AS (
+      SELECT source, count(*) AS n,
+             CAST(sum(x6) AS DOUBLE) AS sx, CAST(sum(y6) AS DOUBLE) AS sy,
+             CAST(sum(x6 * y6) AS DOUBLE) AS sxy, CAST(sum(x6 * x6) AS DOUBLE) AS sxx
+      FROM ranked WHERE r <= 100 GROUP BY source
+    )
+    SELECT source, n AS n_ranks,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+    FROM s ORDER BY source
+    """,
+    note="Per-source Zipf rank-frequency slope (ln f ~ ln rank least "
+    "squares over the top-100 ranks): natural text sits near -1; "
+    "templated/synthetic sources flatten or steepen — the corpus-mix "
+    "health check next to t11's Heaps TTR. Determinism: ln values are "
+    "scaled to integer micro-units with floor (IEEE multiply + floor "
+    "on identical doubles — no decimal-cast ties), all sums are exact "
+    "integer arithmetic, one double division at the end. One explode "
+    "+ two hash aggregates + a per-source (≤ vocab-size) window.",
+)
+def t14_zipf_slope(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    freq = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("f"))
+    )
+    w = W.partitionBy("source").orderBy(F.desc("f"), "tok")
+    ranked = freq.select(
+        "source",
+        F.floor(F.log(F.row_number().over(w)) * 1000000).alias("x6"),
+        F.floor(F.log("f") * 1000000).alias("y6"),
+        F.row_number().over(w).alias("r"),
+    ).filter(F.col("r") <= 100)
+    s = ranked.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("x6").cast("double").alias("sx"),
+        F.sum("y6").cast("double").alias("sy"),
+        F.sum(F.col("x6") * F.col("y6")).cast("double").alias("sxy"),
+        F.sum(F.col("x6") * F.col("x6")).cast("double").alias("sxx"),
+    )
+    n = F.col("n")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "source", F.col("n").alias("n_ranks"), F.round(slope, 6).alias("zipf_slope")
+    ).orderBy("source")
+
+
+@query(
+    "e22_nonnegative_derivative",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, event_id,
+             CAST(round((value - lag(value) OVER w) * 100) AS BIGINT) AS dv_cents,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS td_us
+      FROM events WHERE user_id < 30
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+    )
+    SELECT user_id, event_id,
+           CAST(floor(dv_cents * 1000000.0 / td_us) AS BIGINT) AS rate_ucents_per_sec
+    FROM d
+    WHERE dv_cents >= 0 AND td_us > 0
+    ORDER BY user_id, event_id
+    """,
+    note="ClickHouse nonNegativeDerivative parity: per user in "
+    "event-time order, the value's rate of change per second, "
+    "emitting only non-negative deltas (counter resets and the "
+    "partition's first row are skipped). Determinism: value is a 2dp "
+    "amount, so the lag delta converts exactly to integer cents; the "
+    "rate is integer-micro-cents-per-second via IEEE division + floor "
+    "of identical doubles — no decimal rounding anywhere. One shuffle "
+    "on user_id.",
+)
+def e22_nonnegative_derivative(spark, sf_dir):
+    e = ev(spark, sf_dir).filter(F.col("user_id") < 30)
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    dv_cents = F.round((F.col("value") - F.lag("value").over(w)) * 100, 0).cast("long")
+    td_us = F.col("ts_us") - F.lag("ts_us").over(w)
+    d = e.select("user_id", "event_id", dv_cents.alias("dv_cents"), td_us.alias("td_us"))
+    return (
+        d.filter((F.col("dv_cents") >= 0) & (F.col("td_us") > 0))
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(F.col("dv_cents") * F.lit(1000000.0) / F.col("td_us"))
+            .cast("long")
+            .alias("rate_ucents_per_sec"),
+        )
+        .orderBy("user_id", "event_id")
+    )

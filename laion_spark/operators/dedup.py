@@ -163,6 +163,54 @@ def jaccard_similar_pairs(
     return out.select("da", "db", F.round("_jac", 6).alias("jaccard"))
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 1,
+    threshold: float | None = None,
+    top: int | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle containment C(a→b) = |A∩B| / |A| — the
+    sub-document duplication detector Jaccard misses: a short doc fully
+    copied into a much longer one has low Jaccard (the union is huge)
+    but containment ≈ 1 from the short side. Standard companion to
+    Jaccard in web-corpus dedup (Broder's resemblance/containment
+    pair, syntactic-clustering line of work).
+
+    Same relational skeleton as :func:`jaccard_similar_pairs` (explode →
+    shingle equi-join → intersection counts), but ORDERED pairs: ``da``
+    is the contained (smaller-side) document, and both directions of
+    each colliding pair are scored. ``max_df`` caps join fan-out as in
+    the Jaccard path. Output (da, db, containment) — the ratio of
+    small integer counts is exactly representable or far from decimal
+    ties, so the 6 dp rounding is engine-identical.
+    """
+    sh = df.select(F.col(id_col).alias("_id"), F.explode(shingles(text_col, ngram)).alias("_sh"))
+    if max_df is not None:
+        keep = sh.groupBy("_sh").agg(F.count("*").alias("_df")).filter(F.col("_df") <= max_df)
+        sh = sh.join(keep.select("_sh"), "_sh")
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    a = sh.select(F.col("_id").alias("da"), "_sh")
+    b = sh.select(F.col("_id").alias("db"), "_sh")
+    inter = (
+        a.join(b, ["_sh"])
+        .filter(F.col("da") != F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("_i"))
+    )
+    sa = sizes.select(F.col("_id").alias("da"), F.col("_n").alias("_na"))
+    cont = F.col("_i").cast("double") / F.col("_na")
+    out = inter.join(sa, "da").select("da", "db", cont.alias("_c"))
+    if threshold is not None:
+        out = out.filter(F.col("_c") >= threshold)
+    out = out.orderBy(F.col("_c").desc(), "da", "db")
+    if top is not None:
+        out = out.limit(top)
+    return out.select("da", "db", F.round("_c", 6).alias("containment"))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
