@@ -6869,3 +6869,105 @@ def e22_nonnegative_derivative(spark, sf_dir):
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "t15_bpe_pair_counts",
+    oracle="""
+    SELECT pair, count(*) AS n
+    FROM (
+      SELECT unnest([lst[i] || ' ' || lst[i + 1] for i in range(1, len(lst))]) AS pair
+      FROM (SELECT string_split(text, ' ') AS lst FROM documents)
+    )
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 50
+    """,
+    note="BPE merge-candidate scan (tokenizer training, step 1): the "
+    "top adjacent-token-pair counts over the corpus multiset — the "
+    "statistic each byte-pair-encoding merge iteration maximizes. "
+    "Pairs come from the HOF-safe ngrams() (token array bound once, "
+    "concat_ws per index); one explode + one hash aggregate + "
+    "TakeOrdered — at 100 TB the aggregate runs map-side partial on "
+    "(pair) and only the merged counts shuffle.",
+)
+def t15_bpe_pair_counts(spark, sf_dir):
+    from laion_spark.functions.text import ngrams
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(ngrams("text", 2)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(50)
+    )
+
+
+@query(
+    "q99_ks_test",
+    oracle="""
+    WITH per_v AS (
+      SELECT value,
+             count(*) FILTER (WHERE event_type = 'click') AS c1,
+             count(*) FILTER (WHERE event_type = 'view') AS c2
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY value
+    ), cum AS (
+      SELECT CAST(sum(c1) OVER (ORDER BY value) AS BIGINT) AS f1,
+             CAST(sum(c2) OVER (ORDER BY value) AS BIGINT) AS f2
+      FROM per_v
+    ), tot AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+      FROM per_v
+    )
+    SELECT n1, n2,
+           CAST(max(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS d_scaled,
+           round(CAST(max(abs(f1 * n2 - f2 * n1)) AS DOUBLE)
+                 / CAST(n1 * n2 AS DOUBLE), 6) AS ks_d
+    FROM cum, tot
+    GROUP BY n1, n2
+    """,
+    note="Two-sample Kolmogorov-Smirnov test (ClickHouse "
+    "kolmogorovSmirnovTest): D = sup |ECDF1 - ECDF2| between the "
+    "click and view value distributions. The ECDFs are INCLUSIVE "
+    "cumulative counts in global value order via global_prefix_sum — "
+    "the same distributed prefix-sum machinery behind e19's "
+    "Mann-Whitney ranks, never an Exchange SinglePartition. The "
+    "statistic is kept in exact integers (d_scaled = max|f1*n2 - "
+    "f2*n1|, the sup scaled by n1*n2) so the hash comparison rides "
+    "on integer arithmetic; ks_d is one double division at the end.",
+)
+def q99_ks_test(spark, sf_dir):
+    from laion_spark.operators.prefix import global_prefix_sum
+
+    e = ev(spark, sf_dir).filter(F.col("event_type").isin("click", "view"))
+    per_v = e.groupBy("value").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("c1"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("c2"),
+    )
+    r = global_prefix_sum(per_v, ["value"], "c1", "f1", exclusive=False)
+    r = global_prefix_sum(r, ["value"], "c2", "f2", exclusive=False)
+    tot = per_v.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .select(
+            "n1",
+            "n2",
+            F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")).alias("ds"),
+        )
+        .groupBy("n1", "n2")
+        .agg(F.max("ds").alias("d_scaled"))
+        .select(
+            "n1",
+            "n2",
+            "d_scaled",
+            F.round(
+                F.col("d_scaled").cast("double")
+                / (F.col("n1") * F.col("n2")).cast("double"),
+                6,
+            ).alias("ks_d"),
+        )
+    )
