@@ -6971,3 +6971,142 @@ def q99_ks_test(spark, sf_dir):
             ).alias("ks_d"),
         )
     )
+
+
+@query(
+    "m03_binary_exact_dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents WHERE doc_id % 50 = 0
+    ), b AS (
+      SELECT doc_id, md5(text) AS md5_hex,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM corpus
+    )
+    SELECT md5_hex, n_bytes,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS survivor_id
+    FROM b
+    GROUP BY md5_hex, n_bytes
+    HAVING count(*) > 1
+    ORDER BY md5_hex
+    """,
+    note="Binary-content exact dedup (LAION pipeline step 1 for "
+    "images: drop byte-identical files before any decode): digest + "
+    "length over the opaque BINARY column, duplicate groups with a "
+    "deterministic min-id survivor. Same text-bytes twin as m02 so "
+    "the oracle replays exactly; the corpus has no byte-identical "
+    "docs, so a deterministic replica of every 50th doc is unioned in "
+    "on BOTH sides (x01's closed-form-construction technique) to make "
+    "the duplicate groups real rather than vacuous. Scale shape: the "
+    "shuffle moves (digest, length, id) — ~48 bytes/row — never the "
+    "blobs; at 100 TB of images this is the only affordable first "
+    "pass.",
+)
+def m03_binary_exact_dedup(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = d.filter("doc_id % 50 = 0").select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    b = d.unionByName(rep).select(
+        "doc_id",
+        F.md5(F.encode("text", "UTF-8")).alias("md5_hex"),
+        F.length(F.encode("text", "UTF-8")).cast("bigint").alias("n_bytes"),
+    )
+    return (
+        b.groupBy("md5_hex", "n_bytes")
+        .agg(
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.min("doc_id").cast("bigint").alias("survivor_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("md5_hex")
+    )
+
+
+@query(
+    "q100_cube_grouping_sets",
+    oracle="""
+    SELECT coalesce(o_orderstatus, '<all>') AS status,
+           coalesce(o_orderpriority, '<all>') AS priority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY g_status, g_priority, status, priority
+    """,
+    note="CUBE / GROUPING SETS parity (ClickHouse GROUP BY CUBE + "
+    "grouping()): every subtotal combination in ONE pass — Spark's "
+    "Expand operator replicates each input row once per grouping set "
+    "BEFORE the single hash aggregate, so the cube costs one shuffle "
+    "regardless of how many subtotal levels it emits. grouping() "
+    "flags disambiguate real NULL groups from subtotal rows; the "
+    "<all> coalesce keeps the output scalar-typed for the driver "
+    "canon.",
+)
+def q100_cube_grouping_sets(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            # grouping() is only resolvable inside the grouping
+            # aggregate itself, not a downstream Project
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count("*").alias("n"),
+            dsum("o_totalprice", "total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n",
+            "total",
+        )
+        .orderBy("g_status", "g_priority", "status", "priority")
+    )
+
+
+@query(
+    "x04_schema_evolution_scan",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus ELSE '<pre-evolution>' END
+             AS status,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+    note="Schema-evolution read path (ClickHouse ALTER TABLE ADD "
+    "COLUMN: old parts simply lack the column and read as NULL/"
+    "default): two part directories written under DIFFERENT schemas "
+    "(the second adds a column), scanned as one table with "
+    "mergeSchema — rows from pre-evolution parts surface NULL, "
+    "coalesced to a default. The oracle is the closed-form "
+    "regeneration from orders (x01's technique), so the round-trip "
+    "through the evolved layout is what's verified. At scale this is "
+    "footer-merge only — no data rewrite, same as ClickHouse parts.",
+)
+def x04_schema_evolution_scan(spark, sf_dir):
+    import tempfile
+
+    tune_session(spark)
+    o = t(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="laion_evo_")
+    o.filter("o_orderkey % 2 = 0").select("o_orderkey", "o_totalprice").write.mode(
+        "overwrite"
+    ).parquet(base + "/v1")
+    o.filter("o_orderkey % 2 = 1").select(
+        "o_orderkey", "o_totalprice", F.col("o_orderstatus").alias("status")
+    ).write.mode("overwrite").parquet(base + "/v2")
+    m = spark.read.option("mergeSchema", "true").parquet(base + "/v1", base + "/v2")
+    return (
+        m.groupBy(F.coalesce("status", F.lit("<pre-evolution>")).alias("status"))
+        .agg(F.count("*").alias("n"), dsum("o_totalprice", "total"))
+        .orderBy("status")
+    )
