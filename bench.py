@@ -293,7 +293,25 @@ def dedup_family(spark, queries: dict, extras: dict, errors: dict) -> None:
             ensure_docs1m(), "doc_id", "text", window=5, min_shared=30, max_df=8
         ).count()
 
-    for key, fn in (("dedup1m", dedup1m), ("winnow1m", winnow1m)):
+    found: dict[str, int] = {}
+
+    def contain1m():
+        # asymmetric containment over the same fixture: every variant
+        # fully CONTAINS its base's 38 trigrams (C(base→variant)=1.0)
+        # while the reverse direction is 38/39 < 0.999 — so exactly
+        # the 200k planted pairs qualify, from the base side only.
+        # Trigram shingles keep the equi-join selective (df≈2 per
+        # shingle); max_df=8 is the same fan-out guard as winnow1m.
+        from laion_spark.operators.dedup import containment_pairs
+
+        n = containment_pairs(
+            ensure_docs1m(), "doc_id", "text", ngram=3, threshold=0.999, max_df=8,
+            hash_shingles=True,
+        ).count()
+        found["contain1m"] = n
+        return n
+
+    for key, fn in (("dedup1m", dedup1m), ("winnow1m", winnow1m), ("contain1m", contain1m)):
         if over_budget(errors, key):
             continue
         try:
@@ -306,6 +324,9 @@ def dedup_family(spark, queries: dict, extras: dict, errors: dict) -> None:
         except Exception as ex:  # noqa: BLE001
             errors[key] = f"{type(ex).__name__}: {ex}"[:500]
             print(f"  {key}: FAILED {errors[key].splitlines()[0]}", file=sys.stderr)
+
+    if "contain1m" in found:
+        extras["contain1m_pairs"] = found["contain1m"]
 
     # Scale curve point: the same pipeline at 4M docs / 800k planted
     # pairs — linearity evidence beyond the 1M row (an LSH pipeline
@@ -532,6 +553,33 @@ def main() -> None:
         def topk10m():
             return topk_approx(ev10, "event_type", k=3).collect()
 
+        def ks10m():
+            # two-sample KS over ~4M rows / ~1M distinct values: the
+            # global_prefix_sum machinery (quantile buckets + offset
+            # broadcast, q99's plan) at 3 orders of magnitude over its
+            # sf0.01 correctness check — ECDFs never pass through an
+            # Exchange SinglePartition
+            from laion_spark.operators.prefix import global_prefix_sum
+
+            e = ev10.filter(F.col("event_type").isin("click", "view"))
+            per_v = e.groupBy("value").agg(
+                F.count(F.when(F.col("event_type") == "click", 1)).alias("c1"),
+                F.count(F.when(F.col("event_type") == "view", 1)).alias("c2"),
+            )
+            r = global_prefix_sum(per_v, ["value"], "c1", "f1", exclusive=False)
+            r = global_prefix_sum(r, ["value"], "c2", "f2", exclusive=False)
+            tot = per_v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+            return (
+                r.crossJoin(F.broadcast(tot))
+                .select(
+                    F.abs(
+                        F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")
+                    ).alias("ds")
+                )
+                .agg(F.max("ds"))
+                .collect()
+            )
+
         def stream10m():
             # Structured-Streaming ingest throughput: the 64-file 10M-event
             # table replayed as a file stream through the engine's
@@ -620,6 +668,7 @@ def main() -> None:
             ("funnel10m", funnel10m, N_EV),
             ("sessions10m", sessions10m, N_EV),
             ("topk10m", topk10m, N_EV),
+            ("ks10m", ks10m, N_EV),
             ("stream10m", stream10m, N_EV),
             ("stream10m_wm", stream10m_wm, N_EV),
         )

@@ -171,6 +171,7 @@ def containment_pairs(
     threshold: float | None = None,
     top: int | None = None,
     max_df: int | None = None,
+    hash_shingles: bool = False,
 ) -> DataFrame:
     """Asymmetric shingle containment C(a→b) = |A∩B| / |A| — the
     sub-document duplication detector Jaccard misses: a short doc fully
@@ -186,8 +187,17 @@ def containment_pairs(
     the Jaccard path. Output (da, db, containment) — the ratio of
     small integer counts is exactly representable or far from decimal
     ties, so the 6 dp rounding is engine-identical.
+
+    ``hash_shingles=True`` replaces each shingle string with its
+    xxhash64 BEFORE the self-join — the corpus-scale form (the same
+    int64-set trick as the MinHash verify stage): the shuffle moves
+    8-byte longs instead of n-gram strings, at a vanishing 64-bit
+    collision risk. Keep it False for oracle-exact string semantics
+    (the d12 path).
     """
     sh = df.select(F.col(id_col).alias("_id"), F.explode(shingles(text_col, ngram)).alias("_sh"))
+    if hash_shingles:
+        sh = sh.select("_id", F.xxhash64("_sh").alias("_sh"))
     if max_df is not None:
         keep = sh.groupBy("_sh").agg(F.count("*").alias("_df")).filter(F.col("_df") <= max_df)
         sh = sh.join(keep.select("_sh"), "_sh")

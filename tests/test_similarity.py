@@ -110,6 +110,31 @@ def test_jaccard_max_df_caps_stopword_blowup(spark):
     assert all(r.jaccard == round(1 / 3, 6) for r in got)
 
 
+def test_containment_hash_shingles_matches_string_path(spark):
+    """hash_shingles=True must produce the identical pair set and
+    containment values as the exact string-shingle path: xxhash64 is
+    injective on this vocabulary with ~2^-64 collision odds, so the
+    only difference is shuffle bytes (int64 vs n-gram string)."""
+    from laion_spark.operators.dedup import containment_pairs
+
+    rows = [
+        (0, "a b c d e f g h"),  # base
+        (1, "a b c d e f g h x"),  # contains ALL of 0's 2-grams
+        (2, "a b c zz d e f g"),  # partial overlap both ways
+        (3, "q r s t u v"),  # disjoint
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    kw = dict(ngram=2, threshold=0.5)
+    exact = {(r.da, r.db): r.containment
+             for r in containment_pairs(df, "id", "text", **kw).collect()}
+    hashed = {(r.da, r.db): r.containment
+              for r in containment_pairs(df, "id", "text", hash_shingles=True, **kw).collect()}
+    assert exact == hashed
+    assert exact[(0, 1)] == 1.0  # 0 fully contained in 1
+    assert exact[(1, 0)] == round(7 / 8, 6)
+    assert all(3 not in pair for pair in exact)
+
+
 def test_minhash_lsh_finds_near_duplicates(spark):
     from laion_spark.operators.dedup import minhash_lsh_pairs
 
