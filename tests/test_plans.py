@@ -657,3 +657,32 @@ def test_q96_threshold_is_one_row_broadcast(spark, sf_dir):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed, executed
+
+
+def test_x05_partitioned_readback_prunes_directories(spark, sf_dir):
+    """x05's read-back of the lang-partitioned layout must resolve
+    lang='en' at the DIRECTORY level: the scan's PartitionFilters
+    carry the predicate and PartitionCount shrinks below the full
+    lang fan-out — zero non-en row groups are ever opened."""
+    from laion_spark.catalog import REGISTRY
+
+    df = REGISTRY["x05_partitioned_sink_prune"].fn(spark, sf_dir)
+    p = plan_str(df)
+    part = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert any("lang" in ln for ln in part), p
+    # the pruned filter must NOT degrade to a data filter on lang
+    push = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert not any("lang" in ln for ln in push), push
+
+
+def test_t16_vocab_joins_broadcast(spark, sf_dir):
+    """t16's frequency map and corpus total must both come back as
+    broadcasts: the only hash exchanges are the vocab aggregate and
+    the per-doc aggregate — the token stream is never shuffled twice
+    for the join."""
+    from laion_spark.catalog import REGISTRY
+
+    p = plan_str(REGISTRY["t16_unigram_surprisal"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "BroadcastNestedLoopJoin" in p, p  # 1-row corpus total
+    assert "SortMergeJoin" not in p, p
