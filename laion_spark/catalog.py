@@ -7454,3 +7454,143 @@ def x05_partitioned_sink_prune(spark, sf_dir):
         .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
         .orderBy("source")
     )
+
+
+@query(
+    "q104_ntile_deciles",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment, o.o_totalprice AS price,
+             o.o_orderkey AS okey
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), d AS (
+      SELECT segment, price,
+             CAST(ntile(10) OVER (PARTITION BY segment
+                                  ORDER BY price, okey) AS INTEGER) AS decile
+      FROM j
+    )
+    SELECT segment, decile, count(*) AS n,
+           CAST(sum(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           round(min(price), 6) AS lo, round(max(price), 6) AS hi
+    FROM d GROUP BY segment, decile ORDER BY segment, decile
+    """,
+    note="ntile decile ladder per market segment (the last uncovered "
+    "rank-window function; ClickHouse ntile): deterministic ntile "
+    "via a total order (price, orderkey tiebreak), then per-decile "
+    "counts and decimal-exact revenue. Customer broadcasts into the "
+    "orders scan; the window needs one segment-key exchange — the "
+    "same single sort any engine pays for exact deciles.",
+)
+def q104_ntile_deciles(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderkey").alias("okey"),
+    )
+    w = W.partitionBy("segment").orderBy("price", "okey")
+    return (
+        j.select("segment", "price", F.ntile(10).over(w).alias("decile"))
+        .groupBy("segment", "decile")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("price", "total"),
+            F.round(F.min("price"), 6).alias("lo"),
+            F.round(F.max("price"), 6).alias("hi"),
+        )
+        .orderBy("segment", "decile")
+    )
+
+
+@query(
+    "q105_array_set_ops",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id AS da, list_distinct(string_split(text, ' ')) AS ta
+      FROM documents WHERE doc_id % 2 = 0 AND doc_id < 400
+    ), b AS (
+      SELECT doc_id AS db, list_distinct(string_split(text, ' ')) AS tb
+      FROM documents WHERE doc_id % 2 = 1 AND doc_id < 400
+    ), p AS (
+      SELECT da, db,
+             CAST(len(list_intersect(ta, tb)) AS INTEGER) AS n_inter,
+             CAST(len(list_distinct(list_concat(ta, tb))) AS INTEGER) AS n_union,
+             CAST(len(ta) - len(list_intersect(ta, tb)) AS INTEGER) AS n_only_a
+      FROM a JOIN b ON db = da + 1
+    )
+    SELECT da, db, n_inter, n_union, n_only_a,
+           round(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard
+    FROM p ORDER BY da
+    """,
+    note="ClickHouse arrayIntersect/arrayUnion(arrayDistinct)/"
+    "arrayExcept as set algebra over token arrays (adjacent-doc "
+    "pairs): all three run element-wise inside codegen on arrays "
+    "bound once per row — no explode, no shuffle beyond the pair "
+    "join. Sizes are exact integers; the Jaccard ratio of small "
+    "counts is 6 dp tie-free (d12 precedent).",
+)
+def q105_array_set_ops(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").filter("doc_id < 400")
+    ta = d.filter("doc_id % 2 = 0").select(
+        F.col("doc_id").alias("da"), F.array_distinct(F.split("text", " ")).alias("ta")
+    )
+    tb = d.filter("doc_id % 2 = 1").select(
+        F.col("doc_id").alias("db"), F.array_distinct(F.split("text", " ")).alias("tb")
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    return (
+        ta.join(tb, F.col("db") == F.col("da") + 1)
+        .select(
+            "da",
+            "db",
+            inter.alias("n_inter"),
+            F.size(F.array_union("ta", "tb")).alias("n_union"),
+            F.size(F.array_except("ta", "tb")).alias("n_only_a"),
+            F.round(
+                inter.cast("double") / F.size(F.array_union("ta", "tb")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy("da")
+    )
+
+
+@query(
+    "x06_minmax_pruned_scan",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    note="MergeTree ORDER BY data skipping (ClickHouse primary.idx): "
+    "orders rewritten key-sorted ACROSS files (repartitionByRange + "
+    "sortWithinPartitions — the ORDER BY write discipline), then a "
+    "key-range query planned through minmax_pruned_scan, which reads "
+    "ONLY footer statistics to drop whole files before any task "
+    "launches (files w/o stats are kept — pruning is conservative, "
+    "never a correctness input). The oracle reads the pre-write "
+    "table, so the sorted round-trip + pruned scan is what's "
+    "verified; a test pins files_scanned < files_total.",
+)
+def x06_minmax_pruned_scan(spark, sf_dir):
+    import tempfile
+
+    from laion_spark.sources.minmax import minmax_pruned_scan
+
+    tune_session(spark)
+    o = t(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="laion_sorted_")
+    (
+        o.repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(base)
+    )
+    df, _stats = minmax_pruned_scan(spark, base, "o_orderkey", 1000, 5000)
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice", "total"))
+        .orderBy("o_orderstatus")
+    )

@@ -686,3 +686,33 @@ def test_t16_vocab_joins_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in p, p
     assert "BroadcastNestedLoopJoin" in p, p  # 1-row corpus total
     assert "SortMergeJoin" not in p, p
+
+
+def test_minmax_scan_prunes_files_and_stays_exact(spark, sf_dir, tmp_path):
+    """The footer-stats file pruner must (a) scan strictly fewer files
+    than the key-sorted layout holds for a narrow key range, (b) keep
+    every file when stats are useless (all ranges overlap), and (c)
+    return exactly the rows a full-scan filter returns either way."""
+    from laion_spark.sources.minmax import minmax_pruned_scan
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = str(tmp_path / "sorted")
+    (
+        o.repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.parquet(base)
+    )
+    lo, hi = 1000, 2000
+    df, stats = minmax_pruned_scan(spark, base, "o_orderkey", lo, hi)
+    assert stats["files_total"] >= 8
+    assert stats["files_scanned"] < stats["files_total"], stats
+    expect = o.filter(F.col("o_orderkey").between(lo, hi)).count()
+    assert df.count() == expect
+
+    # unsorted layout: every file spans the whole key range -> zero
+    # pruning, identical answer (pruning is never a correctness input)
+    flat = str(tmp_path / "flat")
+    o.repartition(8).write.parquet(flat)
+    df2, stats2 = minmax_pruned_scan(spark, flat, "o_orderkey", lo, hi)
+    assert stats2["files_scanned"] == stats2["files_total"]
+    assert df2.count() == expect
