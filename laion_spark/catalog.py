@@ -7594,3 +7594,105 @@ def x06_minmax_pruned_scan(spark, sf_dir):
         .agg(F.count("*").alias("n"), dsum("o_totalprice", "total"))
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q106_ipv4_functions",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    ip AS (
+      SELECT user_id, (user_id * 2654435761) % 4294967296 AS n FROM u
+    ), oct AS (
+      SELECT n,
+             (n // 16777216) % 256 AS o1, (n // 65536) % 256 AS o2,
+             (n // 256) % 256 AS o3, n % 256 AS o4
+      FROM ip
+    )
+    SELECT CAST(o1 AS INTEGER) AS octet1,
+           count(*) AS n_users,
+           CAST(sum(CASE WHEN o1 = 10 OR (o1 = 172 AND o2 BETWEEN 16 AND 31)
+                          OR (o1 = 192 AND o2 = 168) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_private,
+           min(concat(o1, '.', o2, '.', o3, '.', o4)) AS min_ip
+    FROM oct GROUP BY o1 ORDER BY octet1
+    """,
+    note="ClickHouse IPv4 function family (IPv4NumToString, "
+    "isIPAddressInRange private-range checks) as pure integer/string "
+    "expressions: Knuth-hash-derived addresses per user, octet "
+    "decomposition via exact integer division (identical in both "
+    "engines for non-negative keys), dotted-quad formatting, RFC1918 "
+    "classification, per-/8 rollup. All codegen, one tiny aggregate.",
+)
+def q106_ipv4_functions(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    ip = e.select("user_id").distinct().select(
+        F.pmod(F.col("user_id") * F.lit(2654435761), F.lit(4294967296)).alias("n")
+    )
+    oct_ = ip.select(
+        *[
+            F.pmod(F.expr(f"n div {d}"), F.lit(256)).alias(f"o{i}")
+            for i, d in ((1, 16777216), (2, 65536), (3, 256), (4, 1))
+        ]
+    )
+    private = (
+        (F.col("o1") == 10)
+        | ((F.col("o1") == 172) & F.col("o2").between(16, 31))
+        | ((F.col("o1") == 192) & (F.col("o2") == 168))
+    )
+    return (
+        oct_.groupBy(F.col("o1").cast("int").alias("octet1"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.when(private, 1).otherwise(0)).alias("n_private"),
+            F.min(F.concat_ws(".", "o1", "o2", "o3", "o4")).alias("min_ip"),
+        )
+        .orderBy("octet1")
+    )
+
+
+@query(
+    "m04_resolution_filter",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id, source,
+             16 + (octet_length(encode(text)) * 7) % 480 AS w,
+             16 + (doc_id * 13) % 480 AS h
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN least(w, h) < 24 THEN 'too_small'
+                WHEN w > 2 * h OR h > 2 * w THEN 'bad_aspect'
+                WHEN w * h < 16384 THEN 'low_res'
+                ELSE 'keep' END AS verdict,
+           count(*) AS n
+    FROM meta GROUP BY source, verdict ORDER BY source, verdict
+    """,
+    note="The multimodal curation gate AFTER metadata extraction "
+    "(LAION filters by resolution and aspect ratio before any "
+    "expensive decode): min-dimension floor, 2:1 aspect band, pixel-"
+    "area floor, FIRST failing gate wins (t10's drop-reason "
+    "discipline), per-source tally. Dimensions here are the planted "
+    "deterministic twin of m01/m02's extracted metadata (real decode "
+    "is codec-gated), derived from byte length + key so a DuckDB "
+    "oracle replays them exactly. One scan, tiny agg, blobs never "
+    "move.",
+)
+def m04_resolution_filter(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    meta = d.select(
+        "doc_id",
+        "source",
+        (F.lit(16) + F.pmod(F.length(F.encode("text", "UTF-8")) * 7, F.lit(480))).alias("w"),
+        (F.lit(16) + F.pmod(F.col("doc_id") * 13, F.lit(480))).alias("h"),
+    )
+    verdict = (
+        F.when(F.least("w", "h") < 24, "too_small")
+        .when((F.col("w") > 2 * F.col("h")) | (F.col("h") > 2 * F.col("w")), "bad_aspect")
+        .when(F.col("w") * F.col("h") < 16384, "low_res")
+        .otherwise("keep")
+    )
+    return (
+        meta.groupBy("source", verdict.alias("verdict"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("source", "verdict")
+    )
