@@ -7696,3 +7696,268 @@ def m04_resolution_filter(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy("source", "verdict")
     )
+
+
+@query(
+    "x07_csv_roundtrip",
+    oracle="""
+    SELECT lang, count(*) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS chars,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_digests
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    note="CSV format round-trip (ClickHouse CSVWithNames input/output "
+    "format): documents written as quoted CSV-with-header, read back "
+    "under an EXPLICIT schema (never inference — deterministic "
+    "types), and verified content-sensitively: the per-lang distinct "
+    "md5(text) count only matches if every text byte survived "
+    "quoting/escaping. The oracle reads the pre-write table, so the "
+    "format codec itself is what's verified. Line-splittable format "
+    "at 100 TB; one file per task both directions.",
+)
+def x07_csv_roundtrip(spark, sf_dir):
+    import tempfile
+
+    tune_session(spark)
+    d = t(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="laion_csv_")
+    d.write.mode("overwrite").option("header", True).csv(base)
+    r = (
+        spark.read.schema("doc_id bigint, text string, lang string, source string, n_chars bigint")
+        .option("header", True)
+        .csv(base)
+    )
+    return (
+        r.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("chars"),
+            F.countDistinct(F.md5("text")).alias("n_digests"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "x08_jsonl_roundtrip",
+    oracle="""
+    SELECT source, count(*) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS chars,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_digests
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    note="JSON-lines round-trip (ClickHouse JSONEachRow, the LAION "
+    "metadata interchange format): documents written as one JSON "
+    "object per line, read back under an explicit schema, verified "
+    "by per-source distinct content digests (byte-exact text "
+    "survival through JSON string escaping). Same line-splittable "
+    "scan posture as CSV at scale.",
+)
+def x08_jsonl_roundtrip(spark, sf_dir):
+    import tempfile
+
+    tune_session(spark)
+    d = t(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="laion_jsonl_")
+    d.write.mode("overwrite").json(base)
+    r = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).json(base)
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("chars"),
+            F.countDistinct(F.md5("text")).alias("n_digests"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q107_pattern_match_family",
+    oracle="""
+    SELECT source,
+           CAST(sum(CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_like,
+           CAST(sum(CASE WHEN upper(text) LIKE '%SPARK%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ilike,
+           CAST(sum(CASE WHEN regexp_matches(text, '(^| )w1[0-9]( |$)') THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_regex,
+           CAST(sum(CASE WHEN text NOT LIKE '%table%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_not_like
+    FROM documents GROUP BY source ORDER BY source
+    """,
+    note="ClickHouse string-matching family (like/notLike/ilike/match) "
+    "as predicate tallies per source: LIKE with leading/trailing "
+    "wildcards, case-insensitive via upper() (engine-portable ILIKE), "
+    "a regex restricted to the RE2-and-Java-common subset, and the "
+    "negation. All JVM predicates inside one scan + tiny agg.",
+)
+def q107_pattern_match_family(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return (
+        d.groupBy("source")
+        .agg(
+            cnt(F.col("text").like("%spark%")).alias("n_like"),
+            cnt(F.upper("text").like("%SPARK%")).alias("n_ilike"),
+            cnt(F.col("text").rlike("(^| )w1[0-9]( |$)")).alias("n_regex"),
+            cnt(~F.col("text").like("%table%")).alias("n_not_like"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "e24_mean_z_test",
+    oracle="""
+    WITH s AS (
+      SELECT user_id % 4 AS cohort, event_type,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+             CAST(sum(CAST(value * value AS DECIMAL(18,6))) AS DOUBLE) AS svv
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY user_id % 4, event_type
+    ), w AS (
+      SELECT a.cohort,
+             a.n AS n1, b.n AS n2,
+             a.sv / a.n AS m1, b.sv / b.n AS m2,
+             (a.svv - a.sv * a.sv / a.n) / (a.n - 1) AS v1,
+             (b.svv - b.sv * b.sv / b.n) / (b.n - 1) AS v2
+      FROM s a JOIN s b ON a.cohort = b.cohort
+      WHERE a.event_type = 'click' AND b.event_type = 'view'
+    )
+    SELECT cohort, n1, n2,
+           CAST(floor((m1 - m2) / sqrt(v1 / n1 + v2 / n2) * 1000000) AS BIGINT)
+             AS z_micro
+    FROM w ORDER BY cohort
+    """,
+    note="ClickHouse meanZTest per cohort (completing the hypothesis-"
+    "test family next to student/welch t and Mann-Whitney): moments "
+    "from DECIMAL-exact sums (3-dp values and their 6-dp squares are "
+    "exactly representable, so partition order cannot flip a bit), "
+    "then the z statistic is pure scalar IEEE arithmetic on identical "
+    "doubles in both engines, floored to integer micros. One shuffle.",
+)
+def e24_mean_z_test(spark, sf_dir):
+    e = with_event_time(t(spark, sf_dir, "events")).filter(
+        F.col("event_type").isin("click", "view")
+    )
+    s = e.groupBy(
+        F.pmod("user_id", F.lit(4)).alias("cohort"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sv"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(18,6)")).cast("double").alias("svv"),
+    )
+    a = s.filter("event_type = 'click'").select(
+        "cohort", F.col("n").alias("n1"), F.col("sv").alias("sv1"), F.col("svv").alias("svv1")
+    )
+    b = s.filter("event_type = 'view'").select(
+        "cohort", F.col("n").alias("n2"), F.col("sv").alias("sv2"), F.col("svv").alias("svv2")
+    )
+    m1 = F.col("sv1") / F.col("n1")
+    m2 = F.col("sv2") / F.col("n2")
+    v1 = (F.col("svv1") - F.col("sv1") * F.col("sv1") / F.col("n1")) / (F.col("n1") - 1)
+    v2 = (F.col("svv2") - F.col("sv2") * F.col("sv2") / F.col("n2")) / (F.col("n2") - 1)
+    return (
+        a.join(b, "cohort")
+        .select(
+            "cohort",
+            "n1",
+            "n2",
+            F.floor((m1 - m2) / F.sqrt(v1 / F.col("n1") + v2 / F.col("n2")) * 1_000_000)
+            .cast("long")
+            .alias("z_micro"),
+        )
+        .orderBy("cohort")
+    )
+
+
+@query(
+    "v11_embedding_collapse_audit",
+    oracle="""
+    WITH base AS (
+      SELECT label,
+             sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm,
+             embedding
+      FROM embeddings
+    ), norms AS (
+      SELECT label, count(*) AS n,
+             sum(CAST(floor(nrm * 1000000) AS BIGINT)) AS snrm6
+      FROM base GROUP BY label
+    ), unit AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) / nrm * 1000000) AS BIGINT)
+               AS q
+      FROM base
+    ), dims AS (
+      SELECT label, pos, sum(q) AS sq FROM unit GROUP BY label, pos
+    ), coll AS (
+      SELECT d.label,
+             sum(CAST(floor(
+               (CAST(d.sq AS DOUBLE) / (n.n * 1000000.0))
+               * (CAST(d.sq AS DOUBLE) / (n.n * 1000000.0)) * 1000000) AS BIGINT))
+               AS collapse_micro
+      FROM dims d JOIN norms n ON n.label = d.label GROUP BY d.label
+    )
+    SELECT n.label, n.n,
+           CAST(floor(CAST(n.snrm6 AS DOUBLE) / n.n) AS BIGINT) AS avg_norm_micro,
+           CAST(c.collapse_micro AS BIGINT) AS collapse_micro
+    FROM norms n JOIN coll c ON c.label = n.label ORDER BY n.label
+    """,
+    note="Embedding-collapse audit per label — the corpus-quality scan "
+    "that catches a degenerate/duplicate-heavy embedding space: "
+    "mean vector norm, plus ||mean of unit vectors||^2 (tends to 1 "
+    "when a label's embeddings collapse to one direction, ~0 when "
+    "spread — the cheap O(n·d) proxy for mean pairwise cosine, which "
+    "is O(n^2)). Every cross-row sum is over floor-quantized int64 "
+    "micros (partition order can never flip a bit); per-row norm is "
+    "the left-to-right fold both engines share. Two bounded shuffles "
+    "((label,pos) then label) — at 100 TB the (label,pos) partials "
+    "combine map-side, so dimension rows never concentrate.",
+)
+def v11_embedding_collapse_audit(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    base = emb.select(
+        "label", "embedding", F.sqrt(sq).alias("nrm")
+    )
+    norms = base.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("nrm") * 1_000_000).cast("long")).alias("snrm6"),
+    )
+    unit = base.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") / F.col("nrm") * 1_000_000).cast("long"),
+            )
+        ).alias("pos0", "q"),
+    ).select("label", (F.col("pos0") + 1).alias("pos"), "q")
+    dims = unit.groupBy("label", "pos").agg(F.sum("q").alias("sq"))
+    mean_d = F.col("sq").cast("double") / (F.col("n") * 1_000_000.0)
+    coll = (
+        dims.join(F.broadcast(norms.select("label", "n")), "label")
+        .select("label", F.floor(mean_d * mean_d * 1_000_000).cast("long").alias("t6"))
+        .groupBy("label")
+        .agg(F.sum("t6").alias("collapse_micro"))
+    )
+    return (
+        norms.join(coll, "label")
+        .select(
+            "label",
+            "n",
+            F.floor(F.col("snrm6").cast("double") / F.col("n")).cast("long").alias("avg_norm_micro"),
+            "collapse_micro",
+        )
+        .orderBy("label")
+    )
