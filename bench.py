@@ -300,13 +300,15 @@ def dedup_family(spark, queries: dict, extras: dict, errors: dict) -> None:
         # fully CONTAINS its base's 38 trigrams (C(base→variant)=1.0)
         # while the reverse direction is 38/39 < 0.999 — so exactly
         # the 200k planted pairs qualify, from the base side only.
-        # Trigram shingles keep the equi-join selective (df≈2 per
-        # shingle); max_df=8 is the same fan-out guard as winnow1m.
+        # expand_buckets shuffles the hashed-shingle stream ONCE into
+        # per-shingle buckets (winnow1m's shape) instead of
+        # self-joining it (19.3s strings -> 11.4s int64 join -> 7.3s
+        # bucketed); max_df=8 is the same fan-out guard as winnow1m.
         from laion_spark.operators.dedup import containment_pairs
 
         n = containment_pairs(
             ensure_docs1m(), "doc_id", "text", ngram=3, threshold=0.999, max_df=8,
-            hash_shingles=True,
+            hash_shingles=True, expand_buckets=True,
         ).count()
         found["contain1m"] = n
         return n

@@ -133,6 +133,20 @@ def test_containment_hash_shingles_matches_string_path(spark):
     assert exact[(0, 1)] == 1.0  # 0 fully contained in 1
     assert exact[(1, 0)] == round(7 / 8, 6)
     assert all(3 not in pair for pair in exact)
+    # group-and-expand plan (one shuffle instead of a self-join) must
+    # be result-identical too, with and without shingle hashing
+    for hs in (False, True):
+        bucketed = {
+            (r.da, r.db): r.containment
+            for r in containment_pairs(
+                df, "id", "text", hash_shingles=hs, expand_buckets=True, max_df=8, **kw
+            ).collect()
+        }
+        assert bucketed == exact
+    import pytest
+
+    with pytest.raises(ValueError, match="max_df"):
+        containment_pairs(df, "id", "text", expand_buckets=True, **kw)
 
 
 def test_minhash_lsh_finds_near_duplicates(spark):
