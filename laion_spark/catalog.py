@@ -7961,3 +7961,184 @@ def v11_embedding_collapse_audit(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+@query(
+    "t18_bigram_surprisal",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ), big AS (
+      SELECT * FROM (
+        SELECT doc_id, lang,
+               lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, tok
+        FROM tk
+      ) WHERE prev IS NOT NULL
+    ), vocab AS (
+      SELECT count(DISTINCT tok) AS v FROM tk
+    ), pc AS (
+      SELECT prev, tok, count(*) AS c FROM big GROUP BY prev, tok
+    ), lc AS (
+      SELECT prev, count(*) AS cp FROM big GROUP BY prev
+    ), per AS (
+      SELECT b.doc_id, b.lang, count(*) AS n_bigrams,
+             CAST(sum(CAST(floor(ln(lc.cp + vocab.v) * 1000000) AS BIGINT)
+                      - CAST(floor(ln(pc.c + 1) * 1000000) AS BIGINT)) AS BIGINT)
+               AS ss6
+      FROM big b
+      JOIN pc ON pc.prev = b.prev AND pc.tok = b.tok
+      JOIN lc ON lc.prev = b.prev
+      CROSS JOIN vocab
+      GROUP BY b.doc_id, b.lang
+    )
+    SELECT doc_id, lang, n_bigrams,
+           CAST(floor(CAST(ss6 AS DOUBLE) / n_bigrams) AS BIGINT) AS surprisal_micro
+    FROM per ORDER BY surprisal_micro DESC, doc_id LIMIT 20
+    """,
+    note="Conditional bigram surprisal with add-one smoothing — the "
+    "order-sensitive upgrade of t16's unigram score (repetitive or "
+    "scrambled text that unigram statistics cannot separate diverges "
+    "under p(tok|prev)): -ln (c(prev,tok)+1)/(c(prev)+V) averaged "
+    "per doc, every term floored to integer micros before any "
+    "cross-row sum. Bigram and left-context counts shuffle on their "
+    "own keys (pair vocabulary can exceed broadcast size at corpus "
+    "scale — only the 1-row V broadcasts); one lag window per doc.",
+)
+def t18_bigram_surprisal(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tk = d.select("doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    wlag = W.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tk.select("doc_id", "lang", F.lag("tok").over(wlag).alias("prev"), "tok")
+        .filter(F.col("prev").isNotNull())
+    )
+    vocab = tk.agg(F.countDistinct("tok").alias("v"))
+    pc = big.groupBy("prev", "tok").agg(F.count("*").alias("c"))
+    lc = big.groupBy("prev").agg(F.count("*").alias("cp"))
+    s6 = (
+        F.floor(F.log(F.col("cp") + F.col("v")) * 1_000_000).cast("long")
+        - F.floor(F.log(F.col("c") + 1) * 1_000_000).cast("long")
+    )
+    per = (
+        big.join(pc, ["prev", "tok"])
+        .join(lc, ["prev"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_bigrams"), F.sum(s6).alias("ss6"))
+    )
+    return (
+        per.select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            F.floor(F.col("ss6").cast("double") / F.col("n_bigrams")).cast("long").alias(
+                "surprisal_micro"
+            ),
+        )
+        .orderBy(F.desc("surprisal_micro"), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "d14_ngram_novelty",
+    oracle=r"""
+    WITH b AS (
+      SELECT doc_id, source, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, source, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        THEN [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)]
+        ELSE [] END)) AS gram
+      FROM b
+    ), f AS (
+      SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram
+    )
+    SELECT g.source,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(floor(CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                           * 1000000 AS DOUBLE) / count(*)) AS BIGINT) AS novelty_micro
+    FROM g JOIN f USING (gram) GROUP BY g.source ORDER BY g.source
+    """,
+    note="Per-source n-gram novelty rate — what fraction of a source's "
+    "trigrams appear NOWHERE earlier in the corpus (min-doc_id "
+    "attribution): the marginal-content measure a curator reads when "
+    "deciding whether another crawl of a source still adds anything "
+    "(d09's contamination scan inverted — shared mass there, fresh "
+    "mass here). One shingle-key aggregate for first-occurrence, one "
+    "join back, one tiny source agg; ratio floored to integer micros.",
+)
+def d14_ngram_novelty(spark, sf_dir):
+    from laion_spark.operators.dedup import shingles
+
+    d = t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", "source", F.explode(shingles("text", 3)).alias("_sh"))
+    firsts = sh.groupBy("_sh").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        sh.join(firsts, "_sh")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(novel).alias("n_novel"),
+            F.floor((F.sum(novel) * 1_000_000).cast("double") / F.count("*"))
+            .cast("long")
+            .alias("novelty_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "e25_running_concurrency",
+    oracle="""
+    WITH b AS (
+      SELECT epoch_us(ts) AS tpos, 1 AS delta, event_id FROM events
+      UNION ALL
+      SELECT epoch_us(ts) + 300000000, -1, event_id FROM events
+    ), r AS (
+      SELECT delta,
+             sum(delta) OVER (ORDER BY tpos, delta, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      FROM b
+    )
+    SELECT CAST(least(conc, 50) AS INTEGER) AS conc_bucket,
+           count(*) AS n_starts
+    FROM r WHERE delta = 1 GROUP BY 1 ORDER BY 1
+    """,
+    note="ClickHouse runningConcurrency: how many 5-minute event "
+    "intervals are open at each interval start ([begin,end) "
+    "semantics — the -1 boundary sorts before the +1 at equal "
+    "timestamps, and event_id makes the total order unique so ROWS "
+    "framing is engine-identical). The running sum rides "
+    "global_prefix_sum's quantile buckets — the concurrency profile "
+    "of an arbitrarily large event stream without one Exchange "
+    "SinglePartition; reported as the histogram of concurrency at "
+    "start (capped at 50 so the output stays tiny at any scale).",
+)
+def e25_running_concurrency(spark, sf_dir):
+    from laion_spark.operators.prefix import global_prefix_sum
+
+    e = with_event_time(t(spark, sf_dir, "events"))
+    starts = e.select(
+        F.col("ts_us").alias("tpos"), F.lit(1).alias("delta"), "event_id"
+    )
+    ends = e.select(
+        (F.col("ts_us") + F.lit(300_000_000)).alias("tpos"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    r = global_prefix_sum(
+        starts.unionByName(ends), ["tpos", "delta", "event_id"], "delta", "conc",
+        exclusive=False,
+    )
+    return (
+        r.filter("delta = 1")
+        .groupBy(F.least(F.col("conc"), F.lit(50)).cast("int").alias("conc_bucket"))
+        .agg(F.count("*").alias("n_starts"))
+        .orderBy("conc_bucket")
+    )
