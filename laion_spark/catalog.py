@@ -8142,3 +8142,586 @@ def e25_running_concurrency(spark, sf_dir):
         .agg(F.count("*").alias("n_starts"))
         .orderBy("conc_bucket")
     )
+
+
+# =============================================================================
+# Round 7 — §2.17: remaining ClickHouse function-family surface
+# (string n-gram similarity, array-returning moving aggregates,
+# runningDifference, array/string/encoding scalar families, corrMatrix,
+# ISO calendar, mutations + TTL storage passes, numbers() source,
+# groupArraySorted). Reference: the laion reference delegates all of
+# these to its ClickHouse server (README.md:9, search.py:171); each
+# note cites the ClickHouse surface being re-expressed.
+# =============================================================================
+
+
+@query(
+    "t19_ngram_distance",
+    oracle="""
+    WITH g AS (
+      SELECT p_partkey, p_brand,
+             list_distinct([substr(lower(p_name), i, 4)
+                            for i in generate_series(1, length(p_name) - 3)]) AS grams
+      FROM part WHERE p_partkey <= 120 AND length(p_name) >= 4
+    )
+    SELECT a.p_partkey AS pa, b.p_partkey AS pb,
+           CAST(floor(CAST((len(list_distinct(list_concat(a.grams, b.grams)))
+                            - len(list_intersect(a.grams, b.grams))) * 1000000 AS DOUBLE)
+                      / len(list_distinct(list_concat(a.grams, b.grams)))) AS BIGINT)
+             AS dist_micro,
+           CAST(floor(CAST(len(list_intersect(a.grams, b.grams)) * 1000000 AS DOUBLE)
+                      / len(a.grams)) AS BIGINT) AS search_micro
+    FROM g a JOIN g b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    ORDER BY dist_micro, pa, pb LIMIT 30
+    """,
+    note="ClickHouse ngramDistance / ngramSearch (4-gram string "
+    "similarity, the documented default n): Jaccard distance over "
+    "DISTINCT lowercase 4-grams for the symmetric form, needle-side "
+    "containment for the asymmetric search form — both as integer "
+    "micros from integer gram counts, so no float rounding crosses "
+    "the engine boundary. Same brand-blocked pair discipline as "
+    "q103 (editDistance): the equi-key keeps the self-join grouped, "
+    "never all-pairs — at corpus scale the block key is an LSH "
+    "bucket and this is the verify-stage scoring kernel.",
+)
+def t19_ngram_distance(spark, sf_dir):
+    p = t(spark, sf_dir, "part").filter("p_partkey <= 120 AND length(p_name) >= 4")
+    s = F.lower(F.col("p_name"))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - 3), lambda i: s.substr(i, F.lit(4))
+        )
+    )
+    g = p.select("p_partkey", "p_brand", grams.alias("grams"))
+    a = g.select(F.col("p_partkey").alias("pa"), F.col("p_brand").alias("brand"),
+                 F.col("grams").alias("ga"))
+    b = g.select(F.col("p_partkey").alias("pb"), F.col("p_brand").alias("brand"),
+                 F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    uni = F.size(F.array_distinct(F.concat("ga", "gb")))
+    return (
+        a.join(b, ["brand"])
+        .filter(F.col("pa") < F.col("pb"))
+        .select(
+            "pa", "pb",
+            F.floor(((uni - inter) * 1_000_000).cast("double") / uni)
+            .cast("long").alias("dist_micro"),
+            F.floor((inter * 1_000_000).cast("double") / F.size("ga"))
+            .cast("long").alias("search_micro"),
+        )
+        .orderBy("dist_micro", "pa", "pb")
+        .limit(30)
+    )
+
+
+@query(
+    "q108_group_array_moving",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag AS flag,
+             strftime(date_trunc('month', l_shipdate), '%Y-%m') AS mon,
+             CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS usd
+      FROM lineitem GROUP BY 1, 2
+    ), w AS (
+      SELECT flag, mon,
+             CAST(sum(usd) OVER (PARTITION BY flag ORDER BY mon
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS msum
+      FROM m
+    )
+    SELECT flag,
+           array_to_string(list(msum ORDER BY mon), ',') AS moving_sums,
+           array_to_string(list(CAST(floor(CAST(msum * 1000000 AS DOUBLE) / 3)
+                                     AS BIGINT) ORDER BY mon), ',') AS moving_avgs_micro
+    FROM w GROUP BY flag ORDER BY flag
+    """,
+    note="ClickHouse groupArrayMovingSum(3) / groupArrayMovingAvg(3): "
+    "the ARRAY-returning moving-window aggregate forms (q12 covers "
+    "the per-row window frame; this is the per-GROUP array shape "
+    "ClickHouse returns). Monthly revenue is pre-aggregated in "
+    "integer dollars first — the array is built over the tiny "
+    "month-grain rollup, never over raw rows, which is what keeps "
+    "the collect bounded at any corpus size (<= months-per-flag "
+    "elements). movingAvg divides by the window SIZE parameter like "
+    "ClickHouse (leading elements average over fewer actual rows); "
+    "arrays cross the driver boundary as joined strings.",
+)
+def q108_group_array_moving(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    m = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("mon"),
+        )
+        .agg(F.sum(F.floor("l_extendedprice").cast("long")).alias("usd"))
+    )
+    w = Window.partitionBy("flag").orderBy("mon").rowsBetween(-2, 0)
+    mv = m.withColumn("msum", F.sum("usd").over(w))
+    ordered = F.array_sort(F.collect_list(F.struct("mon", "msum")))
+    return (
+        mv.groupBy("flag")
+        .agg(
+            F.array_join(
+                F.transform(ordered, lambda x: x["msum"].cast("string")), ","
+            ).alias("moving_sums"),
+            F.array_join(
+                F.transform(
+                    ordered,
+                    lambda x: F.floor((x["msum"] * 1_000_000).cast("double") / 3)
+                    .cast("long").cast("string"),
+                ),
+                ",",
+            ).alias("moving_avgs_micro"),
+        )
+        .orderBy("flag")
+    )
+
+
+@query(
+    "q109_running_difference",
+    oracle="""
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+           CAST(coalesce(
+             CAST(floor(value * 100) AS BIGINT)
+             - lag(CAST(floor(value * 100) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+             0) AS BIGINT) AS diff_cents
+    FROM events WHERE user_id < 30
+    ORDER BY user_id, ts_us, event_id
+    """,
+    note="ClickHouse runningDifference (the per-series delta form, "
+    "unclamped — nonNegativeDerivative in e-block is the clamped "
+    "rate variant): value deltas per user in integer cents, first "
+    "row of each series = 0 per the ClickHouse contract. One "
+    "user-key window, no global state; floor(value*100) is the same "
+    "IEEE double op in both engines so the cents are engine-exact.",
+)
+def q109_running_difference(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = ev(spark, sf_dir).filter("user_id < 30")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        e.select(
+            "user_id", "event_id", "ts_us",
+            F.coalesce(cents - F.lag(cents).over(w), F.lit(0))
+            .cast("long").alias("diff_cents"),
+        )
+        .orderBy("user_id", "ts_us", "event_id")
+    )
+
+
+@query(
+    "q110_array_predicate_family",
+    oracle="""
+    WITH a AS (
+      SELECT o_custkey AS custkey, list_sort(list(o_orderpriority)) AS pr
+      FROM orders WHERE o_custkey <= 300 GROUP BY 1
+    )
+    SELECT custkey,
+           CAST(len(pr) AS INTEGER) AS n_orders,
+           CAST(CASE WHEN list_contains(pr, '1-URGENT') THEN 1 ELSE 0 END
+                AS INTEGER) AS has_urgent,
+           CAST(CASE WHEN list_has_all(pr, ['1-URGENT', '5-LOW']) THEN 1 ELSE 0 END
+                AS INTEGER) AS has_both_ends,
+           CAST(CASE WHEN list_has_any(pr, ['2-HIGH', '4-NOT SPECIFIED']) THEN 1
+                ELSE 0 END AS INTEGER) AS has_any_mid,
+           CAST(coalesce(list_position(pr, '3-MEDIUM'), 0) AS INTEGER) AS idx_medium,
+           CAST(len(list_filter(pr, x -> x = '3-MEDIUM')) AS INTEGER) AS cnt_medium
+    FROM a ORDER BY custkey
+    """,
+    note="ClickHouse array predicate family — has / hasAll / hasAny / "
+    "indexOf / countEqual — over the per-customer sorted multiset of "
+    "order priorities. The array is built by ONE customer-key "
+    "aggregate (sort_array makes collect order deterministic); every "
+    "predicate is then a JVM higher-order function, no explode "
+    "round-trip. indexOf follows ClickHouse's 0-for-absent contract "
+    "(DuckDB's NULL is coalesced to match). Bounded fan-in: array "
+    "length = orders per customer.",
+)
+def q110_array_predicate_family(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter("o_custkey <= 300")
+    a = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sort_array(F.collect_list("o_orderpriority")).alias("pr")
+    )
+    both = F.array(F.lit("1-URGENT"), F.lit("5-LOW"))
+    mid = F.array(F.lit("2-HIGH"), F.lit("4-NOT SPECIFIED"))
+    return a.select(
+        "custkey",
+        F.size("pr").cast("int").alias("n_orders"),
+        F.array_contains("pr", "1-URGENT").cast("int").alias("has_urgent"),
+        (F.size(F.array_except(both, F.col("pr"))) == 0).cast("int").alias("has_both_ends"),
+        F.arrays_overlap("pr", mid).cast("int").alias("has_any_mid"),
+        F.array_position("pr", "3-MEDIUM").cast("int").alias("idx_medium"),
+        F.size(F.filter("pr", lambda x: x == "3-MEDIUM")).cast("int").alias("cnt_medium"),
+    ).orderBy("custkey")
+
+
+@query(
+    "q111_string_search_family",
+    oracle="""
+    SELECT doc_id,
+           CAST(strpos(lower(text), 'data') AS INTEGER) AS pos_data,
+           CAST((length(lower(text)) - length(replace(lower(text), 'the', '')))
+                // 3 AS INTEGER) AS cnt_the,
+           CAST(CASE WHEN lower(text) LIKE '%data%' OR lower(text) LIKE '%model%'
+                     OR lower(text) LIKE '%learn%' THEN 1 ELSE 0 END AS INTEGER)
+             AS multi_any
+    FROM documents ORDER BY doc_id
+    """,
+    note="ClickHouse string-search family — position, countSubstrings, "
+    "multiSearchAny — as pure JVM scalar expressions over document "
+    "text: first-occurrence offset (1-based, 0 when absent, both "
+    "engines), substring count via the length-difference identity "
+    "(no regex, so no engine regex-dialect risk), and the "
+    "multi-needle OR. One scan, trivially parallel at any corpus "
+    "size; countSubstrings counts non-overlapping occurrences "
+    "exactly like the length identity does in ClickHouse.",
+)
+def q111_string_search_family(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    lt = F.lower(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.instr(lt, "data").cast("int").alias("pos_data"),
+        ((F.length(lt) - F.length(F.regexp_replace(lt, "the", ""))) / 3)
+        .cast("int").alias("cnt_the"),
+        (lt.contains("data") | lt.contains("model") | lt.contains("learn"))
+        .cast("int").alias("multi_any"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q112_encoding_family",
+    oracle="""
+    SELECT p_partkey,
+           substr(upper(hex(p_name)), 1, 16) AS hex16,
+           to_base64(encode(p_name)) AS b64,
+           CAST(CASE WHEN decode(from_base64(to_base64(encode(p_name)))) = p_name
+                THEN 1 ELSE 0 END AS INTEGER) AS roundtrip_ok,
+           CAST(length(to_base64(encode(p_name))) AS INTEGER) AS b64_len
+    FROM part WHERE p_partkey <= 200 ORDER BY p_partkey
+    """,
+    note="ClickHouse hex / base64Encode / base64Decode scalar family: "
+    "UTF-8 byte hex (uppercased on both sides — engines differ on "
+    "letter case), RFC 4648 base64 (no line wrapping in either "
+    "engine at these lengths), and a decode round-trip proven "
+    "byte-exact per row. All string-in/string-out JVM expressions; "
+    "at 100 TB these ride the scan as codegen'd projections.",
+)
+def q112_encoding_family(spark, sf_dir):
+    p = t(spark, sf_dir, "part").filter("p_partkey <= 200")
+    b64 = F.base64(F.col("p_name").cast("binary"))
+    return p.select(
+        "p_partkey",
+        F.substring(F.upper(F.hex("p_name")), 1, 16).alias("hex16"),
+        b64.alias("b64"),
+        (F.decode(F.unbase64(b64), "UTF-8") == F.col("p_name"))
+        .cast("int").alias("roundtrip_ok"),
+        F.length(b64).cast("int").alias("b64_len"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "q113_corr_matrix",
+    oracle="""
+    WITH s AS (
+      SELECT count(*) AS n,
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sq,
+             CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sp,
+             CAST(sum(CAST(floor(l_discount * 100) AS BIGINT)) AS BIGINT) AS sd,
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)
+                      * CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sqq,
+             CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)
+                      * CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS spp,
+             CAST(sum(CAST(floor(l_discount * 100) AS BIGINT)
+                      * CAST(floor(l_discount * 100) AS BIGINT)) AS BIGINT) AS sdd,
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)
+                      * CAST(floor(l_extendedprice) AS BIGINT)) AS BIGINT) AS sqp,
+             CAST(sum(CAST(floor(l_quantity) AS BIGINT)
+                      * CAST(floor(l_discount * 100) AS BIGINT)) AS BIGINT) AS sqd,
+             CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)
+                      * CAST(floor(l_discount * 100) AS BIGINT)) AS BIGINT) AS spd
+      FROM lineitem
+    )
+    SELECT CAST(floor((CAST(n AS DOUBLE) * sqp - CAST(sq AS DOUBLE) * sp) * 1000000
+             / sqrt((CAST(n AS DOUBLE) * sqq - CAST(sq AS DOUBLE) * sq)
+                    * (CAST(n AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp))) AS BIGINT)
+             AS corr_qty_price_micro,
+           CAST(floor((CAST(n AS DOUBLE) * sqd - CAST(sq AS DOUBLE) * sd) * 1000000
+             / sqrt((CAST(n AS DOUBLE) * sqq - CAST(sq AS DOUBLE) * sq)
+                    * (CAST(n AS DOUBLE) * sdd - CAST(sd AS DOUBLE) * sd))) AS BIGINT)
+             AS corr_qty_disc_micro,
+           CAST(floor((CAST(n AS DOUBLE) * spd - CAST(sp AS DOUBLE) * sd) * 1000000
+             / sqrt((CAST(n AS DOUBLE) * spp - CAST(sp AS DOUBLE) * sp)
+                    * (CAST(n AS DOUBLE) * sdd - CAST(sd AS DOUBLE) * sd))) AS BIGINT)
+             AS corr_price_disc_micro
+    FROM s
+    """,
+    note="ClickHouse corrMatrix (23.x) over (quantity, price, discount): "
+    "all three pairwise Pearson correlations from ONE pass of exact "
+    "integer sufficient statistics (units/dollars/discount-percent "
+    "keep every sum in BIGINT; every sum < 2^53 so the cast to "
+    "double is exact, and the closed-form corr is then the identical "
+    "IEEE sequence in both engines, floored to micros). The "
+    "map-side-combined single aggregate is exactly how a matrix agg "
+    "must run at 100 TB — no per-pair re-scan.",
+)
+def q113_corr_matrix(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    q = F.floor("l_quantity").cast("long")
+    p = F.floor("l_extendedprice").cast("long")
+    d = F.floor(F.col("l_discount") * 100).cast("long")
+    s = li.agg(
+        F.count("*").alias("n"),
+        F.sum(q).alias("sq"), F.sum(p).alias("sp"), F.sum(d).alias("sd"),
+        F.sum(q * q).alias("sqq"), F.sum(p * p).alias("spp"),
+        F.sum(d * d).alias("sdd"),
+        F.sum(q * p).alias("sqp"), F.sum(q * d).alias("sqd"),
+        F.sum(p * d).alias("spd"),
+    )
+    n = F.col("n").cast("double")
+
+    def corr(sxy, sx, sxx, sy, syy, alias):
+        num = (n * F.col(sxy) - F.col(sx).cast("double") * F.col(sy)) * 1_000_000
+        den = F.sqrt(
+            (n * F.col(sxx) - F.col(sx).cast("double") * F.col(sx))
+            * (n * F.col(syy) - F.col(sy).cast("double") * F.col(sy))
+        )
+        return F.floor(num / den).cast("long").alias(alias)
+
+    return s.select(
+        corr("sqp", "sq", "sqq", "sp", "spp", "corr_qty_price_micro"),
+        corr("sqd", "sq", "sqq", "sd", "sdd", "corr_qty_disc_micro"),
+        corr("spd", "sp", "spp", "sd", "sdd", "corr_price_disc_micro"),
+    )
+
+
+@query(
+    "e26_iso_calendar_rollup",
+    oracle="""
+    SELECT CAST(isoyear(ts) AS INTEGER) AS iso_year,
+           CAST(weekofyear(ts) AS INTEGER) AS iso_week,
+           strftime(CAST(date_trunc('week', ts) AS DATE), '%Y-%m-%d') AS week_start,
+           count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2
+    """,
+    note="ClickHouse toISOYear / toISOWeek / toStartOfWeek rollup: "
+    "ISO-8601 week-year calendar aggregation of the event stream "
+    "(both engines implement ISO week numbering; Monday week start "
+    "in both date_truncs; the week-year differs from the calendar "
+    "year at boundaries, which the fixture's January data "
+    "exercises via 2024-W01 starting 2024-01-01). One hash "
+    "aggregate on derived keys — calendar math is free at scan "
+    "time at any scale.",
+)
+def e26_iso_calendar_rollup(spark, sf_dir):
+    e = ev(spark, sf_dir)
+    return (
+        e.groupBy(
+            F.expr("extract(YEAROFWEEK FROM ts_t)").cast("int").alias("iso_year"),
+            F.weekofyear("ts_t").cast("int").alias("iso_week"),
+            F.date_format(F.date_trunc("week", "ts_t").cast("date"), "yyyy-MM-dd")
+            .alias("week_start"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .orderBy("iso_year", "iso_week")
+    )
+
+
+@query(
+    "x09_mutation_delete_update",
+    oracle="""
+    SELECT o_orderstatus,
+           CASE WHEN o_totalprice < 20000 THEN '9-DEMOTED' ELSE o_orderpriority END
+             AS o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS usd
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 50000)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    note="ClickHouse mutations (ALTER TABLE ... DELETE / UPDATE) as the "
+    "copy-on-write part rewrite they actually are: the table is "
+    "materialized as parquet parts (v0), the mutation pass rewrites "
+    "surviving rows with the UPDATE expression applied into a new "
+    "part generation (v1), and the query reads v1 — the oracle "
+    "applies the same predicate+CASE to the source table, so the "
+    "whole storage round-trip is verified. DELETE-before-UPDATE "
+    "order matches ClickHouse's sequential mutation log. At 100 TB "
+    "each part rewrites independently (embarrassingly parallel), "
+    "untouched parts are hard-linked — here every part is touched "
+    "so all rewrite.",
+)
+def x09_mutation_delete_update(spark, sf_dir):
+    import tempfile
+
+    tune_session(spark)
+    base = tempfile.mkdtemp(prefix="laion_mut_")
+    t(spark, sf_dir, "orders").write.mode("overwrite").parquet(f"{base}/v0")
+    v0 = spark.read.parquet(f"{base}/v0")
+    mutated = v0.filter(
+        ~((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 50000))
+    ).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_totalprice") < 20000, "9-DEMOTED")
+        .otherwise(F.col("o_orderpriority")),
+    )
+    mutated.write.mode("overwrite").parquet(f"{base}/v1")
+    v1 = spark.read.parquet(f"{base}/v1")
+    return (
+        v1.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor("o_totalprice").cast("long")).alias("usd"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+@query(
+    "x10_ttl_rollup",
+    oracle="""
+    WITH stored AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+      GROUP BY event_type, date_trunc('day', ts)
+      UNION ALL
+      SELECT event_type, 1, CAST(floor(value * 100) AS BIGINT)
+      FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+    )
+    SELECT event_type,
+           count(*) AS stored_rows,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM stored GROUP BY event_type ORDER BY event_type
+    """,
+    note="ClickHouse TTL ... GROUP BY (the aggregating-expiry form): "
+    "rows older than the TTL cutoff are rolled up to day+type "
+    "grain at the storage layer, recent rows stay raw — the table "
+    "rewrite is materialized to parquet and read back, and the "
+    "output proves both the compaction (stored_rows shrinks) and "
+    "losslessness of the aggregated measures (n_events/cents match "
+    "the oracle's pre-TTL totals). This is the MergeTree TTL "
+    "contract: storage shrinks, aggregate queries stay exact. "
+    "Fixed cutoff literal keeps the entry deterministic.",
+)
+def x10_ttl_rollup(spark, sf_dir):
+    import tempfile
+
+    tune_session(spark)
+    cutoff = "2024-01-20 00:00:00"
+    e = ev(spark, sf_dir).withColumn(
+        "cents", F.floor(F.col("value") * 100).cast("long")
+    )
+    old = (
+        e.filter(F.col("ts_t") < F.lit(cutoff).cast("timestamp"))
+        .groupBy("event_type", F.date_trunc("day", "ts_t").alias("_d"))
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("cents"))
+        .select("event_type", "n", "cents")
+    )
+    recent = e.filter(F.col("ts_t") >= F.lit(cutoff).cast("timestamp")).select(
+        "event_type", F.lit(1).cast("long").alias("n"), "cents"
+    )
+    base = tempfile.mkdtemp(prefix="laion_ttl_")
+    old.unionByName(recent).write.mode("overwrite").parquet(f"{base}/stored")
+    stored = spark.read.parquet(f"{base}/stored")
+    return (
+        stored.groupBy("event_type")
+        .agg(
+            F.count("*").alias("stored_rows"),
+            F.sum("n").alias("n_events"),
+            F.sum("cents").alias("cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "x11_numbers_source",
+    oracle="""
+    SELECT CAST(i % 16 AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(sum(i) AS BIGINT) AS s,
+           CAST(sum(i * i) AS BIGINT) AS ss,
+           CAST(sum(CASE WHEN i % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS sevens
+    FROM range(0, 1000000) t(i)
+    GROUP BY 1 ORDER BY 1
+    """,
+    note="ClickHouse numbers() / generateSeries table function: a "
+    "generator SOURCE with no backing files — Spark's range() "
+    "produces partitioned splits driver-side (numSlices parallel "
+    "generators, zero I/O), the exact analog of numbers_mt. "
+    "Verified by modular bucket statistics incl. sum(i^2) which is "
+    "order- and partition-independent in exact BIGINT. The pattern "
+    "matters at scale for synthesizing probe/test loads without "
+    "touching storage.",
+)
+def x11_numbers_source(spark, sf_dir):
+    tune_session(spark)
+    r = spark.range(0, 1_000_000)
+    i = F.col("id")
+    return (
+        r.groupBy((i % 16).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(i).alias("s"),
+            F.sum(i * i).alias("ss"),
+            F.sum(F.when(i % 7 == 0, 1).otherwise(0)).alias("sevens"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q114_group_array_sorted",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           count(*) AS n,
+           array_to_string(list_sort(list(CAST(floor(o_totalprice) AS BIGINT)))[1:5],
+                           ',') AS bottom5_usd,
+           array_to_string(list_sort(list(CAST(floor(o_totalprice) AS BIGINT)),
+                                     'DESC')[1:5], ',') AS top5_usd
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    note="ClickHouse groupArraySorted(5) (23.x): the smallest-N-values "
+    "array aggregate, plus its mirror for largest-N — per priority "
+    "class over integer order dollars. Semantically a bounded "
+    "heap per group: only N values per group survive the partial "
+    "aggregate at scale (Spark's collect+sort+slice is exact here; "
+    "the note documents that a 100 TB deployment caps the partial "
+    "via the same TakeOrdered-per-key trick as topK). Values are "
+    "multiset-sorted so ties are deterministic; arrays cross the "
+    "driver boundary as joined strings.",
+)
+def q114_group_array_sorted(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    usd = F.floor("o_totalprice").cast("long")
+    lst = F.collect_list(usd)
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.array_sort(lst), 1, 5), lambda x: x.cast("string")
+                ), ",",
+            ).alias("bottom5_usd"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.sort_array(lst, asc=False), 1, 5),
+                    lambda x: x.cast("string"),
+                ), ",",
+            ).alias("top5_usd"),
+        )
+        .orderBy("priority")
+    )
