@@ -2,11 +2,13 @@
 
 Five strategies, all shuffle-conscious:
 
-  - ``exact_dedup``      — hash-partition on the key, window pick of a
-                           deterministic survivor. One shuffle on the
-                           dedup key; at 100 TB the key (hash/url) is
-                           short, so the shuffle moves keys + row ids,
-                           not payloads, if you project first.
+  - ``exact_dedup``      — deterministic survivor per key. Default
+                           shape projects (keys, order) FIRST: the
+                           survivor pick is a map-side-combined
+                           aggregate over narrow rows and only the
+                           join-back moves payloads — the scale-safe
+                           plan at 100 TB (wide rows never enter a
+                           window sort).
   - ``fingerprint``      — md5/xxhash fingerprint column for exact
                            content dedup at the cost of one scan.
   - ``jaccard_similar_pairs`` — exact token/n-gram Jaccard self-join:
@@ -44,16 +46,59 @@ def exact_dedup(
     keys: Sequence[str],
     order_by: Sequence[str],
     count_col: str | None = None,
+    project_first: bool = True,
 ) -> DataFrame:
     """Keep exactly one row per key group — the first under
     ``order_by`` — deterministically (unlike ``dropDuplicates``, whose
     survivor depends on partitioning).
+
+    ``project_first`` (the default) is the scale-safe shape: only
+    ``keys + order_by`` enter the survivor-pick shuffle — as a hash
+    AGGREGATE (``min(struct(order_by))``, map-side partial combine, so
+    the exchange carries ~one narrow row per distinct key per task) —
+    and full payload rows are then joined back on the surviving
+    ``keys + order_by`` tuple. At 100 TB the wide rows never pass
+    through a window SORT; the join-back is the only full-row exchange
+    and AQE is free to broadcast the survivor side when the key space
+    is small. Contract: ``order_by`` must be a total tiebreak within a
+    key group (it already must be for the survivor to be well-defined)
+    and the ordering columns non-null; under ties the join-back would
+    return every tied first row where the window form picks one
+    arbitrarily. ``project_first=False`` keeps the single-window form
+    (useful when ``df`` is already narrow or the plan must stay a
+    one-pass window).
     """
-    w = W.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_by])
-    out = df.withColumn("_rn", F.row_number().over(w))
+    keys, order_by = list(keys), list(order_by)
+    if not project_first:
+        w = W.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_by])
+        out = df.withColumn("_rn", F.row_number().over(w))
+        if count_col:
+            out = out.withColumn(count_col, F.count("*").over(W.partitionBy(*keys)))
+        return out.filter(F.col("_rn") == 1).drop("_rn")
+
+    order_only = [c for c in order_by if c not in keys]
+    if not order_only:
+        # the ordering adds nothing beyond the keys, so a join-back on
+        # keys alone would return every row — survivor pick must stay
+        # a window
+        return exact_dedup(df, keys, order_by, count_col, project_first=False)
+    aggs = [F.min(F.struct(*[F.col(c) for c in order_only])).alias("_surv")]
     if count_col:
-        out = out.withColumn(count_col, F.count("*").over(W.partitionBy(*keys)))
-    return out.filter(F.col("_rn") == 1).drop("_rn")
+        aggs.append(F.count("*").alias(count_col))
+    surv = (
+        df.select(*keys, *order_only)
+        .groupBy(*keys)
+        .agg(*aggs)
+        .select(
+            *keys,
+            *[F.col(f"_surv.{c}").alias(c) for c in order_only],
+            *([count_col] if count_col else []),
+        )
+    )
+    on = keys + order_only
+    if count_col:
+        return df.join(surv, on=on, how="inner")
+    return df.join(surv, on=on, how="left_semi")
 
 
 def fingerprint(df: DataFrame, text_col: str, out_col: str = "fp", algo: str = "md5") -> DataFrame:

@@ -716,3 +716,33 @@ def test_minmax_scan_prunes_files_and_stays_exact(spark, sf_dir, tmp_path):
     df2, stats2 = minmax_pruned_scan(spark, flat, "o_orderkey", lo, hi)
     assert stats2["files_scanned"] == stats2["files_total"]
     assert df2.count() == expect
+
+
+def test_exact_dedup_survivor_pick_is_narrow_aggregate(spark, sf_dir):
+    """Default exact_dedup must keep wide rows OUT of the survivor
+    pick: the pick is a map-side-combined aggregate over
+    (keys, order) only — no Window over full rows — and the
+    survivor-side scan prunes the payload column (min(struct) lowers
+    to SortAggregate: structs have no fixed-width agg buffer, but the
+    sort input is the narrow projection, which is the point).
+    Results must be identical to the single-window form, incl.
+    group counts."""
+    from laion_spark.operators.dedup import exact_dedup
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = exact_dedup(d, keys=["lang", "source"], order_by=["doc_id"], count_col="n")
+    p = plan_str(out, "formatted")
+    assert "Aggregate" in p, p
+    assert "Window" not in p, p
+    schemas = [ln.strip() for ln in p.splitlines() if "ReadSchema:" in ln]
+    assert len(schemas) == 2, p
+    assert any("text" not in s for s in schemas), p  # survivor side is narrow
+
+    legacy = exact_dedup(
+        d, keys=["lang", "source"], order_by=["doc_id"], count_col="n",
+        project_first=False,
+    )
+    cols = legacy.columns
+    got = sorted(tuple(r[c] for c in cols) for r in out.collect())
+    want = sorted(tuple(r[c] for c in cols) for r in legacy.collect())
+    assert got == want
