@@ -8725,3 +8725,533 @@ def q114_group_array_sorted(spark, sf_dir):
         )
         .orderBy("priority")
     )
+
+
+# --- round-7 session-2 additions: ranking/geo/bit/metadata families ---------
+
+
+@query(
+    "q115_array_auc",
+    oracle="""
+    WITH p AS (
+      SELECT o_orderstatus AS status,
+             CAST(floor(o_totalprice / 1000) AS BIGINT) AS s,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS pos
+      FROM orders
+    ), g AS (
+      SELECT status, s, count(*) AS n,
+             CAST(sum(pos) AS BIGINT) AS npos_s
+      FROM p GROUP BY status, s
+    ), w AS (
+      SELECT status, s, n, npos_s,
+             CAST(coalesce(sum(n) OVER (PARTITION BY status ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM g
+    ), a AS (
+      SELECT status,
+             CAST(sum(npos_s * (2 * cum_before + n + 1)) AS BIGINT) AS s2,
+             CAST(sum(npos_s) AS BIGINT) AS npos,
+             CAST(sum(n) AS BIGINT) AS ntot
+      FROM w GROUP BY status
+    )
+    SELECT status, npos, ntot - npos AS nneg,
+           (s2 - npos * (npos + 1)) * 1000000
+             // (2 * npos * (ntot - npos)) AS auc_micro
+    FROM a ORDER BY status
+    """,
+    note="ClickHouse arrayAUC: tie-aware ROC AUC (Mann-Whitney form) "
+    "per order status, urgent/high priority as the positive class and "
+    "coarse kUSD price as the score. Exact integer rank arithmetic "
+    "throughout: scores collapse to distinct values with counts, a "
+    "prefix-sum window yields 2*avg_rank = 2*cum_before + n + 1 as an "
+    "integer (no .5 ranks cross the engine boundary), and "
+    "AUC = (S - npos(npos+1)/2) / (npos*nneg) is emitted as a single "
+    "BIGINT integer division to micro units. One shuffle to the "
+    "distinct-score grain; the window runs on that tiny rollup, never "
+    "raw rows. At 100 TB the numerator grows ~n^2 * 1e6 — the same "
+    "pipeline holds with DECIMAL(38,0) partials; the shape (group, "
+    "prefix-sum, one division at the end) is unchanged.",
+)
+def q115_array_auc(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    p = o.select(
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") / 1000).cast("long").alias("s"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("pos"),
+    )
+    g = p.groupBy("status", "s").agg(
+        F.count("*").alias("n"), F.sum("pos").cast("long").alias("npos_s")
+    )
+    w = Window.partitionBy("status").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ww = g.withColumn(
+        "cum_before", F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long")
+    )
+    a = ww.groupBy("status").agg(
+        F.sum(
+            F.col("npos_s") * (2 * F.col("cum_before") + F.col("n") + 1)
+        ).cast("long").alias("s2"),
+        F.sum("npos_s").cast("long").alias("npos"),
+        F.sum("n").cast("long").alias("ntot"),
+    )
+    return a.select(
+        "status",
+        "npos",
+        (F.col("ntot") - F.col("npos")).alias("nneg"),
+        F.expr(
+            "(s2 - npos * (npos + 1)) * 1000000"
+            " DIV (2 * npos * (ntot - npos))"
+        ).alias("auc_micro"),
+    ).orderBy("status")
+
+
+def _morton_sql(xe: str, ye: str, bits: int = 8) -> str:
+    """DuckDB bit-interleave of two expressions into a morton code."""
+    return " + ".join(
+        f"((({xe} >> {i}) & 1) << {2 * i}) + ((({ye} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+
+
+def _morton_decode_sql(me: str, odd: int, bits: int = 8) -> str:
+    """DuckDB de-interleave of the even (odd=0) / odd (odd=1) bits."""
+    return " + ".join(
+        f"((({me} >> {2 * i + odd}) & 1) << {i})" for i in range(bits)
+    )
+
+
+@query(
+    "q116_morton_zorder",
+    oracle=f"""
+    WITH p AS (
+      SELECT c_custkey, c_custkey % 256 AS x, (c_custkey * 131) % 256 AS y
+      FROM customer WHERE c_custkey <= 40
+    ), m AS (
+      SELECT c_custkey, x, y, CAST({_morton_sql('x', 'y')} AS BIGINT) AS morton
+      FROM p
+    )
+    SELECT c_custkey, x, y, morton,
+           CAST({_morton_decode_sql('morton', 0)} AS BIGINT) AS dx,
+           CAST({_morton_decode_sql('morton', 1)} AS BIGINT) AS dy
+    FROM m ORDER BY c_custkey
+    """,
+    note="ClickHouse mortonEncode/mortonDecode: 8-bit x 8-bit Z-order "
+    "interleave built from shift/AND/OR bit arithmetic (pure JVM "
+    "expressions, unrolled 16 terms), decoded back in the same query "
+    "so the round-trip is hash-verified. Beyond function parity this "
+    "is the multi-dimensional clustering key for 100 TB layouts: "
+    "repartitionByRange(morton) + sortWithinPartitions gives every "
+    "file a small Z-curve range, so footer min/max skipping (x06) "
+    "prunes on BOTH dimensions at once — the same reason Delta/"
+    "Iceberg OPTIMIZE ZORDER and ClickHouse mortonEncode ORDER BY "
+    "keys exist.",
+)
+def q116_morton_zorder(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").filter("c_custkey <= 40")
+    x = F.pmod(F.col("c_custkey"), F.lit(256)).cast("long")
+    y = F.pmod(F.col("c_custkey") * 131, F.lit(256)).cast("long")
+
+    def interleave(xc, yc, bits=8):
+        out = F.lit(0).cast("long")
+        for i in range(bits):
+            out = (
+                out
+                + F.shiftleft(F.shiftright(xc, i).bitwiseAND(F.lit(1)), 2 * i)
+                + F.shiftleft(F.shiftright(yc, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            )
+        return out
+
+    def deinterleave(mc, odd, bits=8):
+        out = F.lit(0).cast("long")
+        for i in range(bits):
+            out = out + F.shiftleft(
+                F.shiftright(mc, 2 * i + odd).bitwiseAND(F.lit(1)), i
+            )
+        return out
+
+    m = c.select(
+        "c_custkey",
+        x.alias("x"),
+        y.alias("y"),
+        interleave(x, y).alias("morton"),
+    )
+    return m.select(
+        "c_custkey",
+        "x",
+        "y",
+        "morton",
+        deinterleave(F.col("morton"), 0).alias("dx"),
+        deinterleave(F.col("morton"), 1).alias("dy"),
+    ).orderBy("c_custkey")
+
+
+#: convex test polygon (counter-clockwise, integer vertices)
+_POLY = [(10, 10), (90, 20), (80, 80), (30, 90), (5, 50)]
+
+
+@query(
+    "q117_point_in_polygon",
+    oracle=f"""
+    WITH p AS (
+      SELECT c_mktsegment AS segment,
+             c_custkey % 100 AS px, (c_custkey * 37) % 100 AS py
+      FROM customer
+    )
+    SELECT segment,
+           CAST(sum(CASE WHEN {' AND '.join(
+               f"(({x2} - {x1}) * (py - {y1}) - ({y2} - {y1}) * (px - {x1})) >= 0"
+               for (x1, y1), (x2, y2) in zip(_POLY, _POLY[1:] + _POLY[:1])
+           )} THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+           count(*) AS n_total
+    FROM p GROUP BY segment ORDER BY segment
+    """,
+    note="ClickHouse pointInPolygon for a convex polygon: the "
+    "half-plane (cross-product sign) test per edge, all in exact "
+    "integer arithmetic so no epsilon crosses the engine boundary — "
+    "boundary points count as inside. General simple polygons "
+    "decompose into convex fans of this same kernel (ClickHouse "
+    "grids the polygon for the same reason). Embarrassingly "
+    "parallel: five integer multiplies per point, no shuffle before "
+    "the final segment rollup — exactly the shape a 100 TB geo "
+    "filter needs (and the morton key of q116 is how the scan side "
+    "would be pruned to the polygon's bounding box first).",
+)
+def q117_point_in_polygon(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    px = F.pmod(F.col("c_custkey"), F.lit(100))
+    py = F.pmod(F.col("c_custkey") * 37, F.lit(100))
+    inside = F.lit(True)
+    for (x1, y1), (x2, y2) in zip(_POLY, _POLY[1:] + _POLY[:1]):
+        inside = inside & (
+            ((x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)) >= 0
+        )
+    return (
+        c.select(F.col("c_mktsegment").alias("segment"), inside.alias("ins"))
+        .groupBy("segment")
+        .agg(
+            F.sum(F.when(F.col("ins"), 1).otherwise(0)).cast("long").alias("n_inside"),
+            F.count("*").alias("n_total"),
+        )
+        .orderBy("segment")
+    )
+
+
+#: ClickHouse roundDuration boundaries
+_DUR_BOUNDS = [0, 1, 10, 30, 60, 120, 180, 240, 300, 600, 1200, 1800,
+               3600, 7200, 18000, 36000]
+
+
+@query(
+    "q118_rounding_family",
+    oracle=f"""
+    WITH p AS (
+      SELECT o_orderkey AS k, o_orderkey % 100 AS age,
+             o_orderkey % 40000 AS dur, (o_orderkey % 1000) + 1 AS v
+      FROM orders WHERE o_orderkey <= 64
+    )
+    SELECT k,
+           CASE WHEN age = 0 THEN 0 WHEN age < 18 THEN 17
+                WHEN age < 25 THEN 18 WHEN age < 35 THEN 25
+                WHEN age < 45 THEN 35 WHEN age < 55 THEN 45
+                ELSE 55 END AS round_age,
+           CAST({' '.join(f"CASE WHEN dur >= {b} THEN {b} ELSE" for b in reversed(_DUR_BOUNDS))}
+             0 {'END ' * len(_DUR_BOUNDS)} AS BIGINT) AS round_duration,
+           CAST(pow(2, floor(log2(v))) AS BIGINT) AS round_exp2,
+           CASE WHEN age >= 75 THEN 75 WHEN age >= 50 THEN 50
+                WHEN age >= 25 THEN 25 ELSE 0 END AS round_down,
+           k + (k % 2) AS bankers
+    FROM p ORDER BY k
+    """,
+    note="ClickHouse rounding family: roundAge and roundDuration "
+    "(fixed CH bucket ladders), roundToExp2 (largest power of two <= "
+    "x, exact because log2 of an exact power is exact IEEE and floor "
+    "is safe between powers), roundDown against a boundary array, "
+    "and roundBankers — Spark's native half-even bround applied to "
+    "exact .5 ties (k + 0.5 is exactly representable), while the "
+    "oracle derives the banker's result arithmetically (k + k%2), so "
+    "the test pins Spark's bround AGAINST the mathematical "
+    "definition, not against DuckDB's half-away round. All integer "
+    "CASE ladders — whole-stage-codegen scalar work, zero shuffles "
+    "before the ORDER BY.",
+)
+def q118_rounding_family(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter("o_orderkey <= 64")
+    k = F.col("o_orderkey")
+    age = F.pmod(k, F.lit(100))
+    dur = F.pmod(k, F.lit(40000))
+    v = F.pmod(k, F.lit(1000)) + 1
+    round_age = (
+        F.when(age == 0, 0).when(age < 18, 17).when(age < 25, 18)
+        .when(age < 35, 25).when(age < 45, 35).when(age < 55, 45)
+        .otherwise(55)
+    )
+    round_dur = F.lit(0)
+    for b in _DUR_BOUNDS:
+        round_dur = F.when(dur >= b, b).otherwise(round_dur)
+    round_exp2 = F.pow(F.lit(2.0), F.floor(F.log2(v))).cast("long")
+    round_down = (
+        F.when(age >= 75, 75).when(age >= 50, 50).when(age >= 25, 25).otherwise(0)
+    )
+    return o.select(
+        k.alias("k"),
+        round_age.cast("long").alias("round_age"),
+        round_dur.cast("long").alias("round_duration"),
+        round_exp2.alias("round_exp2"),
+        round_down.cast("long").alias("round_down"),
+        F.bround(k.cast("double") + 0.5, 0).cast("long").alias("bankers"),
+    ).orderBy("k")
+
+
+@query(
+    "e27_decayed_sum",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 3600000000) AS BIGINT)
+               AS h,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE user_id < 50
+    ), m AS (
+      SELECT user_id, max(h) AS hmax FROM e GROUP BY user_id
+    )
+    SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_events, m.hmax,
+           CAST(sum(CASE WHEN m.hmax - e.h <= 30
+                    THEN e.cents * (CAST(1 AS BIGINT) << (30 - (m.hmax - e.h)))
+                    ELSE 0 END) AS BIGINT) AS decayed_scaled,
+           CAST(sum(CASE WHEN m.hmax - e.h <= 30
+                    THEN e.cents * (CAST(1 AS BIGINT) << (30 - (m.hmax - e.h)))
+                    ELSE 0 END) AS BIGINT)
+             // (CAST(1 AS BIGINT) << 30) AS decayed_cents
+    FROM e JOIN m ON e.user_id = m.user_id
+    GROUP BY e.user_id, m.hmax ORDER BY e.user_id
+    """,
+    note="ClickHouse exponentialTimeDecayedSum with a base-2 hourly "
+    "half-life, evaluated at each user's latest event hour. Exactness "
+    "discipline: the decay weight 2^-k is a dyadic rational, so every "
+    "term value_cents * 2^(30-k) is an exact BIGINT (k > 30 "
+    "underflows to a true 0 contribution), the sum is exact integer "
+    "addition in any partition order, and only the final >> 30 "
+    "leaves the scaled domain — no transcendental exp() crosses the "
+    "engine boundary. The per-user max-hour join is a broadcast of "
+    "the tiny rollup. Same shape ClickHouse uses for its "
+    "-TimeDecayed aggregates; arbitrary bases are one multiply away "
+    "once a platform pins a single libm (documented limit here).",
+)
+def e27_decayed_sum(spark, sf_dir):
+    e = (
+        with_event_time(t(spark, sf_dir, "events"))
+        .filter("user_id < 50")
+        .select(
+            "user_id",
+            F.floor(F.col("ts_us").cast("double") / 3600000000).cast("long").alias("h"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+    )
+    m = e.groupBy("user_id").agg(F.max("h").alias("hmax"))
+    j = e.join(F.broadcast(m), "user_id")
+    term = F.expr(
+        "CASE WHEN hmax - h <= 30 THEN"
+        " cents * shiftleft(CAST(1 AS BIGINT), CAST(30 - (hmax - h) AS INT))"
+        " ELSE CAST(0 AS BIGINT) END"
+    )
+    return (
+        j.groupBy("user_id", "hmax")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(term).cast("long").alias("decayed_scaled"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            "hmax",
+            "decayed_scaled",
+            F.expr("decayed_scaled DIV (CAST(1 AS BIGINT) << 30)").alias(
+                "decayed_cents"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "e28_proportions_ztest",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey % 4 AS cohort,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN o_orderstatus = 'F'
+                       AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+             CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN o_orderstatus = 'O'
+                       AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS x2
+      FROM orders GROUP BY o_custkey % 4
+    )
+    SELECT cohort, x1, n1, x2, n2,
+           CAST(floor(
+             (CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+             / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                    * (1 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                    * (CAST(1 AS DOUBLE) / n1 + CAST(1 AS DOUBLE) / n2))
+             * 1000000) AS BIGINT) AS z_micro
+    FROM s ORDER BY cohort
+    """,
+    note="ClickHouse proportionsZTest per customer cohort: urgent-rate "
+    "of finished vs open orders under the pooled-proportion z "
+    "statistic. The four inputs per cohort are exact integer counts "
+    "from one scan; the z formula is then written with IDENTICAL "
+    "association order in both engines, so every intermediate double "
+    "is bit-identical (IEEE ops on equal inputs) and the floor to "
+    "integer micros cannot diverge. Completes the hypothesis-test "
+    "family: student/welch t, Mann-Whitney, KS, meanZTest, and now "
+    "proportions.",
+)
+def e28_proportions_ztest(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    s = o.groupBy(F.pmod("o_custkey", F.lit(4)).alias("cohort")).agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long").alias("n1"),
+        F.sum(F.when((F.col("o_orderstatus") == "F") & urgent, 1).otherwise(0))
+        .cast("long").alias("x1"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+        .cast("long").alias("n2"),
+        F.sum(F.when((F.col("o_orderstatus") == "O") & urgent, 1).otherwise(0))
+        .cast("long").alias("x2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (F.col("n1") + F.col("n2"))
+    z = (p1 - p2) / F.sqrt(
+        pp * (1 - pp)
+        * (F.lit(1).cast("double") / F.col("n1") + F.lit(1).cast("double") / F.col("n2"))
+    )
+    return s.select(
+        "cohort", "x1", "n1", "x2", "n2",
+        F.floor(z * 1_000_000).cast("long").alias("z_micro"),
+    ).orderBy("cohort")
+
+
+@query(
+    "q119_group_bitmap",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS and_n,
+           CAST(sum(CASE WHEN a = 1 OR b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS or_n,
+           CAST(sum(CASE WHEN a <> b THEN 1 ELSE 0 END) AS BIGINT) AS xor_n,
+           CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS andnot_n
+    FROM f
+    """,
+    note="ClickHouse groupBitmap algebra (bitmapAnd/Or/Xor/AndnotCardinality): "
+    "the user-id sets of two behaviors combined under every bitmap "
+    "operator, as cardinalities. The Spark plan is the flag-rollup "
+    "form — ONE shuffle to user grain computing both membership bits, "
+    "then a scalar combine — which is exactly what a roaring-bitmap "
+    "engine computes, minus the bitmap materialization ClickHouse "
+    "needs because its sets live inside a single server. At 100 TB "
+    "the user-grain rollup is the reusable artifact (cache/bucket it "
+    "once, answer every pairwise set question from it).",
+)
+def q119_group_bitmap(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("a"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("b"),
+    )
+    return f.agg(
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1).otherwise(0))
+        .cast("long").alias("and_n"),
+        F.sum(F.when((F.col("a") == 1) | (F.col("b") == 1), 1).otherwise(0))
+        .cast("long").alias("or_n"),
+        F.sum(F.when(F.col("a") != F.col("b"), 1).otherwise(0))
+        .cast("long").alias("xor_n"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1).otherwise(0))
+        .cast("long").alias("andnot_n"),
+    )
+
+
+@query(
+    "x12_parts_footer_stats",
+    oracle="""
+    SELECT o_orderkey % 8 AS bucket,
+           count(*) AS n_rows,
+           min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    note="ClickHouse system.parts / primary-index read as a query: "
+    "orders lands in a Hive-partitioned layout (PARTITION BY "
+    "analog), then per-part row counts and key min/max are answered "
+    "from parquet FOOTER STATISTICS ONLY — the driver-side metadata "
+    "pass of sources/minmax.py, no data task is launched for stats-"
+    "bearing files (a per-partition Spark scan fallback keeps the "
+    "result correct if a footer lacks stats). The oracle recomputes "
+    "the same numbers from the raw rows, so what's verified is that "
+    "the metadata path equals the data path. At 100 TB this is "
+    "exactly the ClickHouse primary.idx economics: one small footer "
+    "per part replaces scanning the part, and the planner's file "
+    "pruning (x06) is this same read used as a filter.",
+)
+def x12_parts_footer_stats(spark, sf_dir):
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    tune_session(spark)
+    o = t(spark, sf_dir, "orders").withColumn(
+        "bucket", F.pmod("o_orderkey", F.lit(8))
+    )
+    base = tempfile.mkdtemp(prefix="laion_parts_")
+    o.write.partitionBy("bucket").mode("overwrite").parquet(base)
+
+    rows = []
+    for bdir in sorted(os.listdir(base)):
+        if not bdir.startswith("bucket="):
+            continue
+        b = int(bdir.split("=", 1)[1])
+        n, lo, hi, missing = 0, None, None, False
+        for fn in os.listdir(os.path.join(base, bdir)):
+            if not fn.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(base, bdir, fn)).metadata
+            n += md.num_rows
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx["o_orderkey"]).statistics
+                if st is None or not st.has_min_max:
+                    missing = True
+                    continue
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        if missing or lo is None:  # conservative: scan that part
+            r = (
+                spark.read.parquet(os.path.join(base, bdir))
+                .agg(
+                    F.count("*"), F.min("o_orderkey"), F.max("o_orderkey")
+                )
+                .collect()[0]
+            )
+            n, lo, hi = r[0], r[1], r[2]
+        rows.append((b, n, lo, hi))
+    return spark.createDataFrame(
+        rows, "bucket long, n_rows long, min_key long, max_key long"
+    ).orderBy("bucket")
