@@ -9255,3 +9255,492 @@ def x12_parts_footer_stats(spark, sf_dir):
     return spark.createDataFrame(
         rows, "bucket long, n_rows long, min_key long, max_key long"
     ).orderBy("bucket")
+
+
+@query(
+    "q120_geohash",
+    oracle=f"""
+    WITH p AS (
+      SELECT c_custkey,
+             c_custkey % 360 - 180 AS lon, (c_custkey * 53) % 180 - 90 AS lat
+      FROM customer WHERE c_custkey <= 30
+    ), b AS (
+      SELECT c_custkey, lon, lat,
+             ((lon + 180) * 32768) // 360 AS lonb,
+             ((lat + 90) * 32768) // 180 AS latb
+      FROM p
+    ), m AS (
+      SELECT c_custkey, lon, lat, lonb, latb,
+             CAST({_morton_sql('latb', 'lonb', 15)} AS BIGINT) AS ih
+      FROM b
+    )
+    SELECT c_custkey, lon, lat, lonb, latb,
+           {" || ".join(
+               "substr('0123456789bcdefghjkmnpqrstuvwxyz',"
+               f" CAST(((ih >> {25 - 5 * i}) & 31) + 1 AS INTEGER), 1)"
+               for i in range(6)
+           )} AS geohash,
+           CAST({_morton_decode_sql('ih', 1, 15)} AS BIGINT) AS dlonb,
+           CAST({_morton_decode_sql('ih', 0, 15)} AS BIGINT) AS dlatb
+    FROM m ORDER BY c_custkey
+    """,
+    note="ClickHouse geohashEncode/geohashDecode at precision 6: "
+    "integer-degree coordinates quantized to 15-bit bins with integer "
+    "division (no float crosses the engine boundary), MSB-first "
+    "bit-interleave (longitude on the odd/high lanes per the geohash "
+    "spec), then base32 characters picked from the standard alphabet "
+    "by substr. The interleave is decoded back to both bin indices "
+    "in the same query, so encode->decode is hash-verified; decoding "
+    "to degrees is the bin-center divide the note leaves to callers. "
+    "Same unrolled shift/AND codegen as morton (q116) — geohash IS a "
+    "base32-rendered Z-order key, which is why it also works as a "
+    "spatial clustering/bucketing key at 100 TB.",
+)
+def q120_geohash(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").filter("c_custkey <= 30")
+    lon = F.pmod(F.col("c_custkey"), F.lit(360)) - 180
+    lat = F.pmod(F.col("c_custkey") * 53, F.lit(180)) - 90
+    b = c.select(
+        "c_custkey",
+        lon.alias("lon"),
+        lat.alias("lat"),
+        F.expr("((c_custkey % 360 - 180) + 180) * 32768 DIV 360").alias("lonb"),
+        F.expr("((c_custkey * 53) % 180 - 90 + 90) * 32768 DIV 180").alias("latb"),
+    )
+
+    def interleave15(xc, yc):
+        out = F.lit(0).cast("long")
+        for i in range(15):
+            out = (
+                out
+                + F.shiftleft(F.shiftright(xc, i).bitwiseAND(F.lit(1)), 2 * i)
+                + F.shiftleft(F.shiftright(yc, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            )
+        return out
+
+    def deinterleave15(mc, odd):
+        out = F.lit(0).cast("long")
+        for i in range(15):
+            out = out + F.shiftleft(
+                F.shiftright(mc, 2 * i + odd).bitwiseAND(F.lit(1)), i
+            )
+        return out
+
+    m = b.withColumn("ih", interleave15(F.col("latb"), F.col("lonb")))
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    gh = F.concat(
+        *[
+            F.expr(
+                f"substring('{alpha}', CAST(((ih >> {25 - 5 * i}) & 31) + 1 AS INT), 1)"
+            )
+            for i in range(6)
+        ]
+    )
+    return m.select(
+        "c_custkey",
+        "lon",
+        "lat",
+        "lonb",
+        "latb",
+        gh.alias("geohash"),
+        deinterleave15(F.col("ih"), 1).alias("dlonb"),
+        deinterleave15(F.col("ih"), 0).alias("dlatb"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "q121_bit_family",
+    oracle="""
+    WITH p AS (
+      SELECT o_orderkey AS k, o_orderkey % 256 AS a,
+             (o_orderkey * 7) % 256 AS b, o_orderkey % 8 AS r
+      FROM orders WHERE o_orderkey <= 256
+    )
+    SELECT k,
+           CAST(bit_count(k) AS BIGINT) AS popcnt,
+           (k >> 3) & 1 AS bit3,
+           ((a << r) | (a >> (8 - r))) & 255 AS rot8,
+           CAST(bit_count(xor(a, b)) AS BIGINT) AS hamming
+    FROM p ORDER BY k
+    """,
+    note="ClickHouse bit-function family: bitCount (popcount), bitTest, "
+    "bitRotateLeft on the 8-bit ring, and bitHammingDistance "
+    "(popcount of XOR — the kernel under SimHash near-dup distance, "
+    "dedup.py:477). Pure integer shift/AND/OR/XOR codegen "
+    "expressions riding the scan; r=0 degenerates correctly because "
+    "a >> 8 is 0 for an 8-bit value. Zero shuffles before the ORDER "
+    "BY.",
+)
+def q121_bit_family(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter("o_orderkey <= 256")
+    return o.selectExpr(
+        "o_orderkey AS k",
+        "CAST(bit_count(o_orderkey) AS BIGINT) AS popcnt",
+        "shiftright(o_orderkey, 3) & 1 AS bit3",
+        "(shiftleft(o_orderkey % 256, CAST(o_orderkey % 8 AS INT))"
+        " | shiftright(o_orderkey % 256, CAST(8 - o_orderkey % 8 AS INT))) & 255"
+        " AS rot8",
+        "CAST(bit_count((o_orderkey % 256) ^ ((o_orderkey * 7) % 256)) AS BIGINT)"
+        " AS hamming",
+    ).orderBy("k")
+
+
+@query(
+    "q122_weighted_agg_family",
+    oracle="""
+    WITH p AS (
+      SELECT o_orderstatus AS status,
+             CAST(floor(o_totalprice) AS BIGINT) AS usd,
+             o_orderkey % 10 + 1 AS w
+      FROM orders
+    )
+    SELECT status,
+           (CAST(sum(usd * w) AS BIGINT) * 1000000)
+             // CAST(sum(w) AS BIGINT) AS avgw_micro,
+           CAST(sum(usd) AS BIGINT) AS sum_usd,
+           count(*) AS n,
+           CAST(sum(w) AS BIGINT) AS w_total
+    FROM p GROUP BY status ORDER BY status
+    """,
+    note="ClickHouse avgWeighted + sumCount: the weighted mean emitted "
+    "as one BIGINT integer division of exact integer sums (weights "
+    "and integer dollars — no float accumulates across partitions), "
+    "and sumCount's (sum, count) pair as two columns. One hash "
+    "aggregate with map-side combine; the micro-unit division is the "
+    "only post-aggregation op.",
+)
+def q122_weighted_agg_family(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    p = o.select(
+        F.col("o_orderstatus").alias("status"),
+        F.floor("o_totalprice").cast("long").alias("usd"),
+        (F.pmod("o_orderkey", F.lit(10)) + 1).alias("w"),
+    )
+    return (
+        p.groupBy("status")
+        .agg(
+            F.sum(F.col("usd") * F.col("w")).cast("long").alias("sw"),
+            F.sum("usd").cast("long").alias("sum_usd"),
+            F.count("*").alias("n"),
+            F.sum("w").cast("long").alias("w_total"),
+        )
+        .selectExpr(
+            "status",
+            "(sw * 1000000) DIV w_total AS avgw_micro",
+            "sum_usd",
+            "n",
+            "w_total",
+        )
+        .orderBy("status")
+    )
+
+
+@query(
+    "q123_array_transform_family",
+    oracle="""
+    WITH a AS (
+      SELECT l_orderkey AS okey,
+             list(CAST(l_quantity AS BIGINT)
+                  ORDER BY l_linenumber, l_quantity) AS arr
+      FROM lineitem WHERE l_orderkey <= 40 GROUP BY l_orderkey
+    )
+    SELECT okey,
+           array_to_string(arr, ',') AS base,
+           array_to_string(
+             list_filter(arr, (x, i) -> i = 1 OR x != arr[i - 1]), ','
+           ) AS compacted,
+           array_to_string(
+             list_transform(arr, (x, i) ->
+               CASE WHEN i = 1 THEN 0 ELSE x - arr[i - 1] END), ','
+           ) AS diffs,
+           array_to_string(arr[2:] || arr[1:1], ',') AS rot_left,
+           array_to_string(arr[2:] || [CAST(0 AS BIGINT)], ',') AS shift_left
+    FROM a ORDER BY okey
+    """,
+    note="ClickHouse array transform family #2: arrayCompact "
+    "(consecutive-dup removal), arrayDifference (first element 0 per "
+    "the CH contract), arrayRotateLeft(1) and arrayShiftLeft(1, 0) — "
+    "all as JVM higher-order functions and slice/concat over a "
+    "per-order line array bounded by lines-per-order (never a "
+    "corpus-wide collect). Index-aware lambdas ((x,i) with "
+    "element_at back-reference) are the Spark idiom for CH's "
+    "neighbor-aware array functions; arrays cross the driver as "
+    "joined strings.",
+)
+def q123_array_transform_family(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter("l_orderkey <= 40")
+    a = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("l_linenumber", F.col("l_quantity").cast("long").alias("q"))
+                )
+            ),
+            lambda s: s["q"],
+        ).alias("arr")
+    )
+    arr = F.col("arr")
+    joined = lambda c: F.array_join(F.transform(c, lambda x: x.cast("string")), ",")
+    return a.select(
+        "okey",
+        joined(arr).alias("base"),
+        joined(
+            F.filter(arr, lambda x, i: (i == 0) | (x != F.element_at(arr, i)))
+        ).alias("compacted"),
+        joined(
+            F.transform(
+                arr,
+                lambda x, i: F.when(i == 0, F.lit(0).cast("long")).otherwise(
+                    x - F.element_at(arr, i)
+                ),
+            )
+        ).alias("diffs"),
+        joined(
+            F.concat(F.slice(arr, 2, F.size(arr) - 1), F.slice(arr, 1, 1))
+        ).alias("rot_left"),
+        joined(
+            F.concat(
+                F.slice(arr, 2, F.size(arr) - 1),
+                F.array(F.lit(0).cast("long")),
+            )
+        ).alias("shift_left"),
+    ).orderBy("okey")
+
+
+@query(
+    "q124_minhash_signature",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE doc_id < 60 AND n_chars > 50
+    ), s AS (
+      SELECT doc_id,
+             list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) AS sh
+      FROM d
+    )
+    SELECT doc_id,
+           list_aggregate(list_transform(sh, x -> md5('1:' || x)), 'min') AS mh1,
+           list_aggregate(list_transform(sh, x -> md5('2:' || x)), 'min') AS mh2,
+           list_aggregate(list_transform(sh, x -> md5('3:' || x)), 'min') AS mh3,
+           list_aggregate(list_transform(sh, x -> md5('4:' || x)), 'min') AS mh4
+    FROM s ORDER BY doc_id
+    """,
+    note="ClickHouse wordShingleMinHash as a column function: 3-word "
+    "shingles, k=4 seeded MinHash lanes, each lane the minimum of a "
+    "PORTABLE hash (md5 of seed-prefixed shingle — identical hex in "
+    "any engine, unlike xxhash64 whose seeding differs, which is why "
+    "the dedup operators declare approx while THIS entry can be "
+    "hash-verified exactly). Min over a multiset equals min over the "
+    "set, so no distinct pass is needed. The production dedup path "
+    "(dedup.py) materializes shingles once and uses int64 hashes; "
+    "this is the function-parity form.",
+)
+def q124_minhash_signature(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").filter("doc_id < 60 AND n_chars > 50")
+    s = d.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 2),"
+            " i -> concat_ws(' ', split(text, ' ')[i - 1],"
+            " split(text, ' ')[i], split(text, ' ')[i + 1]))"
+        ).alias("sh"),
+    )
+    cols = [
+        F.array_min(
+            F.transform(F.col("sh"), lambda x: F.md5(F.concat(F.lit(f"{j}:"), x)))
+        ).alias(f"mh{j}")
+        for j in (1, 2, 3, 4)
+    ]
+    return s.select("doc_id", *cols).orderBy("doc_id")
+
+
+@query(
+    "d15_minhash_estimate",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w
+      FROM documents WHERE doc_id < 40 AND n_chars > 50
+    ), s AS (
+      SELECT doc_id, source,
+             list_transform(range(1, len(w)),
+               i -> w[i] || ' ' || w[i + 1]) AS sh
+      FROM d
+    ), sig AS (
+      SELECT doc_id, source,
+             list_distinct(sh) AS ds,
+             list_transform(range(1, 17), j ->
+               list_aggregate(list_transform(sh,
+                 x -> md5(CAST(j AS VARCHAR) || ':' || x)), 'min')) AS sig
+      FROM s
+    )
+    SELECT a.doc_id AS pa, b.doc_id AS pb,
+           CAST(list_aggregate(list_transform(range(1, 17),
+             j -> CASE WHEN a.sig[j] = b.sig[j] THEN 1 ELSE 0 END), 'sum')
+             AS BIGINT) AS agree16,
+           (CAST(len(list_intersect(a.ds, b.ds)) AS BIGINT) * 1000000)
+             // len(list_distinct(a.ds || b.ds)) AS jac_micro
+    FROM sig a JOIN sig b ON a.source = b.source AND a.doc_id < b.doc_id
+    ORDER BY pa, pb LIMIT 30
+    """,
+    note="MinHash Jaccard ESTIMATION verified exactly: k=16 portable "
+    "(md5) MinHash lanes per document over 2-word shingles, pairs "
+    "blocked by source (the LSH-bucket stand-in — never all-pairs "
+    "across the corpus), and for each pair BOTH the lane-agreement "
+    "count (the MinHash estimate numerator, E[agree/k] = J) and the "
+    "exact distinct-shingle Jaccard in integer micros. Because the "
+    "hash is portable, even the ESTIMATOR's value is deterministic "
+    "and hash-verified cross-engine — the estimate-vs-exact gap is "
+    "data, not noise. The production path (dedup.py minhash_lsh_"
+    "pairs) is this same construction with int64 hashes, banding, "
+    "and a verify join.",
+)
+def d15_minhash_estimate(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").filter("doc_id < 40 AND n_chars > 50")
+    s = d.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 1),"
+            " i -> concat_ws(' ', split(text, ' ')[i - 1], split(text, ' ')[i]))"
+        ).alias("sh"),
+    )
+    sig = s.select(
+        "doc_id",
+        "source",
+        F.array_distinct("sh").alias("ds"),
+        F.expr(
+            "transform(sequence(1, 16), j ->"
+            " array_min(transform(sh, x -> md5(concat(cast(j AS STRING), ':', x)))))"
+        ).alias("sig"),
+    )
+    a = sig.select(
+        F.col("doc_id").alias("pa"), F.col("source").alias("source"),
+        F.col("ds").alias("dsa"), F.col("sig").alias("siga"),
+    )
+    b = sig.select(
+        F.col("doc_id").alias("pb"), F.col("source").alias("source"),
+        F.col("ds").alias("dsb"), F.col("sig").alias("sigb"),
+    )
+    inter = F.size(F.array_intersect("dsa", "dsb")).cast("long")
+    uni = F.size(F.array_distinct(F.concat("dsa", "dsb"))).cast("long")
+    agree = F.aggregate(
+        F.zip_with("siga", "sigb", lambda x, y: (x == y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, "source")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(
+            "pa",
+            "pb",
+            agree.alias("agree16"),
+            F.expr(
+                "(CAST(size(array_intersect(dsa, dsb)) AS BIGINT) * 1000000)"
+                " DIV size(array_distinct(concat(dsa, dsb)))"
+            ).alias("jac_micro"),
+        )
+        .orderBy("pa", "pb")
+        .limit(30)
+    )
+
+
+@query(
+    "q125_quantiles_exact_multi",
+    oracle="""
+    WITH p AS (
+      SELECT o_orderstatus AS status,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), r AS (
+      SELECT status, cents,
+             row_number() OVER (PARTITION BY status ORDER BY cents) AS rn,
+             count(*) OVER (PARTITION BY status) AS n
+      FROM p
+    )
+    SELECT status,
+           CAST(max(CASE WHEN rn = (25 * (n - 1)) // 100 + 1 THEN cents END)
+                AS BIGINT) AS p25_cents,
+           CAST(max(CASE WHEN rn = (50 * (n - 1)) // 100 + 1 THEN cents END)
+                AS BIGINT) AS p50_cents,
+           CAST(max(CASE WHEN rn = (75 * (n - 1)) // 100 + 1 THEN cents END)
+                AS BIGINT) AS p75_cents,
+           CAST(max(n) AS BIGINT) AS n
+    FROM r GROUP BY status ORDER BY status
+    """,
+    note="ClickHouse quantilesExact(0.25, 0.5, 0.75) — the multi-level "
+    "exact form: one sort per group serves ALL requested levels "
+    "(rank targets floor(q*(n-1))+1, CH's lower-value convention), "
+    "selected by conditional aggregation so no per-level pass "
+    "repeats. Cent-integer values make rank selection engine-exact; "
+    "tie order cannot matter because rank selection returns a VALUE "
+    "and equal values are interchangeable. At 100 TB the same shape "
+    "runs on the pre-aggregated (value, count) rollup — weighted "
+    "rank walk (q48's weighted-quantile machinery) instead of "
+    "row_number over raw rows.",
+)
+def q125_quantiles_exact_multi(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    p = o.select(
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("status").orderBy("cents")
+    wn = Window.partitionBy("status")
+    r = p.select(
+        "status",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    pick = lambda q: F.max(
+        F.when(F.col("rn") == F.expr(f"({q} * (n - 1)) DIV 100 + 1"), F.col("cents"))
+    ).cast("long")
+    return (
+        r.groupBy("status")
+        .agg(
+            pick(25).alias("p25_cents"),
+            pick(50).alias("p50_cents"),
+            pick(75).alias("p75_cents"),
+            F.max("n").cast("long").alias("n"),
+        )
+        .orderBy("status")
+    )
+
+
+@query(
+    "x13_orc_roundtrip",
+    oracle="""
+    SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
+           min(doc_id) AS first_doc
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    note="ORC format round-trip (the reference's parquet-centric ETL "
+    "generalized to Spark's other first-class columnar format): "
+    "documents written as zstd ORC, read back, and the per-language "
+    "rollup must equal the oracle computed on the PRE-write table — "
+    "so type fidelity through the ORC writer/reader pair is what's "
+    "verified (same x07/x08 discipline as CSV/JSONL). ORC carries "
+    "its own footer statistics and predicate pushdown in Spark, so "
+    "the x06-style skipping story ports to it unchanged.",
+)
+def x13_orc_roundtrip(spark, sf_dir):
+    import tempfile
+
+    tune_session(spark)
+    d = t(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="laion_orc_")
+    d.write.mode("overwrite").option("compression", "zstd").orc(base)
+    return (
+        spark.read.orc(base)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").cast("long").alias("chars"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang")
+    )
