@@ -9744,3 +9744,232 @@ def x13_orc_roundtrip(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q126_int_arithmetic_family",
+    oracle="""
+    WITH p AS (
+      SELECT o_orderkey AS k, o_orderkey % 199 - 99 AS a,
+             o_orderkey % 7 + 1 AS b, o_orderkey % 5 AS bz
+      FROM orders WHERE o_orderkey <= 300
+    )
+    SELECT k, a, b,
+           a // b AS trunc_div,
+           (a - ((a % b) + b) % b) // b AS floor_div,
+           a % b AS mod_c,
+           ((a % b) + b) % b AS mod_pos,
+           coalesce(a // nullif(bz, 0), 0) AS idiv_or_zero,
+           CAST(gcd(abs(a), b) AS BIGINT) AS g,
+           CAST(lcm(abs(a), b) AS BIGINT) AS l
+    FROM p ORDER BY k
+    """,
+    note="ClickHouse integer-arithmetic family: intDiv in BOTH "
+    "conventions (truncating — Spark DIV / DuckDB // — and flooring, "
+    "derived as (a - pmod(a,b)) DIV b so negative dividends are "
+    "exercised and the difference is visible in the result), C-style "
+    "modulo and positive pmod, intDivOrZero via nullif, and gcd/lcm "
+    "— Spark builds gcd from a bounded divisor sweep (array_max over "
+    "filter(sequence(1, min(|a|,b)))) and the ORACLE uses DuckDB's "
+    "NATIVE gcd/lcm, so the construction is checked against an "
+    "independent implementation, not an echo of itself. Bounded "
+    "domain (|a| <= 99) keeps the sweep O(100); production gcd on "
+    "unbounded ints would unroll Euclid steps instead (noted, not "
+    "needed by any reference query).",
+)
+def q126_int_arithmetic_family(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter("o_orderkey <= 300")
+    return o.selectExpr(
+        "o_orderkey AS k",
+        "o_orderkey % 199 - 99 AS a",
+        "o_orderkey % 7 + 1 AS b",
+        "o_orderkey % 5 AS bz",
+    ).selectExpr(
+        "k", "a", "b",
+        "a DIV b AS trunc_div",
+        "(a - pmod(a, b)) DIV b AS floor_div",
+        "a % b AS mod_c",
+        "pmod(a, b) AS mod_pos",
+        "coalesce(a DIV nullif(bz, 0), 0) AS idiv_or_zero",
+        "CAST(CASE WHEN abs(a) = 0 THEN b ELSE"
+        " array_max(filter(sequence(1, least(abs(a), b)),"
+        " d -> abs(a) % d = 0 AND b % d = 0)) END AS BIGINT) AS g",
+        "CAST(abs(a) * b DIV (CASE WHEN abs(a) = 0 THEN b ELSE"
+        " array_max(filter(sequence(1, least(abs(a), b)),"
+        " d -> abs(a) % d = 0 AND b % d = 0)) END) AS BIGINT) AS l",
+    ).orderBy("k")
+
+
+@query(
+    "q127_parse_datetime_family",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey AS k, o_orderkey % 3 AS fmt,
+             CASE o_orderkey % 3
+               WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+               WHEN 1 THEN strftime(o_orderdate, '%d/%m/%Y')
+               ELSE CAST(CAST(epoch(o_orderdate) AS BIGINT) AS VARCHAR)
+             END AS raw
+      FROM orders WHERE o_orderkey <= 2000
+    ), p AS (
+      SELECT k, fmt, raw,
+             coalesce(
+               try_strptime(raw, '%Y-%m-%d %H:%M:%S'),
+               try_strptime(raw, '%d/%m/%Y'),
+               CASE WHEN regexp_matches(raw, '^[0-9]+$')
+                    THEN to_timestamp(CAST(raw AS BIGINT))::TIMESTAMP END
+             ) AS ts
+      FROM s
+    )
+    SELECT fmt, count(*) AS n,
+           CAST(count(ts) AS BIGINT) AS n_parsed,
+           CAST(min(epoch(ts)) AS BIGINT) AS min_epoch,
+           CAST(max(epoch(ts)) AS BIGINT) AS max_epoch
+    FROM p GROUP BY fmt ORDER BY fmt
+    """,
+    note="ClickHouse parseDateTimeBestEffort: a deterministic fallback "
+    "chain of try_to_timestamp over explicit formats (ISO datetime, "
+    "European d/m/Y, raw epoch seconds), counted and range-checked "
+    "per format class — try-parse returns NULL instead of failing "
+    "the task, which is the property that matters at 100 TB (one "
+    "malformed row must not kill a stage; the n vs n_parsed pair is "
+    "the data-quality ledger). Timestamps reduce to epoch seconds "
+    "through the session-UTC discipline both engines share; no "
+    "locale-dependent month names cross the boundary.",
+)
+def q127_parse_datetime_family(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter("o_orderkey <= 2000")
+    s = o.selectExpr(
+        "o_orderkey AS k",
+        "o_orderkey % 3 AS fmt",
+        "CASE CAST(o_orderkey % 3 AS INT)"
+        " WHEN 0 THEN date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss')"
+        " WHEN 1 THEN date_format(o_orderdate, 'dd/MM/yyyy')"
+        " ELSE CAST(unix_timestamp(o_orderdate) AS STRING)"
+        " END AS raw",
+    )
+    p = s.selectExpr(
+        "k", "fmt", "raw",
+        "coalesce("
+        " try_to_timestamp(raw, 'yyyy-MM-dd HH:mm:ss'),"
+        " try_to_timestamp(raw, 'dd/MM/yyyy'),"
+        " CASE WHEN raw RLIKE '^[0-9]+$'"
+        "      THEN timestamp_seconds(CAST(raw AS BIGINT)) END"
+        ") AS ts",
+    )
+    return (
+        p.groupBy("fmt")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("ts").cast("long").alias("n_parsed"),
+            F.min(F.unix_timestamp("ts")).cast("long").alias("min_epoch"),
+            F.max(F.unix_timestamp("ts")).cast("long").alias("max_epoch"),
+        )
+        .orderBy("fmt")
+    )
+
+
+@query(
+    "q129_query_normalize",
+    oracle="""
+    WITH q AS (
+      SELECT 'SELECT v FROM t WHERE user = ' || CAST(user_id AS VARCHAR)
+             || ' AND kind = ''' || event_type || ''' AND score > '
+             || CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS raw
+      FROM events WHERE user_id < 200
+    ), n AS (
+      SELECT regexp_replace(
+               regexp_replace(raw, '''[^'']*''', '?', 'g'),
+               '[0-9]+', '?', 'g') AS template
+      FROM q
+    )
+    SELECT template, md5(template) AS template_hash, count(*) AS n
+    FROM n GROUP BY template ORDER BY template
+    """,
+    note="ClickHouse normalizeQuery / normalizedQueryHash — the "
+    "query-log dedup primitive: literals (quoted strings, then "
+    "numbers) collapse to placeholders via two global regex passes "
+    "(patterns chosen inside the RE2/Java common dialect — no "
+    "lookarounds, no escapes that differ), grouped with a PORTABLE "
+    "md5 template hash so the hash itself is verified cross-engine, "
+    "not just the grouping. The workload collapses to one template "
+    "per query shape exactly as a query-log analysis should; plain "
+    "scan + hash aggregate, no Python.",
+)
+def q129_query_normalize(spark, sf_dir):
+    e = t(spark, sf_dir, "events").filter("user_id < 200")
+    raw = F.concat(
+        F.lit("SELECT v FROM t WHERE user = "),
+        F.col("user_id").cast("string"),
+        F.lit(" AND kind = '"),
+        F.col("event_type"),
+        F.lit("' AND score > "),
+        F.floor("value").cast("long").cast("string"),
+    )
+    template = F.regexp_replace(
+        F.regexp_replace(raw, "'[^']*'", "?"), "[0-9]+", "?"
+    )
+    return (
+        e.select(template.alias("template"))
+        .groupBy("template")
+        .agg(F.count("*").alias("n"))
+        .select("template", F.md5("template").alias("template_hash"), "n")
+        .orderBy("template")
+    )
+
+
+@query(
+    "t20_source_mixing_weights",
+    oracle="""
+    WITH s AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS size_chars,
+             sqrt(CAST(sum(n_chars) AS BIGINT)) AS w
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT list_aggregate(list(w ORDER BY source), 'sum') AS wsum FROM s
+    )
+    SELECT s.source, s.n_docs, s.size_chars,
+           CAST(floor(s.w / tot.wsum * 1000000) AS BIGINT) AS weight_micro
+    FROM s, tot ORDER BY s.source
+    """,
+    note="Training-mixture alpha-sampling weights (the XLM-R / "
+    "multilingual-LM recipe p_i ~ size_i^alpha, here alpha=0.5): "
+    "per-source corpus size, sqrt-damped and normalized to micro "
+    "weights. Determinism discipline: sqrt is IEEE "
+    "correctly-rounded (exact cross-engine, unlike pow(x, 0.7)), "
+    "and the normalizing sum is folded over the sources in SORTED "
+    "order on both engines — an unordered float sum across groups "
+    "would be partition-order-dependent. The per-source rollup is "
+    "one map-side-combined aggregate; the 20-row weight table then "
+    "broadcasts to drive stratified sampling (t09) at any corpus "
+    "size.",
+)
+def t20_source_mixing_weights(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("size_chars"),
+    ).withColumn("w", F.sqrt("size_chars"))
+    tot = s.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("source", "w"))),
+                lambda x: x["w"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("wsum")
+    )
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "size_chars",
+            F.floor(F.col("w") / F.col("wsum") * 1_000_000)
+            .cast("long")
+            .alias("weight_micro"),
+        )
+        .orderBy("source")
+    )
