@@ -746,3 +746,66 @@ def test_exact_dedup_survivor_pick_is_narrow_aggregate(spark, sf_dir):
     got = sorted(tuple(r[c] for c in cols) for r in out.collect())
     want = sorted(tuple(r[c] for c in cols) for r in legacy.collect())
     assert got == want
+
+
+def test_e27_decay_rollup_broadcasts_no_python(spark, sf_dir):
+    """The per-user max-hour rollup must broadcast back onto the
+    events scan (no user-key shuffle of the raw rows for the join)
+    and the dyadic decay arithmetic stays JVM-side."""
+    from laion_spark.catalog import REGISTRY
+
+    p = plan_str(REGISTRY["e27_decayed_sum"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "Python" not in p, p
+
+
+def test_t20_mixture_weights_broadcast_no_python(spark, sf_dir):
+    """The 20-row normalizing total must broadcast onto the per-source
+    rollup (BroadcastNestedLoopJoin for the single-row cross join);
+    the sqrt/fold arithmetic stays JVM-side."""
+    from laion_spark.catalog import REGISTRY
+
+    p = plan_str(REGISTRY["t20_source_mixing_weights"].fn(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+    assert "Python" not in p, p
+
+
+def test_q115_auc_window_runs_on_rollup_not_raw_rows(spark, sf_dir):
+    """The AUC prefix-sum window must consume the distinct-score
+    rollup (HashAggregate below the Window), never the raw orders
+    scan — the property that keeps the sort tiny at any scale."""
+    from laion_spark.catalog import REGISTRY
+
+    df = REGISTRY["q115_array_auc"].fn(spark, sf_dir)
+    p = plan_str(df, "formatted")
+    assert "Window" in p, p
+    win = p.index("Window")
+    # some HashAggregate node must appear as a descendant (later in
+    # the formatted tree dump) of the Window operator
+    assert "HashAggregate" in p[win:], p
+    assert "Python" not in p, p
+
+
+def test_new_function_family_entries_stay_jvm_side(spark, sf_dir):
+    """Every session-2/3 function-family entry is pure built-in
+    expression work: no Python node may appear in any plan."""
+    from laion_spark.catalog import REGISTRY
+
+    for name in [
+        "q116_morton_zorder",
+        "q117_point_in_polygon",
+        "q118_rounding_family",
+        "q119_group_bitmap",
+        "q120_geohash",
+        "q121_bit_family",
+        "q122_weighted_agg_family",
+        "q123_array_transform_family",
+        "q124_minhash_signature",
+        "q125_quantiles_exact_multi",
+        "q126_int_arithmetic_family",
+        "q127_parse_datetime_family",
+        "q129_query_normalize",
+        "e28_proportions_ztest",
+    ]:
+        p = plan_str(REGISTRY[name].fn(spark, sf_dir), "simple")
+        assert "Python" not in p, (name, p)
