@@ -1,0 +1,123 @@
+"""Z-order (morton) clustered parquet layout — multi-dimensional data
+skipping for the 100 TB posture (SURVEY.md §2.17 G15/G21; reference
+north star: ClickHouse ``ORDER BY mortonEncode(a, b)`` clustering, the
+Delta/Iceberg ``OPTIMIZE ZORDER BY`` analog).
+
+A single-column sort layout (``sources/minmax.py`` discipline) makes
+footer min/max pruning surgical on ONE column and useless on every
+other. Interleaving the bits of two (or more) quantized columns into a
+morton key and range-partitioning on THAT gives every file a small
+contiguous Z-curve range — i.e. a small rectangle-ish region of the
+multi-dimensional key space — so the per-file footer [min, max] of
+EACH original column is narrow and file skipping works for predicates
+on ANY of the clustered columns, from the same single layout.
+
+Everything here is plain DataFrame machinery:
+
+    quantize:   exact integer arithmetic onto [0, 2^bits)
+    zorder_key: unrolled shift/AND interleave (pure JVM codegen,
+                the same expression family as catalog q116/q120)
+    write:      repartitionByRange(zkey) + sortWithinPartitions(zkey)
+    scan:       footer-stats file pruning on the ORIGINAL columns
+                (conjunction over per-column ranges), residual filter
+                pushed down inside surviving files
+
+The pruning decision is conservative — files lacking stats for any
+queried column are kept — so results never depend on the statistics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from laion_spark.sources.minmax import _file_key_range
+
+
+def quantize(col: Column | str, lo: int, hi: int, bits: int = 16) -> Column:
+    """Map an integer-valued column from [lo, hi] onto [0, 2^bits) with
+    exact integer arithmetic (clamped at the edges; no float rounding
+    enters the key)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.greatest(F.lit(lo), F.least(F.lit(hi), c)).cast("long")
+    span = hi - lo + 1
+    # (c - lo) * 2^bits is exact in long arithmetic; floor-divide by the
+    # span keeps the whole key integral end to end
+    return F.floor((c - lo) * (1 << bits) / F.lit(span)).cast("long")
+
+
+def zorder_key(cols: list[Column], bits: int = 16) -> Column:
+    """Bit-interleave already-quantized columns (each in [0, 2^bits))
+    into one morton key. Column j contributes bit i to output position
+    ``i * len(cols) + j`` — the classic Z-curve for any arity. Pure
+    shift/AND expression unrolling; stays in whole-stage codegen."""
+    n = len(cols)
+    out = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        c = c.cast("long")
+        for i in range(bits):
+            out = out + F.shiftleft(
+                F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + j
+            )
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    specs: list[tuple[str, int, int]],
+    path: str,
+    files: int = 16,
+    bits: int = 8,
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-curve of the given
+    ``(column, lo, hi)`` specs. ``files`` range-partitions bound the
+    per-file Z-range; within-file sort keeps row groups aligned with
+    the curve so row-group-level stats stay narrow too. At cluster
+    scale this is one range-exchange — the same single shuffle any
+    ORDER BY write discipline pays."""
+    zk = zorder_key([quantize(c, lo, hi, bits) for c, lo, hi in specs], bits)
+    (
+        df.withColumn("__zkey", zk)
+        .repartitionByRange(files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def zorder_pruned_scan(
+    spark: SparkSession,
+    path: str,
+    preds: dict[str, tuple],
+) -> tuple[DataFrame, dict]:
+    """Scan ``path`` keeping only files whose footer [min, max] range
+    intersects EVERY ``col: (lo, hi)`` predicate. Returns (df, stats)
+    with ``files_total`` / ``files_scanned`` skipping evidence; the
+    residual filter is applied (and parquet-pushed) inside surviving
+    files, so pruning is never a correctness input."""
+    files = sorted(
+        os.path.join(r, f)
+        for r, _d, fl in os.walk(path)
+        for f in fl
+        if f.endswith(".parquet")
+    )
+    keep = []
+    for f in files:
+        ok = True
+        for col, (lo, hi) in preds.items():
+            rng = _file_key_range(f, col)
+            if rng is not None and (rng[0] > hi or rng[1] < lo):
+                ok = False
+                break
+        if ok:
+            keep.append(f)
+    stats = {"files_total": len(files), "files_scanned": len(keep)}
+    if not keep:
+        empty = spark.read.parquet(path).filter(F.lit(False))
+        return empty, stats
+    df = spark.read.parquet(*keep)
+    for col, (lo, hi) in preds.items():
+        df = df.filter(F.col(col).between(lo, hi))
+    return df, stats
