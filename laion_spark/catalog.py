@@ -10026,3 +10026,156 @@ def x14_zorder_layout(spark, sf_dir):
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "e29_funnel_latency",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS c_ts
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(CAST(e.ts AS TIMESTAMP)) > c.c_ts
+      GROUP BY e.user_id
+    )
+    SELECT c.user_id % 4 AS cohort,
+           count(*) AS n_converted,
+           CAST(min(p.p_ts - c.c_ts) AS BIGINT) AS min_latency_us,
+           CAST(max(p.p_ts - c.c_ts) AS BIGINT) AS max_latency_us,
+           CAST(sum(p.p_ts - c.c_ts) AS BIGINT) AS sum_latency_us
+    FROM c JOIN p ON c.user_id = p.user_id
+    GROUP BY c.user_id % 4 ORDER BY cohort
+    """,
+    note="Funnel conversion latency (the companion analysis to "
+    "windowFunnel e06: not just WHETHER users convert but HOW FAST): "
+    "first click per user, first purchase strictly after it, latency "
+    "statistics per cohort in exact integer micros. Two user-keyed "
+    "rollups and one join on the same key — on a cluster all three "
+    "share one hash partitioning, so the whole analysis is a single "
+    "exchange of (user, ts) pairs regardless of corpus size.",
+)
+def e29_funnel_latency(spark, sf_dir):
+    e = with_event_time(t(spark, sf_dir, "events"))
+    c = (
+        e.filter("event_type = 'click'")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("c_ts"))
+    )
+    p = (
+        e.filter("event_type = 'purchase'")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("p_ts"))
+    )
+    lat = F.col("p_ts") - F.col("c_ts")
+    return (
+        c.join(p, "user_id")
+        .groupBy(F.pmod("user_id", F.lit(4)).alias("cohort"))
+        .agg(
+            F.count("*").alias("n_converted"),
+            F.min(lat).cast("long").alias("min_latency_us"),
+            F.max(lat).cast("long").alias("max_latency_us"),
+            F.sum(lat).cast("long").alias("sum_latency_us"),
+        )
+        .orderBy("cohort")
+    )
+
+
+@query(
+    "q130_asof_forward",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC, event_id ASC) AS rn
+      FROM events
+      WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15 00:00:00'
+    ) WHERE rn = 1
+    ORDER BY user_id
+    """,
+    note="Forward as-of: the earliest event AT-OR-AFTER the probe "
+    "instant per user — ClickHouse ASOF JOIN with the >= direction "
+    "(e03 covers the standard latest-before form; together they "
+    "complete both ASOF inequality directions). Same ordered-window "
+    "shape, deterministic (ts, event_id) tie-break; partition-prunes "
+    "by time at the scan when the layout is date-partitioned.",
+)
+def q130_asof_forward(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = with_event_time(t(spark, sf_dir, "events")).filter(
+        F.col("ts_t") >= F.lit("2024-01-15 00:00:00").cast("timestamp")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_id", "event_type", "ts_us")
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "x15_csv_malformed_ledger",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_rows,
+           CAST(sum(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_good,
+           CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bad,
+           CAST(sum(CASE WHEN doc_id % 10 <> 0 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS chars_good
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    note="Malformed-input ledger (ClickHouse input_format_allow_errors_*; "
+    "the at-100-TB property that one bad row must not kill a stage): "
+    "a CSV written with a planted non-numeric n_chars on every "
+    "doc_id%10=0 row is read back under PERMISSIVE mode with a "
+    "_corrupt_record column — corrupt rows surface as NULL-typed "
+    "fields plus the preserved raw line (quarantine-able), good rows "
+    "parse normally, and the per-language good/bad/row counts must "
+    "equal the oracle's arithmetic on the source table. FAILFAST is "
+    "one option away when a pipeline would rather die loudly.",
+)
+def x15_csv_malformed_ledger(spark, sf_dir):
+    import tempfile
+
+    tune_session(spark)
+    d = t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "lang",
+        "CASE WHEN doc_id % 10 = 0 THEN 'NA' ELSE CAST(n_chars AS STRING) END"
+        " AS n_chars",
+    )
+    base = tempfile.mkdtemp(prefix="laion_csvbad_")
+    d.write.mode("overwrite").option("header", True).csv(base)
+    back = (
+        spark.read.schema(
+            "doc_id LONG, lang STRING, n_chars LONG, _corrupt_record STRING"
+        )
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(base)
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(~bad, 1).otherwise(0)).cast("long").alias("n_good"),
+            F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_bad"),
+            F.sum(F.when(~bad, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("chars_good"),
+        )
+        .orderBy("lang")
+    )
