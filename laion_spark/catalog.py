@@ -10179,3 +10179,499 @@ def x15_csv_malformed_ledger(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# --- round-7 session-3 additions: statistics, hierarchy, curation ----------
+
+
+@query(
+    "q131_anova_oneway",
+    oracle="""
+    WITH s AS (
+      SELECT count(*) AS n,
+             count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS na,
+             count(CASE WHEN l_returnflag = 'N' THEN 1 END) AS nn,
+             count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS nr,
+             CAST(sum(CASE WHEN l_returnflag = 'A'
+                   THEN CAST(floor(l_extendedprice) AS BIGINT) END) AS BIGINT) AS sa,
+             CAST(sum(CASE WHEN l_returnflag = 'N'
+                   THEN CAST(floor(l_extendedprice) AS BIGINT) END) AS BIGINT) AS sn,
+             CAST(sum(CASE WHEN l_returnflag = 'R'
+                   THEN CAST(floor(l_extendedprice) AS BIGINT) END) AS BIGINT) AS sr,
+             CAST(sum(CASE WHEN l_returnflag = 'A'
+                   THEN CAST(floor(l_extendedprice) AS BIGINT)
+                        * CAST(floor(l_extendedprice) AS BIGINT) END) AS BIGINT) AS qa,
+             CAST(sum(CASE WHEN l_returnflag = 'N'
+                   THEN CAST(floor(l_extendedprice) AS BIGINT)
+                        * CAST(floor(l_extendedprice) AS BIGINT) END) AS BIGINT) AS qn,
+             CAST(sum(CASE WHEN l_returnflag = 'R'
+                   THEN CAST(floor(l_extendedprice) AS BIGINT)
+                        * CAST(floor(l_extendedprice) AS BIGINT) END) AS BIGINT) AS qr
+      FROM lineitem
+    ), d AS (
+      SELECT n,
+             CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+             + CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(nn AS DOUBLE)
+             + CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / CAST(nr AS DOUBLE) AS btw,
+             CAST(sa + sn + sr AS DOUBLE) AS st,
+             CAST(qa + qn + qr AS DOUBLE) AS qt
+      FROM s
+    )
+    SELECT n AS n_total,
+           CAST(2 AS BIGINT) AS df_between,
+           CAST(n - 3 AS BIGINT) AS df_within,
+           CAST(floor(btw - st * st / CAST(n AS DOUBLE)) AS BIGINT)
+             AS ssb_floor,
+           CAST(floor(qt - btw) AS BIGINT) AS ssw_floor,
+           CAST(floor(((btw - st * st / CAST(n AS DOUBLE))
+                       * CAST(n - 3 AS DOUBLE)) * 1000000
+                      / ((qt - btw) * 2.0)) AS BIGINT) AS f_micro
+    FROM d
+    """,
+    note="ClickHouse analysisOfVariance (one-way ANOVA F) over order-"
+    "dollar values grouped by the three return flags: exact BIGINT "
+    "sufficient statistics per group from ONE pass (every sum < 2^53 "
+    "so the double casts are exact), then the closed-form F as an "
+    "identical IEEE expression in both engines, floored to micros — "
+    "the q113 corrMatrix determinism pattern. A map-side-combined "
+    "single aggregate is the only 100 TB-safe shape for grouped "
+    "statistics (no per-group re-scan, no double-pass mean).",
+)
+def q131_anova_oneway(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    x = F.floor("l_extendedprice").cast("long")
+
+    def per(g, col, alias):
+        return F.sum(F.when(F.col("l_returnflag") == g, col)).cast("long").alias(alias)
+
+    s = li.agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("l_returnflag") == "A", 1)).alias("na"),
+        F.count(F.when(F.col("l_returnflag") == "N", 1)).alias("nn"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("nr"),
+        per("A", x, "sa"), per("N", x, "sn"), per("R", x, "sr"),
+        per("A", x * x, "qa"), per("N", x * x, "qn"), per("R", x * x, "qr"),
+    )
+
+    def dd(c):
+        return F.col(c).cast("double")
+
+    btw = (
+        dd("sa") * dd("sa") / dd("na")
+        + dd("sn") * dd("sn") / dd("nn")
+        + dd("sr") * dd("sr") / dd("nr")
+    )
+    st = (F.col("sa") + F.col("sn") + F.col("sr")).cast("double")
+    qt = (F.col("qa") + F.col("qn") + F.col("qr")).cast("double")
+    ssb = btw - st * st / dd("n")
+    ssw = qt - btw
+    return s.select(
+        F.col("n").alias("n_total"),
+        F.lit(2).cast("long").alias("df_between"),
+        (F.col("n") - 3).cast("long").alias("df_within"),
+        F.floor(ssb).cast("long").alias("ssb_floor"),
+        F.floor(ssw).cast("long").alias("ssw_floor"),
+        F.floor((ssb * (F.col("n") - 3).cast("double")) * 1000000 / (ssw * F.lit(2.0)))
+        .cast("long")
+        .alias("f_micro"),
+    )
+
+
+@query(
+    "q132_robust_median_mad",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), m AS (
+      SELECT priority, count(*) AS n, median(cents) AS med_cents
+      FROM c GROUP BY priority
+    )
+    SELECT m.priority, m.n, m.med_cents,
+           median(abs(CAST(c.cents AS DOUBLE) - m.med_cents)) AS mad_cents
+    FROM c JOIN m ON c.priority = m.priority
+    GROUP BY m.priority, m.n, m.med_cents
+    ORDER BY m.priority
+    """,
+    note="ClickHouse medianExact + medianAbsoluteDeviation (robust "
+    "location/scale): exact interpolated median of integer order "
+    "cents per priority class, then the median of absolute deviations "
+    "from it. Cents are exact in DOUBLE and every interpolation "
+    "midpoint is a dyadic rational, so both engines produce bit-equal "
+    "results with no rounding step. Two grouped passes with a "
+    "broadcast-size join between them — the canonical exact-quantile "
+    "shape at 100 TB (the approx path is the KLL entry q68).",
+)
+def q132_robust_median_mad(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    m = o.groupBy("priority").agg(
+        F.count("*").alias("n"), F.median("cents").alias("med_cents")
+    )
+    return (
+        o.join(F.broadcast(m), "priority")
+        .groupBy("priority", "n", "med_cents")
+        .agg(
+            F.median(F.abs(F.col("cents").cast("double") - F.col("med_cents"))).alias(
+                "mad_cents"
+            )
+        )
+        .select("priority", "n", "med_cents", "mad_cents")
+        .orderBy("priority")
+    )
+
+
+@query(
+    "q133_information_value",
+    oracle="""
+    WITH g AS (
+      SELECT c.c_mktsegment AS segment,
+             count(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 1 END) AS n_bad,
+             count(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                   THEN 1 END) AS n_good
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment
+    ), tot AS (
+      SELECT sum(n_bad) AS tb, sum(n_good) AS tg FROM g
+    )
+    SELECT g.segment, g.n_good, g.n_bad,
+           round(ln((CAST(g.n_good AS DOUBLE) / CAST(tot.tg AS DOUBLE))
+                    / (CAST(g.n_bad AS DOUBLE) / CAST(tot.tb AS DOUBLE))), 6)
+             AS woe,
+           round((CAST(g.n_good AS DOUBLE) / CAST(tot.tg AS DOUBLE)
+                  - CAST(g.n_bad AS DOUBLE) / CAST(tot.tb AS DOUBLE))
+                 * ln((CAST(g.n_good AS DOUBLE) / CAST(tot.tg AS DOUBLE))
+                      / (CAST(g.n_bad AS DOUBLE) / CAST(tot.tb AS DOUBLE))), 6)
+             AS iv_term
+    FROM g CROSS JOIN tot
+    ORDER BY g.segment
+    """,
+    note="ClickHouse categoricalInformationValue parity: weight-of-"
+    "evidence and the per-category IV term for market segment vs the "
+    "urgent-order outcome. Counts are exact integers; the WOE log "
+    "ratio is one identical IEEE expression rounded at 6dp (the "
+    "entropy/q55 libm declaration). One grouped pass plus a one-row "
+    "totals broadcast — IV over any cardinality is a single shuffle "
+    "at 100 TB.",
+)
+def q133_information_value(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    bad = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    g = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.when(bad, 1)).alias("n_bad"),
+            F.count(F.when(~bad, 1)).alias("n_good"),
+        )
+    )
+    tot = g.agg(F.sum("n_bad").alias("tb"), F.sum("n_good").alias("tg"))
+    gr = F.col("n_good").cast("double") / F.col("tg").cast("double")
+    br = F.col("n_bad").cast("double") / F.col("tb").cast("double")
+    woe = F.log(gr / br)
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "segment",
+            "n_good",
+            "n_bad",
+            F.round(woe, 6).alias("woe"),
+            F.round((gr - br) * woe, 6).alias("iv_term"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
+    "q134_group_array_intersect",
+    oracle="""
+    WITH ud AS (
+      SELECT user_id, count(DISTINCT epoch_us(CAST(ts AS TIMESTAMP))
+                            // 86400000000) AS n_days
+      FROM events GROUP BY user_id
+    ), ut AS (
+      SELECT user_id, event_type,
+             count(DISTINCT epoch_us(CAST(ts AS TIMESTAMP))
+                   // 86400000000) AS n_typed
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT ud.user_id, ud.n_days,
+           count(CASE WHEN ut.n_typed = ud.n_days THEN 1 END) AS n_common,
+           coalesce(string_agg(CASE WHEN ut.n_typed = ud.n_days
+                               THEN ut.event_type END, ','
+                               ORDER BY ut.event_type), '') AS common_types
+    FROM ud JOIN ut ON ud.user_id = ut.user_id
+    GROUP BY ud.user_id, ud.n_days
+    ORDER BY ud.user_id
+    """,
+    note="ClickHouse groupArrayIntersect (24.x): the set of elements "
+    "present in EVERY row of a group — here the event types a user "
+    "emitted on every one of their active days. Re-expressed as two "
+    "hash aggregates plus an equality filter (element is in the "
+    "intersection iff its distinct-day count equals the group's "
+    "distinct-day count), which never materializes per-row sets and "
+    "is therefore a two-shuffle plan at any scale; the intersection "
+    "crosses the driver boundary as a sorted joined string.",
+)
+def q134_group_array_intersect(spark, sf_dir):
+    e = with_event_time(t(spark, sf_dir, "events")).withColumn(
+        "dayi", F.expr("ts_us DIV 86400000000")
+    )
+    ud = e.groupBy("user_id").agg(F.countDistinct("dayi").alias("n_days"))
+    ut = e.groupBy("user_id", "event_type").agg(
+        F.countDistinct("dayi").alias("n_typed")
+    )
+    hit = F.col("n_typed") == F.col("n_days")
+    return (
+        ud.join(ut, "user_id")
+        .groupBy("user_id", "n_days")
+        .agg(
+            F.count(F.when(hit, 1)).alias("n_common"),
+            F.coalesce(
+                F.array_join(
+                    F.sort_array(F.collect_list(F.when(hit, F.col("event_type")))),
+                    ",",
+                ),
+                F.lit(""),
+            ).alias("common_types"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q135_count_matches",
+    oracle="""
+    SELECT p_brand AS brand,
+           CAST(sum(length(regexp_extract_all(p_name, '[aeiou]+'))) AS BIGINT)
+             AS vowel_runs,
+           CAST(sum((length(p_name) - length(replace(p_name, 'al', ''))) // 2)
+             AS BIGINT) AS al_substrings,
+           CAST(sum(CASE WHEN strpos(p_name, 'al') > 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_with_al,
+           CAST(min(CASE WHEN strpos(p_name, 'al') > 0
+                    THEN strpos(p_name, 'al') END) AS BIGINT) AS min_al_pos
+    FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
+    note="ClickHouse countMatches / countSubstrings / position scalar "
+    "family over part names, rolled up per brand: regex-run counting "
+    "(RE2-and-Java-compatible pattern), non-overlapping literal "
+    "substring counting via the replace-length identity (exact "
+    "integers, no regex engine in the loop), and 1-based/0-missing "
+    "first-position semantics. All scan-local scalar work — fuses "
+    "into the scan at any scale.",
+)
+def q135_count_matches(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    pos = F.instr(F.col("p_name"), "al")
+    subs = (F.length("p_name") - F.length(F.regexp_replace("p_name", "al", ""))) / 2
+    return (
+        p.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(F.regexp_count("p_name", F.lit("[aeiou]+"))).cast("long").alias("vowel_runs"),
+            F.sum(subs.cast("long")).cast("long").alias("al_substrings"),
+            F.sum(F.when(pos > 0, 1).otherwise(0)).cast("long").alias("n_with_al"),
+            F.min(F.when(pos > 0, pos)).cast("long").alias("min_al_pos"),
+        )
+        .orderBy("brand")
+    )
+
+
+_READABLE_SQL_DUCK = """
+    CASE WHEN {b} >= 1073741824 THEN
+           CAST(({b} * 100 // 1073741824) // 100 AS VARCHAR) || '.' ||
+           lpad(CAST(({b} * 100 // 1073741824) % 100 AS VARCHAR), 2, '0') || ' GiB'
+         WHEN {b} >= 1048576 THEN
+           CAST(({b} * 100 // 1048576) // 100 AS VARCHAR) || '.' ||
+           lpad(CAST(({b} * 100 // 1048576) % 100 AS VARCHAR), 2, '0') || ' MiB'
+         WHEN {b} >= 1024 THEN
+           CAST(({b} * 100 // 1024) // 100 AS VARCHAR) || '.' ||
+           lpad(CAST(({b} * 100 // 1024) % 100 AS VARCHAR), 2, '0') || ' KiB'
+         ELSE CAST({b} AS VARCHAR) || ' B' END
+"""
+
+
+@query(
+    "q136_format_readable",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderkey AS okey,
+             CAST(o_orderkey * 77777 AS BIGINT) AS nbytes
+      FROM orders WHERE o_orderkey % 997 = 0
+    )
+    SELECT okey, nbytes,
+           {_READABLE_SQL_DUCK.format(b="nbytes")} AS readable_size,
+           CASE WHEN nbytes >= 1000000000 THEN
+                  CAST((nbytes * 100 // 1000000000) // 100 AS VARCHAR) || '.' ||
+                  lpad(CAST((nbytes * 100 // 1000000000) % 100 AS VARCHAR), 2, '0')
+                  || ' billion'
+                WHEN nbytes >= 1000000 THEN
+                  CAST((nbytes * 100 // 1000000) // 100 AS VARCHAR) || '.' ||
+                  lpad(CAST((nbytes * 100 // 1000000) % 100 AS VARCHAR), 2, '0')
+                  || ' million'
+                WHEN nbytes >= 1000 THEN
+                  CAST((nbytes * 100 // 1000) // 100 AS VARCHAR) || '.' ||
+                  lpad(CAST((nbytes * 100 // 1000) % 100 AS VARCHAR), 2, '0')
+                  || ' thousand'
+                ELSE CAST(nbytes AS VARCHAR) END AS readable_qty
+    FROM s ORDER BY okey
+    """,
+    note="ClickHouse formatReadableSize / formatReadableQuantity: "
+    "human-readable binary-unit (KiB/MiB/GiB) and decimal-unit "
+    "(thousand/million/billion) rendering. Both engines format from "
+    "EXACT fixed-point hundredths (integer multiply-then-truncating-"
+    "divide; Spark DIV, DuckDB //) rather than rounding a double "
+    "quotient, so the strings are identical by construction — the "
+    "quotient-tie discipline applied to presentation functions.",
+)
+def q136_format_readable(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter("o_orderkey % 997 = 0")
+    s = o.select(
+        F.col("o_orderkey").alias("okey"),
+        (F.col("o_orderkey") * 77777).cast("long").alias("nbytes"),
+    )
+
+    def fixed(div, suffix):
+        h = F.expr(f"nbytes * 100 DIV {div}")
+        return F.concat(
+            (h / 100).cast("long").cast("string"),
+            F.lit("."),
+            F.lpad((h % 100).cast("string"), 2, "0"),
+            F.lit(suffix),
+        )
+
+    b = F.col("nbytes")
+    readable_size = (
+        F.when(b >= 1073741824, fixed(1073741824, " GiB"))
+        .when(b >= 1048576, fixed(1048576, " MiB"))
+        .when(b >= 1024, fixed(1024, " KiB"))
+        .otherwise(F.concat(b.cast("string"), F.lit(" B")))
+    )
+    readable_qty = (
+        F.when(b >= 1000000000, fixed(1000000000, " billion"))
+        .when(b >= 1000000, fixed(1000000, " million"))
+        .when(b >= 1000, fixed(1000, " thousand"))
+        .otherwise(b.cast("string"))
+    )
+    return s.select(
+        "okey", "nbytes",
+        readable_size.alias("readable_size"),
+        readable_qty.alias("readable_qty"),
+    ).orderBy("okey")
+
+
+@query(
+    "q137_multisearch",
+    oracle="""
+    WITH s AS (
+      SELECT p_partkey AS pkey, p_name,
+             strpos(p_name, 'red') AS pos1,
+             strpos(p_name, 'green') AS pos2,
+             strpos(p_name, 'blue') AS pos3,
+             strpos(p_name, 'ivory') AS pos4
+      FROM part WHERE p_partkey % 13 = 0
+    )
+    SELECT pkey,
+           CAST(pos1 AS BIGINT) AS pos1, CAST(pos2 AS BIGINT) AS pos2,
+           CAST(pos3 AS BIGINT) AS pos3, CAST(pos4 AS BIGINT) AS pos4,
+           CASE WHEN pos1 + pos2 + pos3 + pos4 > 0 THEN 1 ELSE 0 END AS any_hit,
+           CAST(CASE
+             WHEN pos1 > 0 AND (pos2 = 0 OR pos1 <= pos2)
+                  AND (pos3 = 0 OR pos1 <= pos3)
+                  AND (pos4 = 0 OR pos1 <= pos4) THEN 1
+             WHEN pos2 > 0 AND (pos3 = 0 OR pos2 <= pos3)
+                  AND (pos4 = 0 OR pos2 <= pos4) THEN 2
+             WHEN pos3 > 0 AND (pos4 = 0 OR pos3 <= pos4) THEN 3
+             WHEN pos4 > 0 THEN 4
+             ELSE 0 END AS BIGINT) AS first_needle
+    FROM s ORDER BY pkey
+    """,
+    note="ClickHouse multiSearchAllPositions / multiSearchAny / "
+    "multiSearchFirstIndex over a fixed needle set ('red','green',"
+    "'blue','ivory') in part names: per-needle 1-based first "
+    "positions (0 = absent), the any-needle flag, and the 1-based "
+    "index of the needle whose match appears leftmost (earlier "
+    "needle wins position ties — CH's documented tie rule). "
+    "Scan-local scalar work; a real multi-needle engine would use "
+    "Aho-Corasick, which this output contract is agnostic to.",
+)
+def q137_multisearch(spark, sf_dir):
+    p = t(spark, sf_dir, "part").filter("p_partkey % 13 = 0")
+    pos = {i: F.instr(F.col("p_name"), n) for i, n in
+           enumerate(["red", "green", "blue", "ivory"], start=1)}
+    s = p.select(
+        F.col("p_partkey").alias("pkey"),
+        *[pos[i].cast("long").alias(f"pos{i}") for i in range(1, 5)],
+    )
+    c = {i: F.col(f"pos{i}") for i in range(1, 5)}
+    first = (
+        F.when(
+            (c[1] > 0) & ((c[2] == 0) | (c[1] <= c[2]))
+            & ((c[3] == 0) | (c[1] <= c[3])) & ((c[4] == 0) | (c[1] <= c[4])), 1)
+        .when((c[2] > 0) & ((c[3] == 0) | (c[2] <= c[3]))
+              & ((c[4] == 0) | (c[2] <= c[4])), 2)
+        .when((c[3] > 0) & ((c[4] == 0) | (c[3] <= c[4])), 3)
+        .when(c[4] > 0, 4)
+        .otherwise(0)
+    )
+    return s.select(
+        "pkey", "pos1", "pos2", "pos3", "pos4",
+        F.when(c[1] + c[2] + c[3] + c[4] > 0, 1).otherwise(0).alias("any_hit"),
+        first.cast("long").alias("first_needle"),
+    ).orderBy("pkey")
+
+
+@query(
+    "q138_enumerate_uniq",
+    oracle="""
+    WITH e AS (
+      SELECT l_orderkey AS okey, l_linenumber AS ln, l_returnflag AS mode,
+             row_number() OVER (PARTITION BY l_orderkey, l_returnflag
+                                ORDER BY l_linenumber) AS occ
+      FROM lineitem WHERE l_orderkey % 97 = 0
+    )
+    SELECT okey,
+           string_agg(mode, ',' ORDER BY ln, mode, occ) AS modes,
+           string_agg(CAST(occ AS VARCHAR), ',' ORDER BY ln, mode, occ) AS occ_idx
+    FROM e GROUP BY okey ORDER BY okey
+    """,
+    note="ClickHouse arrayEnumerateUniq: for each position in a "
+    "sequence, the 1-based occurrence index of that value so far — "
+    "here over each order's return-flag sequence in line-number order. "
+    "Re-expressed as explode -> row_number partitioned by (sequence, "
+    "value) -> reassemble in position order, which is shuffle-bounded "
+    "by the sequence key and never holds more than one sequence per "
+    "task; arrays cross the driver boundary as joined strings.",
+)
+def q138_enumerate_uniq(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem").filter("l_orderkey % 97 = 0")
+    w = Window.partitionBy("l_orderkey", "l_returnflag").orderBy("l_linenumber")
+    e = li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_returnflag").alias("mode"),
+        F.row_number().over(w).alias("occ"),
+    )
+
+    def joined(field):
+        # (ln, mode, occ) is a total order even when line numbers repeat
+        return F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ln", "mode", "occ"))),
+                lambda x: x[field].cast("string"),
+            ),
+            ",",
+        )
+
+    return (
+        e.groupBy("okey")
+        .agg(joined("mode").alias("modes"), joined("occ").alias("occ_idx"))
+        .orderBy("okey")
+    )
