@@ -10675,3 +10675,538 @@ def q138_enumerate_uniq(spark, sf_dir):
         .agg(joined("mode").alias("modes"), joined("occ").alias("occ_idx"))
         .orderBy("okey")
     )
+
+
+@query(
+    "q139_json_array_flatten",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey AS okey, o_orderstatus AS status,
+             o_orderkey % 3 + 1 AS n_items
+      FROM orders WHERE o_orderkey % 199 = 0
+    )
+    SELECT status,
+           CAST(sum(n_items) AS BIGINT) AS n_flat,
+           CAST(sum(okey * (n_items * (n_items + 1) // 2)) AS BIGINT) AS sum_v,
+           CAST(max(okey * n_items) AS BIGINT) AS max_v
+    FROM s GROUP BY status ORDER BY status
+    """,
+    note="ClickHouse JSONExtractArrayRaw + arrayJoin (nested JSON "
+    "array flatten): each order serializes a line-items JSON array "
+    "('[{\"k\":1,\"v\":...},...]' via to_json), is parsed back with an "
+    "explicit array<struct> schema (from_json), exploded with "
+    "inline(), and aggregated. The oracle verifies the round-trip "
+    "arithmetically (sum over k of okey*k is okey*n(n+1)/2), so the "
+    "JSON parse path itself is under test on the Spark side — the "
+    "x15 planted-input pattern. Parse+explode is scan-local; the "
+    "only shuffle is the final aggregate.",
+)
+def q139_json_array_flatten(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter("o_orderkey % 199 = 0")
+    items = F.transform(
+        F.sequence(F.lit(1).cast("long"), F.col("o_orderkey") % 3 + 1),
+        lambda k: F.struct(k.alias("k"), (F.col("o_orderkey") * k).alias("v")),
+    )
+    j = o.select(
+        F.col("o_orderstatus").alias("status"),
+        F.to_json(items).alias("payload"),
+    )
+    parsed = j.select(
+        "status",
+        F.from_json("payload", "array<struct<k:long,v:long>>").alias("arr"),
+    )
+    flat = parsed.select("status", F.explode("arr").alias("item"))
+    return (
+        flat.groupBy("status")
+        .agg(
+            F.count("*").alias("n_flat"),
+            F.sum("item.v").cast("long").alias("sum_v"),
+            F.max("item.v").cast("long").alias("max_v"),
+        )
+        .orderBy("status")
+    )
+
+
+@query(
+    "q140_percent_rank_cume_dist",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderkey AS okey, o_orderpriority AS priority,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             rank() OVER (PARTITION BY o_orderpriority
+                          ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT)) AS rnk,
+             percent_rank() OVER (PARTITION BY o_orderpriority
+                          ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT)) AS pr,
+             cume_dist() OVER (PARTITION BY o_orderpriority
+                          ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT)) AS cd
+      FROM orders
+    )
+    SELECT okey, priority, cents, CAST(rnk AS BIGINT) AS rnk,
+           CAST(floor(pr * 1000000) AS BIGINT) AS pr_micro,
+           CAST(floor(cd * 1000000) AS BIGINT) AS cd_micro
+    FROM w WHERE okey % 499 = 0 ORDER BY okey
+    """,
+    note="percent_rank / cume_dist window parity (ClickHouse 24.x "
+    "window functions) over order cents per priority class, sampled "
+    "after windowing so every rank sees its full partition. Both "
+    "statistics are single IEEE divisions of exact integers "
+    "((rank-1)/(n-1), peers/n): when the true value is a micro "
+    "integer the division is exact, and when it is not it sits at "
+    "least 1/(n-1) >> 1 ulp from the boundary, so the micro floor "
+    "is deterministic — same argument as the registry's other "
+    "floor-micro rows.",
+)
+def q140_percent_rank_cume_dist(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("priority").orderBy("cents")
+    return (
+        o.select(
+            "okey", "priority", "cents",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.floor(F.percent_rank().over(w) * 1000000).cast("long").alias("pr_micro"),
+            F.floor(F.cume_dist().over(w) * 1000000).cast("long").alias("cd_micro"),
+        )
+        .filter("okey % 499 = 0")
+        .orderBy("okey")
+    )
+
+
+_PARENT_SQL = (
+    "CASE WHEN {k} <= 1 THEN 0 "
+    "ELSE {k} // 2 + ({k} * 2654435761) % ({k} // 4 + 1) END"
+)
+
+
+@query(
+    "e31_dict_hierarchy",
+    oracle=f"""
+    WITH RECURSIVE dict AS (
+      SELECT p_partkey AS node,
+             CAST({_PARENT_SQL.format(k="p_partkey")} AS BIGINT) AS parent
+      FROM part
+    ), walk AS (
+      SELECT node AS start, node AS cur, 0 AS d FROM dict
+      UNION ALL
+      SELECT w.start, dict.parent, w.d + 1
+      FROM walk w JOIN dict ON dict.node = w.cur
+      WHERE w.cur > 0
+    ), depth AS (
+      SELECT start AS node, max(d) AS depth FROM walk GROUP BY start
+    )
+    SELECT d.node, CAST(d.depth AS BIGINT) AS depth,
+           dict.parent AS anc1,
+           CAST(coalesce(p2.parent, 0) AS BIGINT) AS anc2
+    FROM depth d
+    JOIN dict ON dict.node = d.node
+    LEFT JOIN dict p2 ON p2.node = dict.parent
+    WHERE d.node % 37 = 0
+    ORDER BY d.node
+    """,
+    note="ClickHouse dictGetHierarchy / dictGetDescendants semantics: "
+    "each part key's parent is a DICTIONARY row (a mixing-hash "
+    "mapping with parent(k) < k, so the graph is a forest rooted at "
+    "the sentinel 0), and the query resolves per-node depth plus the "
+    "first two ancestors by walking the dictionary — iterated "
+    "BROADCAST joins on the Spark side (a bounded pointer-chase: "
+    "depth <= log2(max key), 21 rounds covers 1M+ keys), WITH "
+    "RECURSIVE on the oracle side. Broadcasting the dict every round "
+    "while the fact rows never shuffle is exactly how hierarchy "
+    "resolution runs at 100 TB.",
+)
+def e31_dict_hierarchy(spark, sf_dir):
+    parent_expr = (
+        "CASE WHEN p_partkey <= 1 THEN CAST(0 AS BIGINT) "
+        "ELSE p_partkey DIV 2 + (p_partkey * 2654435761) % (p_partkey DIV 4 + 1) END"
+    )
+    dict_df = (
+        t(spark, sf_dir, "part")
+        .select(
+            F.col("p_partkey").alias("dnode"),
+            F.expr(parent_expr).cast("long").alias("dparent"),
+        )
+        .cache()
+    )
+    walk = dict_df.select(
+        F.col("dnode").alias("node"),
+        F.col("dnode").alias("cur"),
+        F.lit(0).cast("long").alias("depth"),
+    )
+    for _ in range(21):
+        walk = (
+            walk.join(F.broadcast(dict_df), walk.cur == dict_df.dnode, "left")
+            .select(
+                "node",
+                F.when(F.col("cur") > 0, F.coalesce("dparent", F.lit(0)))
+                .otherwise(0)
+                .cast("long")
+                .alias("cur"),
+                (F.col("depth") + F.when(F.col("cur") > 0, 1).otherwise(0))
+                .cast("long")
+                .alias("depth"),
+            )
+        )
+    d1 = dict_df.withColumnRenamed("dnode", "n1").withColumnRenamed("dparent", "anc1")
+    d2 = dict_df.withColumnRenamed("dnode", "n2").withColumnRenamed("dparent", "anc2")
+    return (
+        walk.filter("node % 37 = 0")
+        .select("node", "depth")
+        .join(F.broadcast(d1), F.col("node") == F.col("n1"))
+        .join(F.broadcast(d2), F.col("anc1") == F.col("n2"), "left")
+        .select(
+            "node", "depth", "anc1",
+            F.coalesce("anc2", F.lit(0)).cast("long").alias("anc2"),
+        )
+        .orderBy("node")
+    )
+
+
+@query(
+    "e32_time_slots",
+    oracle="""
+    WITH e AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             (event_id % 7200 + 60) * 1000000 AS dur_us
+      FROM events
+    ), b AS (
+      SELECT ts_us - ts_us % 1800000000 AS lo,
+             (ts_us + dur_us) - (ts_us + dur_us) % 1800000000 AS hi
+      FROM e
+    )
+    SELECT s.slot_us, count(*) AS n_active
+    FROM b, LATERAL (SELECT unnest(range(b.lo, b.hi + 1, 1800000000))
+                     AS slot_us) s
+    GROUP BY s.slot_us ORDER BY s.slot_us
+    """,
+    note="ClickHouse timeSlots(start, duration): every 30-minute grid "
+    "slot an interval [ts, ts+duration] touches, here counting how "
+    "many event intervals are active per slot (duration derived "
+    "deterministically from the event id). sequence()+explode on the "
+    "Spark side, LATERAL range() unnest on the oracle side — all in "
+    "exact epoch-microsecond integers. Expansion factor is bounded "
+    "by duration/slot_width, so the explode is O(rows) and the "
+    "single aggregate shuffles only (slot, count) pairs at scale.",
+)
+def e32_time_slots(spark, sf_dir):
+    e = with_event_time(t(spark, sf_dir, "events")).select(
+        F.col("ts_us"),
+        ((F.col("event_id") % 7200 + 60) * 1000000).cast("long").alias("dur_us"),
+    )
+    b = e.select(
+        (F.col("ts_us") - F.col("ts_us") % 1800000000).alias("lo"),
+        (
+            (F.col("ts_us") + F.col("dur_us"))
+            - (F.col("ts_us") + F.col("dur_us")) % 1800000000
+        ).alias("hi"),
+    )
+    return (
+        b.select(
+            F.explode(
+                F.sequence("lo", "hi", F.lit(1800000000).cast("long"))
+            ).alias("slot_us")
+        )
+        .groupBy("slot_us")
+        .agg(F.count("*").alias("n_active"))
+        .orderBy("slot_us")
+    )
+
+
+_L1_EMB = (
+    f"list_aggregate(list_transform(range(1, 65), "
+    f"i -> abs(CAST(embedding[i] AS DOUBLE) - ({_QLIT})[i])), 'sum')"
+)
+_LINF_EMB = (
+    f"list_aggregate(list_transform(range(1, 65), "
+    f"i -> abs(CAST(embedding[i] AS DOUBLE) - ({_QLIT})[i])), 'max')"
+)
+
+
+@query(
+    "v12_distance_family",
+    oracle=f"""
+    SELECT vec_id,
+           round({_L1_EMB}, 6) AS l1,
+           round({_LINF_EMB}, 6) AS linf,
+           round({_DOT}, 6) AS dot,
+           round({_DOT} / ({_NORM_E} * {_NORM_Q}), 6) AS cosine
+    FROM embeddings
+    ORDER BY {_L1_EMB}, vec_id
+    LIMIT 10
+    """,
+    note="ClickHouse L1Distance / LinfDistance / dotProduct / "
+    "cosineDistance scalar family (v01/v03 cover L2 and cosine "
+    "top-k; this completes the distance-function surface): all four "
+    "metrics in one scan, top-10 by L1. Element-order left folds on "
+    "both sides (zip_with + aggregate vs list_transform + "
+    "list_aggregate) make the float sums bit-identical; max is "
+    "order-free. Scan-local vector math plus TakeOrderedAndProject "
+    "— no shuffle at any scale.",
+)
+def v12_distance_family(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    q = F.array(*[F.lit(float(x)) for x in QVEC64])
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    absdiff = F.zip_with(e, q, lambda a, b: F.abs(a - b))
+    l1 = F.aggregate(absdiff, F.lit(0.0), lambda acc, x: acc + x)
+    linf = F.array_max(absdiff)
+    dot = F.aggregate(
+        F.zip_with(e, q, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm_e = F.sqrt(
+        F.aggregate(
+            F.transform(e, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    norm_q = F.sqrt(
+        F.aggregate(
+            F.transform(q, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    return (
+        emb.select(
+            "vec_id",
+            l1.alias("l1_raw"),
+            linf.alias("linf"),
+            dot.alias("dot"),
+            (dot / (norm_e * norm_q)).alias("cos_raw"),
+        )
+        .orderBy("l1_raw", "vec_id")
+        .limit(10)
+        .select(
+            "vec_id",
+            F.round("l1_raw", 6).alias("l1"),
+            F.round("linf", 6).alias("linf"),
+            F.round("dot", 6).alias("dot"),
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+    )
+
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\+1-[0-9]{3}-[0-9]{4}"
+_PII_IPV4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+
+@query(
+    "t21_pii_pattern_scan",
+    oracle=f"""
+    WITH p AS (
+      SELECT lang,
+             text
+             || CASE WHEN doc_id % 5 = 0 THEN ' contact user' || doc_id
+                     || '@example.com now' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0 THEN ' call +1-555-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     ELSE '' END
+             || CASE WHEN doc_id % 11 = 0 THEN ' host 10.'
+                     || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                     || CAST(doc_id % 100 AS VARCHAR) || ' up' ELSE '' END
+               AS txt
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(length(regexp_extract_all(txt, '{_PII_EMAIL}'))) AS BIGINT)
+             AS n_emails,
+           CAST(sum(length(regexp_extract_all(txt, '{_PII_PHONE}'))) AS BIGINT)
+             AS n_phones,
+           CAST(sum(length(regexp_extract_all(txt, '{_PII_IPV4}'))) AS BIGINT)
+             AS n_ipv4,
+           CAST(sum(CASE WHEN length(regexp_extract_all(txt, '{_PII_EMAIL}')) > 0
+                    OR length(regexp_extract_all(txt, '{_PII_PHONE}')) > 0
+                    OR length(regexp_extract_all(txt, '{_PII_IPV4}')) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_flagged
+    FROM p GROUP BY lang ORDER BY lang
+    """,
+    note="PII pattern scan — a first-class training-data curation "
+    "pass: per-language email / NANP-phone / IPv4 occurrence counts "
+    "and the flagged-document count, over text with deterministically "
+    "planted PII (the fixture corpus is clean, so the x15 planted-"
+    "input pattern makes the detector measurable). Patterns stay in "
+    "the Java-regex/RE2 common subset (no lookaround, no "
+    "backreferences) so any engine scores identically. One scan, one "
+    "small aggregate — at 100 TB this fuses into the ingest pass, "
+    "and redaction is a regexp_replace away on the same plan.",
+)
+def t21_pii_pattern_scan(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    txt = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                     F.lit("@example.com now")),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" call +1-555-"),
+                     F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit(" host 10."), (F.col("doc_id") % 256).cast("string"),
+                     F.lit(".0."), (F.col("doc_id") % 100).cast("string"),
+                     F.lit(" up")),
+        ).otherwise(""),
+    )
+    n_email = F.regexp_count(txt, F.lit(_PII_EMAIL))
+    n_phone = F.regexp_count(txt, F.lit(_PII_PHONE))
+    n_ip = F.regexp_count(txt, F.lit(_PII_IPV4))
+    return (
+        d.select("lang", n_email.alias("ne"), n_phone.alias("np"), n_ip.alias("ni"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ne").cast("long").alias("n_emails"),
+            F.sum("np").cast("long").alias("n_phones"),
+            F.sum("ni").cast("long").alias("n_ipv4"),
+            F.sum(
+                F.when((F.col("ne") > 0) | (F.col("np") > 0) | (F.col("ni") > 0), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_docs_flagged"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "d16_paragraph_dedup",
+    oracle="""
+    WITH paras AS (
+      SELECT lang, md5(trim(p)) AS fp
+      FROM documents, LATERAL (SELECT unnest(string_split(text, ' the '))
+                               AS p) s
+      WHERE length(trim(p)) > 0
+    )
+    SELECT lang,
+           count(*) AS n_paras,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+           CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dup,
+           CAST((count(*) - count(DISTINCT fp)) * 1000000 // count(*) AS BIGINT)
+             AS dup_ratio_micro
+    FROM paras GROUP BY lang ORDER BY lang
+    """,
+    note="Paragraph-level (sub-document) exact dedup ledger — the "
+    "curation pass between whole-doc dedup (d01) and fuzzy "
+    "containment (d12): documents are segmented (the fixture corpus "
+    "has no newlines, so the delimiter is a fixed token boundary), "
+    "segments are fingerprinted with the portable md5, and per-"
+    "language duplicate mass is reported. At 100 TB this is explode "
+    "+ one hash aggregate over (lang, fp) partials — 16-byte "
+    "fingerprints shuffle, never the text; the survivor-rewrite "
+    "variant joins the dup fingerprint set back in one more pass.",
+)
+def d16_paragraph_dedup(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    paras = (
+        d.select("lang", F.explode(F.split("text", " the ")).alias("p"))
+        .select("lang", F.trim("p").alias("p"))
+        .filter(F.length("p") > 0)
+        .select("lang", F.md5(F.col("p").cast("binary")).alias("fp"))
+    )
+    return (
+        paras.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.countDistinct("fp").alias("n_distinct"),
+            (F.count("*") - F.countDistinct("fp")).cast("long").alias("n_dup"),
+            F.expr(
+                "(count(*) - count(DISTINCT fp)) * 1000000 DIV count(*)"
+            ).alias("dup_ratio_micro"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "d17_url_canonical_dedup",
+    oracle="""
+    WITH raw AS (
+      SELECT lang,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+             || '://'
+             || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+             || 'Example' || CAST(doc_id % 20 AS VARCHAR) || '.COM/'
+             || lang || '/page' || CAST(doc_id % 50 AS VARCHAR)
+             || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 5 = 0
+                 THEN '?utm_source=feed&ref=' || CAST(doc_id % 7 AS VARCHAR)
+                 WHEN doc_id % 5 = 1
+                 THEN '?ref=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x'
+                 ELSE '' END)
+             || (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+      FROM documents
+    ), canon AS (
+      SELECT lang, url,
+             regexp_replace(regexp_replace(regexp_replace(
+               replace(lower(regexp_replace(url, '#.*$', '')),
+                       '://www.', '://'),
+               'utm_[a-z_]+=[^&]*&', ''),
+               '[?&]utm_[a-z_]+=[^&]*$', ''),
+               '/$', '') AS curl
+      FROM raw
+    )
+    SELECT lang, count(*) AS n_urls,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_raw_distinct,
+           CAST(count(DISTINCT curl) AS BIGINT) AS n_canon_distinct,
+           min(curl) AS sample_canonical
+    FROM canon GROUP BY lang ORDER BY lang
+    """,
+    note="URL canonicalization + dedup — the crawl-corpus curation "
+    "pass that collapses scheme/host case, www prefixes, utm_* "
+    "tracking parameters, fragments, and trailing slashes before "
+    "dedup (URLs constructed deterministically per doc since the "
+    "fixture has none; x15 planted-input pattern). The regexp chain "
+    "avoids capture-group replacements (Spark $1 vs RE2 \\\\1 "
+    "disagree) so both engines run the identical rewrite. Per-"
+    "language raw-vs-canonical distinct counts quantify the "
+    "collapse; scan-local rewrites plus one aggregate at any scale.",
+)
+def d17_url_canonical_dedup(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS")).otherwise("https"),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(""),
+        F.lit("Example"), (F.col("doc_id") % 20).cast("string"), F.lit(".COM/"),
+        F.col("lang"), F.lit("/page"), (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(""),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("?utm_source=feed&ref="),
+                     (F.col("doc_id") % 7).cast("string")),
+        ).when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("?ref="), (F.col("doc_id") % 7).cast("string"),
+                     F.lit("&utm_campaign=x")),
+        ).otherwise(""),
+        F.when(F.col("doc_id") % 6 == 0, F.lit("#sec")).otherwise(""),
+    )
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.replace(
+                    F.lower(F.regexp_replace(url, "#.*$", "")),
+                    F.lit("://www."), F.lit("://"),
+                ),
+                "utm_[a-z_]+=[^&]*&", "",
+            ),
+            "[?&]utm_[a-z_]+=[^&]*$", "",
+        ),
+        "/$", "",
+    )
+    return (
+        d.select("lang", url.alias("url"), curl.alias("curl"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("url").alias("n_raw_distinct"),
+            F.countDistinct("curl").alias("n_canon_distinct"),
+            F.min("curl").alias("sample_canonical"),
+        )
+        .orderBy("lang")
+    )

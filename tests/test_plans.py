@@ -809,3 +809,60 @@ def test_new_function_family_entries_stay_jvm_side(spark, sf_dir):
     ]:
         p = plan_str(REGISTRY[name].fn(spark, sf_dir), "simple")
         assert "Python" not in p, (name, p)
+
+
+def test_e31_hierarchy_walk_broadcasts_dict_every_round(spark, sf_dir):
+    """The dictGetHierarchy walk must resolve every round through a
+    BROADCAST of the dictionary (fact rows never shuffle on the walk
+    key) and contain no sort-merge fallback."""
+    from laion_spark.catalog import REGISTRY
+
+    p = plan_str(REGISTRY["e31_dict_hierarchy"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "Python" not in p, p
+
+
+def test_q132_mad_joins_median_rollup_broadcast(spark, sf_dir):
+    """The MAD second pass must join the tiny per-group median rollup
+    back as a broadcast, never shuffling the row side twice."""
+    from laion_spark.catalog import REGISTRY
+
+    p = plan_str(REGISTRY["q132_robust_median_mad"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "Python" not in p, p
+
+
+def test_v12_distance_family_is_shuffle_free_topk(spark, sf_dir):
+    """All four distance metrics are scan-local expression work ending
+    in TakeOrderedAndProject — no Exchange, no Python."""
+    from laion_spark.catalog import REGISTRY
+
+    p = plan_str(REGISTRY["v12_distance_family"].fn(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in p, p
+    assert "Exchange" not in p, p
+    assert "Python" not in p, p
+
+
+def test_session3_entries_stay_jvm_side(spark, sf_dir):
+    """Every session-3 entry is built-in expression work: no Python
+    node may appear in any plan."""
+    from laion_spark.catalog import REGISTRY
+
+    for name in [
+        "q131_anova_oneway",
+        "q133_information_value",
+        "q134_group_array_intersect",
+        "q135_count_matches",
+        "q136_format_readable",
+        "q137_multisearch",
+        "q138_enumerate_uniq",
+        "q139_json_array_flatten",
+        "q140_percent_rank_cume_dist",
+        "e32_time_slots",
+        "t21_pii_pattern_scan",
+        "d16_paragraph_dedup",
+        "d17_url_canonical_dedup",
+    ]:
+        p = plan_str(REGISTRY[name].fn(spark, sf_dir), "simple")
+        assert "Python" not in p, (name, p)
