@@ -10820,6 +10820,8 @@ _PARENT_SQL = (
     "resolution runs at 100 TB.",
 )
 def e31_dict_hierarchy(spark, sf_dir):
+    from laion_spark.operators.hierarchy import resolve_depths, with_ancestors
+
     parent_expr = (
         "CASE WHEN p_partkey <= 1 THEN CAST(0 AS BIGINT) "
         "ELSE p_partkey DIV 2 + (p_partkey * 2654435761) % (p_partkey DIV 4 + 1) END"
@@ -10827,41 +10829,17 @@ def e31_dict_hierarchy(spark, sf_dir):
     dict_df = (
         t(spark, sf_dir, "part")
         .select(
-            F.col("p_partkey").alias("dnode"),
-            F.expr(parent_expr).cast("long").alias("dparent"),
+            F.col("p_partkey").alias("node"),
+            F.expr(parent_expr).cast("long").alias("parent"),
         )
         .cache()
     )
-    walk = dict_df.select(
-        F.col("dnode").alias("node"),
-        F.col("dnode").alias("cur"),
-        F.lit(0).cast("long").alias("depth"),
-    )
-    for _ in range(21):
-        walk = (
-            walk.join(F.broadcast(dict_df), walk.cur == dict_df.dnode, "left")
-            .select(
-                "node",
-                F.when(F.col("cur") > 0, F.coalesce("dparent", F.lit(0)))
-                .otherwise(0)
-                .cast("long")
-                .alias("cur"),
-                (F.col("depth") + F.when(F.col("cur") > 0, 1).otherwise(0))
-                .cast("long")
-                .alias("depth"),
-            )
-        )
-    d1 = dict_df.withColumnRenamed("dnode", "n1").withColumnRenamed("dparent", "anc1")
-    d2 = dict_df.withColumnRenamed("dnode", "n2").withColumnRenamed("dparent", "anc2")
+    depths = resolve_depths(dict_df, "node", "parent", root=0, max_depth=21)
     return (
-        walk.filter("node % 37 = 0")
-        .select("node", "depth")
-        .join(F.broadcast(d1), F.col("node") == F.col("n1"))
-        .join(F.broadcast(d2), F.col("anc1") == F.col("n2"), "left")
-        .select(
-            "node", "depth", "anc1",
-            F.coalesce("anc2", F.lit(0)).cast("long").alias("anc2"),
+        with_ancestors(
+            depths.filter("node % 37 = 0"), dict_df, "node", "parent", levels=2
         )
+        .select("node", "depth", "anc1", "anc2")
         .orderBy("node")
     )
 
@@ -10893,23 +10871,14 @@ def e31_dict_hierarchy(spark, sf_dir):
     "single aggregate shuffles only (slot, count) pairs at scale.",
 )
 def e32_time_slots(spark, sf_dir):
+    from laion_spark.functions.time import time_slot_sequence
+
     e = with_event_time(t(spark, sf_dir, "events")).select(
         F.col("ts_us"),
         ((F.col("event_id") % 7200 + 60) * 1000000).cast("long").alias("dur_us"),
     )
-    b = e.select(
-        (F.col("ts_us") - F.col("ts_us") % 1800000000).alias("lo"),
-        (
-            (F.col("ts_us") + F.col("dur_us"))
-            - (F.col("ts_us") + F.col("dur_us")) % 1800000000
-        ).alias("hi"),
-    )
     return (
-        b.select(
-            F.explode(
-                F.sequence("lo", "hi", F.lit(1800000000).cast("long"))
-            ).alias("slot_us")
-        )
+        e.select(F.explode(time_slot_sequence("ts_us", "dur_us")).alias("slot_us"))
         .groupBy("slot_us")
         .agg(F.count("*").alias("n_active"))
         .orderBy("slot_us")
@@ -10987,9 +10956,11 @@ def v12_distance_family(spark, sf_dir):
     )
 
 
-_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-_PII_PHONE = "\\+1-[0-9]{3}-[0-9]{4}"
-_PII_IPV4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+from laion_spark.functions.text import PII_PATTERNS as _PII_PATTERNS
+
+_PII_EMAIL = _PII_PATTERNS["email"]
+_PII_PHONE = _PII_PATTERNS["nanp_phone"]
+_PII_IPV4 = _PII_PATTERNS["ipv4"]
 
 
 @query(
@@ -11053,9 +11024,10 @@ def t21_pii_pattern_scan(spark, sf_dir):
                      F.lit(" up")),
         ).otherwise(""),
     )
-    n_email = F.regexp_count(txt, F.lit(_PII_EMAIL))
-    n_phone = F.regexp_count(txt, F.lit(_PII_PHONE))
-    n_ip = F.regexp_count(txt, F.lit(_PII_IPV4))
+    from laion_spark.functions.text import pii_counts
+
+    pc = pii_counts(txt)
+    n_email, n_phone, n_ip = pc["email"], pc["nanp_phone"], pc["ipv4"]
     return (
         d.select("lang", n_email.alias("ne"), n_phone.alias("np"), n_ip.alias("ni"))
         .groupBy("lang")
@@ -11186,19 +11158,9 @@ def d17_url_canonical_dedup(spark, sf_dir):
         ).otherwise(""),
         F.when(F.col("doc_id") % 6 == 0, F.lit("#sec")).otherwise(""),
     )
-    curl = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.replace(
-                    F.lower(F.regexp_replace(url, "#.*$", "")),
-                    F.lit("://www."), F.lit("://"),
-                ),
-                "utm_[a-z_]+=[^&]*&", "",
-            ),
-            "[?&]utm_[a-z_]+=[^&]*$", "",
-        ),
-        "/$", "",
-    )
+    from laion_spark.functions.text import canonicalize_url
+
+    curl = canonicalize_url(url)
     return (
         d.select("lang", url.alias("url"), curl.alias("curl"))
         .groupBy("lang")

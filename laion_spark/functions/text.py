@@ -192,3 +192,43 @@ def bpe_tokens(col: ColumnOrName) -> Column:
 
 def bpe_token_count(col: ColumnOrName) -> Column:
     return F.size(bpe_tokens(col))
+
+
+#: PII detection patterns (curation pass; catalog t21). Restricted to
+#: the Java-regex / RE2 common subset — no lookaround, no
+#: backreferences — so any engine scores a corpus identically.
+PII_PATTERNS = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "nanp_phone": "\\+1-[0-9]{3}-[0-9]{4}",
+    "ipv4": "([0-9]{1,3}\\.){3}[0-9]{1,3}",
+}
+
+
+def pii_counts(col: ColumnOrName) -> dict[str, Column]:
+    """Per-pattern occurrence counts for one text column (JVM regex,
+    scan-local). Keys mirror ``PII_PATTERNS``; redaction is
+    ``regexp_replace`` with the same patterns on the same plan."""
+    c = _c(col)
+    return {k: F.regexp_count(c, F.lit(p)) for k, p in PII_PATTERNS.items()}
+
+
+def pii_flag(col: ColumnOrName) -> Column:
+    """1 when any PII pattern matches, else 0."""
+    counts = list(pii_counts(col).values())
+    hit = counts[0] > 0
+    for c in counts[1:]:
+        hit = hit | (c > 0)
+    return F.when(hit, 1).otherwise(0)
+
+
+def canonicalize_url(col: ColumnOrName) -> Column:
+    """Crawl-corpus URL canonicalization (catalog d17): lowercase,
+    strip fragment, drop the www. prefix, remove utm_* tracking
+    parameters, strip a trailing slash. The rewrite chain uses NO
+    capture-group replacements (Spark ``$1`` vs RE2 ``\\1`` disagree),
+    so the identical chain runs in any engine for oracle checks."""
+    u = F.lower(F.regexp_replace(_c(col), "#.*$", ""))
+    u = F.replace(u, F.lit("://www."), F.lit("://"))
+    u = F.regexp_replace(u, "utm_[a-z_]+=[^&]*&", "")
+    u = F.regexp_replace(u, "[?&]utm_[a-z_]+=[^&]*$", "")
+    return F.regexp_replace(u, "/$", "")

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+ColumnOrName = Column | str
+
 
 def ts_us_col(df: DataFrame, col: str = "ts") -> Column:
     """Column of epoch-microseconds for ``col``, whatever its physical type."""
@@ -39,3 +41,18 @@ def with_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
     (TIMESTAMP) columns derived from ``col``."""
     us = ts_us_col(df, col)
     return df.withColumn("ts_us", us).withColumn("ts_t", F.timestamp_micros(us))
+
+
+def time_slot_sequence(
+    ts_us: ColumnOrName, dur_us: ColumnOrName, width_us: int = 1_800_000_000
+):
+    """ClickHouse ``timeSlots(start, duration)`` analog (catalog e32):
+    the array of ``width_us``-grid slot starts an interval
+    [ts, ts+duration] touches, in exact epoch-microsecond integers —
+    explode it to count interval activity per slot. Expansion is
+    bounded by duration/width, so the explode is O(rows)."""
+    t0 = F.col(ts_us) if isinstance(ts_us, str) else ts_us
+    d = F.col(dur_us) if isinstance(dur_us, str) else dur_us
+    lo = t0 - t0 % width_us
+    hi = (t0 + d) - (t0 + d) % width_us
+    return F.sequence(lo, hi, F.lit(width_us).cast("long"))
