@@ -468,6 +468,44 @@ def dedup_family(spark, queries: dict, extras: dict, errors: dict) -> None:
         errors["dedup10m"] = f"{type(ex).__name__}: {ex}"[:500]
         print(f"  dedup10m: FAILED {errors['dedup10m'].splitlines()[0]}", file=sys.stderr)
 
+    # Containment at the 4M decade: the 4M fixture's planted variants
+    # fully CONTAIN their base's trigrams (one variant per base), so
+    # exactly the 800k base-side pairs qualify at threshold 0.999 —
+    # extends contain1m one decade so the sub-document shape has the
+    # same 1M->4M linearity evidence as the MinHash curve (VERDICT r6
+    # #3 discipline). Runs after the dedup decades: lower priority.
+    try:
+        if over_budget(errors, "contain4m") or time.perf_counter() - _T_START > BUDGET_S - 240:
+            if "contain4m" not in errors:
+                errors["contain4m"] = "skipped: < 240s of bench budget left"
+                print("  contain4m: SKIPPED (headroom)", file=sys.stderr)
+            raise _BudgetSkip
+        if not os.path.exists("/tmp/laion_docs_4m.parquet/_SUCCESS"):
+            errors["contain4m"] = "skipped: 4M fixture absent (dedup4m skipped)"
+            raise _BudgetSkip
+        from laion_spark.operators.dedup import containment_pairs
+
+        docs4c = spark.read.parquet("/tmp/laion_docs_4m.parquet")
+
+        def contain4m():
+            return containment_pairs(
+                docs4c, "doc_id", "text", ngram=3, threshold=0.999, max_df=8,
+                hash_shingles=True, expand_buckets=True,
+            ).count()
+
+        n_c4 = contain4m()  # warm
+        tsc4 = sorted(timed(contain4m) for _ in range(2))
+        queries["contain4m"] = tsc4[0]
+        extras["contain4m_best_sec"] = tsc4[0]
+        extras["contain4m_rows_per_sec"] = round(4_000_000 / tsc4[0])
+        extras["contain4m_pairs"] = n_c4
+        print(f"  contain4m: {tsc4} pairs={n_c4}", file=sys.stderr)
+    except _BudgetSkip:
+        pass
+    except Exception as ex:  # noqa: BLE001
+        errors["contain4m"] = f"{type(ex).__name__}: {ex}"[:500]
+        print(f"  contain4m: FAILED {errors['contain4m'].splitlines()[0]}", file=sys.stderr)
+
 
 def _run_dedup_family_isolated(queries: dict, extras: dict, errors: dict) -> None:
     """Run the dedup family in a child process (fresh JVM), merging its
