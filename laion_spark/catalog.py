@@ -10778,8 +10778,8 @@ def q140_percent_rank_cume_dist(spark, sf_dir):
 
 
 _PARENT_SQL = (
-    "CASE WHEN {k} <= 1 THEN 0 "
-    "ELSE {k} // 2 + ({k} * 2654435761) % ({k} // 4 + 1) END"
+    "CASE WHEN {k} <= 3 THEN 0 "
+    "ELSE {k} // 4 + ({k} * 2654435761) % ({k} // 8 + 1) END"
 )
 
 
@@ -10814,7 +10814,9 @@ _PARENT_SQL = (
     "the sentinel 0), and the query resolves per-node depth plus the "
     "first two ancestors by walking the dictionary — iterated "
     "BROADCAST joins on the Spark side (a bounded pointer-chase: "
-    "depth <= log2(max key), 21 rounds covers 1M+ keys), WITH "
+    "parent <= 3k/8 so depth <= log_8/3(max key); 21 rounds covers "
+    "10^8+ keys — the first cap, parent <= 3k/4, overflowed at "
+    "sf0.1's 20k keys and was caught by the sf0.1 mirror), WITH "
     "RECURSIVE on the oracle side. Broadcasting the dict every round "
     "while the fact rows never shuffle is exactly how hierarchy "
     "resolution runs at 100 TB.",
@@ -10823,8 +10825,8 @@ def e31_dict_hierarchy(spark, sf_dir):
     from laion_spark.operators.hierarchy import resolve_depths, with_ancestors
 
     parent_expr = (
-        "CASE WHEN p_partkey <= 1 THEN CAST(0 AS BIGINT) "
-        "ELSE p_partkey DIV 2 + (p_partkey * 2654435761) % (p_partkey DIV 4 + 1) END"
+        "CASE WHEN p_partkey <= 3 THEN CAST(0 AS BIGINT) "
+        "ELSE p_partkey DIV 4 + (p_partkey * 2654435761) % (p_partkey DIV 8 + 1) END"
     )
     dict_df = (
         t(spark, sf_dir, "part")

@@ -6,7 +6,8 @@ The Spark walk is checked against a pure-Python pointer-chase on
 randomly generated forests (hypothesis builds the parent maps), and
 the catalog's mixing-hash parent formula is verified to satisfy the
 invariants the 21-round depth bound relies on: parent(k) < k and
-parent(k) >= k // 2.
+parent(k) <= 3k/8 (stronger than the module's documented halving
+contract, so depth <= log_8/3(max key)).
 """
 
 import pytest
@@ -15,19 +16,20 @@ from pyspark.sql import functions as F
 
 
 def _py_parent(k: int) -> int:
-    if k <= 1:
+    if k <= 3:
         return 0
-    return k // 2 + (k * 2654435761) % (k // 4 + 1)
+    return k // 4 + (k * 2654435761) % (k // 8 + 1)
 
 
 @given(k=st.integers(1, 10_000_000))
 def test_parent_formula_invariants(k):
-    """parent(k) < k (the walk terminates) and parent(k) >= k // 2
-    (depth <= log2(max key), so 21 rounds cover 2M+ keys)."""
+    """parent(k) < k (the walk terminates) and parent(k) <= 3k/8
+    (depth <= log_8/3(max key), so 21 rounds cover 10^8+ keys — the
+    original parent <= 3k/4 formula overflowed the cap at 20k keys)."""
     p = _py_parent(k)
     assert 0 <= p < k
-    if k >= 2:
-        assert p >= k // 2
+    if k >= 4:
+        assert k // 4 <= p <= 3 * k // 8
 
 
 def _py_depth(node: int, parent: dict[int, int], root: int = 0) -> int:
