@@ -11174,3 +11174,147 @@ def d17_url_canonical_dedup(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# --- round-7 session-3 tail: r9-queued additions (window already full) ------
+
+
+@query(
+    "v13_normalize_quantize",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id,
+             {_NORM_E} AS nrm,
+             list_aggregate(list_transform(embedding,
+               x -> CAST(x AS DOUBLE)), 'sum') AS sx,
+             list_aggregate(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE))), 'max') AS maxabs
+      FROM embeddings WHERE vec_id % 37 = 0
+    )
+    SELECT vec_id,
+           round(nrm, 6) AS l2_norm,
+           round(sx / nrm, 6) AS nsum,
+           CAST(list_aggregate(list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 127 / maxabs) AS BIGINT)),
+             'sum') AS BIGINT) AS q_sum,
+           CAST(list_aggregate(list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 127 / maxabs) AS BIGINT)),
+             'min') AS BIGINT) AS q_min,
+           CAST(list_aggregate(list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 127 / maxabs) AS BIGINT)),
+             'max') AS BIGINT) AS q_max
+    FROM embeddings JOIN s USING (vec_id)
+    WHERE maxabs > 0
+    ORDER BY vec_id
+    """,
+    note="ClickHouse L2Normalize + int8 scalar quantization (the "
+    "function-level form of the storage-level f16 twin, halfvec.py): "
+    "per-vector L2 norm, normalized-sum invariant (sum(x)/||x||), and "
+    "symmetric int8 codes floor(x*127/max|x|) with their sum/min/max. "
+    "Every statistic is one identical IEEE expression over the same "
+    "float32-exact doubles in both engines (the same bit-equality "
+    "argument as the corr/ANOVA closed forms), so even the floors "
+    "match exactly. Scan-local vector math; at scale the codes are "
+    "what ships to an int8 ANN index at 1/4 the bytes of f32.",
+)
+def v13_normalize_quantize(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings").filter("vec_id % 37 = 0")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(F.transform(e, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    sx = F.aggregate(e, F.lit(0.0), lambda a, x: a + x)
+    maxabs = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    codes = F.transform(
+        F.col("e"), lambda x: F.floor(x * 127 / F.col("maxabs")).cast("long")
+    )
+    return (
+        emb.select("vec_id", nrm.alias("nrm"), sx.alias("sx"), maxabs.alias("maxabs"), e.alias("e"))
+        .filter("maxabs > 0")
+        .select(
+            "vec_id",
+            F.round("nrm", 6).alias("l2_norm"),
+            F.round(F.col("sx") / F.col("nrm"), 6).alias("nsum"),
+            F.aggregate(codes, F.lit(0).cast("long"), lambda a, x: a + x)
+            .alias("q_sum"),
+            F.array_min(codes).cast("long").alias("q_min"),
+            F.array_max(codes).cast("long").alias("q_max"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "d18_benchmark_decontamination",
+    oracle=r"""
+    WITH b AS (
+      SELECT doc_id, lang, n_chars,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 5
+        THEN [array_to_string(toks[i:i+4], ' ') for i in generate_series(1, len(toks)-4)]
+        ELSE [] END)) AS gram
+      FROM b
+    ), probe_grams AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0
+    ), shared AS (
+      SELECT g.doc_id, count(*) AS n_shared
+      FROM g JOIN probe_grams USING (gram)
+      WHERE g.doc_id % 50 <> 0
+      GROUP BY g.doc_id
+    )
+    SELECT b.lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN b.doc_id % 50 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_probe,
+           CAST(sum(CASE WHEN coalesce(s.n_shared, 0) >= 2 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_flagged,
+           CAST(sum(CASE WHEN b.doc_id % 50 <> 0
+                    AND coalesce(s.n_shared, 0) < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN b.doc_id % 50 <> 0
+                    AND coalesce(s.n_shared, 0) < 2 THEN b.n_chars ELSE 0 END)
+             AS BIGINT) AS chars_kept
+    FROM b LEFT JOIN shared s ON b.doc_id = s.doc_id
+    GROUP BY b.lang ORDER BY b.lang
+    """,
+    note="Benchmark decontamination end-to-end (the eval-leakage pass "
+    "every training corpus needs; composes d09's 5-gram contamination "
+    "scan into a drop decision + retention ledger like d13): documents "
+    "sharing >= 2 distinct 5-gram shingles with ANY probe document are "
+    "flagged, probes themselves are excluded, and the per-language "
+    "kept-mass is reported. At 100 TB the probe shingle set (benchmark "
+    "suites are tiny) BROADCASTS into the semi-join, the corpus "
+    "shingle stream shuffles once as hashed partials, and the verdict "
+    "join back to documents is by doc id — the same one-broadcast-"
+    "one-shuffle shape as the unigram-NLL scorer.",
+)
+def d18_benchmark_decontamination(spark, sf_dir):
+    from laion_spark.operators.dedup import shingles
+
+    d = t(spark, sf_dir, "documents")
+    g = d.select("doc_id", F.explode(shingles("text", 5)).alias("gram"))
+    probe_grams = g.filter("doc_id % 50 = 0").select("gram").distinct()
+    shared = (
+        g.filter("doc_id % 50 <> 0")
+        .join(F.broadcast(probe_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    probe = F.col("doc_id") % 50 == 0
+    flagged = F.coalesce(F.col("n_shared"), F.lit(0)) >= 2
+    return (
+        d.join(shared, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(probe, 1).otherwise(0)).cast("long").alias("n_probe"),
+            F.sum(F.when(flagged, 1).otherwise(0)).cast("long").alias("n_flagged"),
+            F.sum(F.when(~probe & ~flagged, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(~probe & ~flagged, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("chars_kept"),
+        )
+        .orderBy("lang")
+    )

@@ -863,6 +863,18 @@ def test_session3_entries_stay_jvm_side(spark, sf_dir):
         "t21_pii_pattern_scan",
         "d16_paragraph_dedup",
         "d17_url_canonical_dedup",
+        "v13_normalize_quantize",
     ]:
         p = plan_str(REGISTRY[name].fn(spark, sf_dir), "simple")
         assert "Python" not in p, (name, p)
+
+
+def test_d18_probe_grams_broadcast(spark, sf_dir):
+    """The benchmark probe shingle set must BROADCAST into the
+    contamination semi-join — the corpus shingle stream never
+    shuffles on the gram key for the probe comparison."""
+    from laion_spark.catalog import REGISTRY
+
+    p = plan_str(REGISTRY["d18_benchmark_decontamination"].fn(spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "Python" not in p, p
