@@ -10976,6 +10976,10 @@ _PII_IPV4 = _PII_PATTERNS["ipv4"]
              || CASE WHEN doc_id % 7 = 0 THEN ' call +1-555-'
                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
                      ELSE '' END
+             || CASE WHEN doc_id % 13 = 0 THEN ' tel +1-415-'
+                     || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ok'
+                     ELSE '' END
              || CASE WHEN doc_id % 11 = 0 THEN ' host 10.'
                      || CAST(doc_id % 256 AS VARCHAR) || '.0.'
                      || CAST(doc_id % 100 AS VARCHAR) || ' up' ELSE '' END
@@ -11018,6 +11022,14 @@ def t21_pii_pattern_scan(spark, sf_dir):
             F.col("doc_id") % 7 == 0,
             F.concat(F.lit(" call +1-555-"),
                      F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.lit(" tel +1-415-"),
+                     F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                     F.lit("-"),
+                     F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                     F.lit(" ok")),
         ).otherwise(""),
         F.when(
             F.col("doc_id") % 11 == 0,

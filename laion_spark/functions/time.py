@@ -50,9 +50,14 @@ def time_slot_sequence(
     the array of ``width_us``-grid slot starts an interval
     [ts, ts+duration] touches, in exact epoch-microsecond integers —
     explode it to count interval activity per slot. Expansion is
-    bounded by duration/width, so the explode is O(rows)."""
+    bounded by duration/width, so the explode is O(rows).
+
+    Floor-to-grid uses ``pmod``, not ``%``: Spark's ``%`` takes the
+    dividend's sign, so a plain ``t0 - t0 % w`` on a pre-1970
+    (negative) timestamp would round toward zero and miss the
+    interval's first slot. ``pmod`` is a true floor for any sign."""
     t0 = F.col(ts_us) if isinstance(ts_us, str) else ts_us
     d = F.col(dur_us) if isinstance(dur_us, str) else dur_us
-    lo = t0 - t0 % width_us
-    hi = (t0 + d) - (t0 + d) % width_us
+    lo = t0 - F.pmod(t0, F.lit(width_us))
+    hi = (t0 + d) - F.pmod(t0 + d, F.lit(width_us))
     return F.sequence(lo, hi, F.lit(width_us).cast("long"))

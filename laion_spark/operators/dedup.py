@@ -66,7 +66,10 @@ def exact_dedup(
     return every tied first row where the window form picks one
     arbitrarily. ``project_first=False`` keeps the single-window form
     (useful when ``df`` is already narrow or the plan must stay a
-    one-pass window).
+    one-pass window). Key columns MAY be null: the join-back uses
+    null-safe equality (``<=>``), so a null-key group keeps one
+    survivor exactly like the window form (``<=>`` is still an
+    equi-join key for Spark's hash joins).
     """
     keys, order_by = list(keys), list(order_by)
     if not project_first:
@@ -95,10 +98,22 @@ def exact_dedup(
             *([count_col] if count_col else []),
         )
     )
+    # Null-safe join-back: plain `on=names` equality would silently
+    # drop rows whose key is NULL (ADVICE r7). `<=>` keeps them and
+    # remains a hash-join equi-key. Alias the survivor side so the
+    # self-join lineage stays unambiguous.
     on = keys + order_only
+    surv = surv.select(
+        *[F.col(c).alias(f"_surv_{c}") for c in on],
+        *([count_col] if count_col else []),
+    )
+    cond = None
+    for c in on:
+        clause = F.col(c).eqNullSafe(F.col(f"_surv_{c}"))
+        cond = clause if cond is None else cond & clause
     if count_col:
-        return df.join(surv, on=on, how="inner")
-    return df.join(surv, on=on, how="left_semi")
+        return df.join(surv, on=cond, how="inner").drop(*[f"_surv_{c}" for c in on])
+    return df.join(surv, on=cond, how="left_semi")
 
 
 def fingerprint(df: DataFrame, text_col: str, out_col: str = "fp", algo: str = "md5") -> DataFrame:

@@ -37,9 +37,12 @@ def resolve_depths(
     dictionary whose parents at least halve the key (2^21 > 2M keys).
     Nodes that fail to reach the root within the bound keep the depth
     reached so far (a cycle would otherwise never terminate — callers
-    that need strictness can assert ``cur == root`` on the result).
+    that need strictness can assert on ``reached_root``).
 
-    Returns columns ``(node, depth)`` with ``depth`` as LONG.
+    Returns columns ``(node, depth, reached_root)`` with ``depth`` as
+    LONG and ``reached_root`` a boolean that is false exactly for the
+    nodes the bound cut off (cycles or chains deeper than
+    ``max_depth``).
     """
     d = dict_df.select(
         F.col(node_col).alias("_h_node"), F.col(parent_col).alias("_h_parent")
@@ -62,7 +65,11 @@ def resolve_depths(
             .cast("long")
             .alias("depth"),
         )
-    return walk.select("node", "depth")
+    # the walk's own step test treats cur <= root as terminated, so the
+    # strictness flag must use the same predicate
+    return walk.select(
+        "node", "depth", (F.col("cur") <= root).alias("reached_root")
+    )
 
 
 def with_ancestors(

@@ -42,17 +42,34 @@ def quantize(col: Column | str, lo: int, hi: int, bits: int = 16) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     c = F.greatest(F.lit(lo), F.least(F.lit(hi), c)).cast("long")
     span = hi - lo + 1
-    # (c - lo) * 2^bits is exact in long arithmetic; floor-divide by the
-    # span keeps the whole key integral end to end
-    return F.floor((c - lo) * (1 << bits) / F.lit(span)).cast("long")
+    if span * (1 << bits) > (1 << 63) - 1:
+        raise ValueError(
+            f"quantize needs (hi-lo+1)*2^bits inside a signed long; "
+            f"span={span} at bits={bits} overflows — lower bits or "
+            f"pre-scale the column"
+        )
+    # (c - lo) * 2^bits is exact in long arithmetic; IntegralDivide
+    # (SQL `div`) keeps the whole key integral end to end. A float `/`
+    # inside floor() would round near 2^53 and could emit exactly
+    # 2^bits for the max value; (span-1)*2^bits DIV span is provably
+    # < 2^bits for any span, so the declared [0, 2^bits) range holds.
+    scaled = (c - F.lit(lo)) * F.lit(1 << bits).cast("long")
+    return F.call_function("div", scaled, F.lit(span).cast("long"))
 
 
 def zorder_key(cols: list[Column], bits: int = 16) -> Column:
     """Bit-interleave already-quantized columns (each in [0, 2^bits))
     into one morton key. Column j contributes bit i to output position
     ``i * len(cols) + j`` — the classic Z-curve for any arity. Pure
-    shift/AND expression unrolling; stays in whole-stage codegen."""
+    shift/AND expression unrolling; stays in whole-stage codegen.
+    Requires ``bits * len(cols) <= 63`` so the key never touches the
+    long sign bit."""
     n = len(cols)
+    if bits * n > 63:
+        raise ValueError(
+            f"zorder_key needs bits*len(cols) <= 63 to stay inside a "
+            f"signed long; got bits={bits} x {n} cols = {bits * n}"
+        )
     out = F.lit(0).cast("long")
     for j, c in enumerate(cols):
         c = c.cast("long")

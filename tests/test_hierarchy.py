@@ -78,9 +78,12 @@ def test_depth_cap_leaves_unreached_nodes_at_bound(spark):
 
     chain = [(k, k - 1) for k in range(1, 11)]  # depth of node 10 is 10
     dict_df = spark.createDataFrame(chain, "node long, parent long")
-    got = {r["node"]: r["depth"] for r in resolve_depths(dict_df, max_depth=4).collect()}
-    assert got[3] == 3
-    assert got[10] == 4  # capped, not looped
+    rows = {r["node"]: r for r in resolve_depths(dict_df, max_depth=4).collect()}
+    assert rows[3]["depth"] == 3
+    assert rows[10]["depth"] == 4  # capped, not looped
+    # the strictness flag distinguishes capped nodes from resolved ones
+    assert rows[3]["reached_root"] is True
+    assert rows[10]["reached_root"] is False
 
 
 # --- canonicalize_url / pii helpers (functions/text.py) ---------------------
@@ -136,6 +139,8 @@ def test_pii_counts_and_flag(spark):
         [
             ("mail me at a.b@ex.org or c@d.io",),
             ("call +1-555-0102 from 10.0.0.1",),
+            ("dial +1-555-123-4567 today",),
+            ("both +1-555-123-4567 and +1-555-0102",),
             ("clean text with no identifiers",),
         ],
         "t string",
@@ -146,7 +151,7 @@ def test_pii_counts_and_flag(spark):
         pc["ipv4"].alias("i"), pii_flag("t").alias("f"),
     ).collect()
     assert [(r["e"], r["p"], r["i"], r["f"]) for r in got] == [
-        (2, 0, 0, 1), (0, 1, 1, 1), (0, 0, 0, 0),
+        (2, 0, 0, 1), (0, 1, 1, 1), (0, 1, 0, 1), (0, 2, 0, 1), (0, 0, 0, 0),
     ]
 
 
@@ -162,3 +167,18 @@ def test_time_slot_sequence_covers_interval(spark):
     ).collect()
     assert got[0]["s"] == [w * 3, w * 4, w * 5]  # straddles three slots
     assert got[1]["s"] == [w * 7]  # zero duration -> its own slot
+
+
+def test_time_slot_sequence_negative_timestamps(spark):
+    """Pre-1970 timestamps must floor DOWN to the grid (pmod), not
+    round toward zero — a plain % would skip the interval's first
+    slot for negative epoch micros (ADVICE r7)."""
+    from laion_spark.functions.time import time_slot_sequence
+
+    w = 1_800_000_000
+    df = spark.createDataFrame(
+        [(-w - 5, w), (-5, 10)], "ts_us long, dur_us long"
+    )
+    got = df.select(time_slot_sequence("ts_us", "dur_us", w).alias("s")).collect()
+    assert got[0]["s"] == [-2 * w, -w]  # starts in slot [-2w, -w)
+    assert got[1]["s"] == [-w, 0]  # crosses the epoch boundary
