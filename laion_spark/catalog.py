@@ -10854,8 +10854,11 @@ def e31_dict_hierarchy(spark, sf_dir):
              (event_id % 7200 + 60) * 1000000 AS dur_us
       FROM events
     ), b AS (
-      SELECT ts_us - ts_us % 1800000000 AS lo,
-             (ts_us + dur_us) - (ts_us + dur_us) % 1800000000 AS hi
+      -- true-floor slot like the Spark side's pmod: sign-following %
+      -- would round pre-1970 timestamps toward zero instead of down
+      SELECT ts_us - ((ts_us % 1800000000) + 1800000000) % 1800000000 AS lo,
+             (ts_us + dur_us)
+               - (((ts_us + dur_us) % 1800000000) + 1800000000) % 1800000000 AS hi
       FROM e
     )
     SELECT s.slot_us, count(*) AS n_active

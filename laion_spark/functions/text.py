@@ -199,9 +199,10 @@ def bpe_token_count(col: ColumnOrName) -> Column:
 #: backreferences — so any engine scores a corpus identically.
 PII_PATTERNS = {
     "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
-    # 10-digit NANP first, then the short 7-digit fallback: both Java
-    # regex and RE2 pick alternation branches leftmost-FIRST, so the
-    # long form must come first or +1-555-123-4567 would half-match.
+    # 10-digit NANP plus the short 7-digit fallback. Branch order is
+    # cosmetic here: the 7-digit branch cannot match a prefix of the
+    # 10-digit form (its final [0-9]{4} is broken by the dash after
+    # the exchange), so either ordering matches identically.
     "nanp_phone": "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}|\\+1-[0-9]{3}-[0-9]{4}",
     "ipv4": "([0-9]{1,3}\\.){3}[0-9]{1,3}",
 }

@@ -40,6 +40,8 @@ def quantize(col: Column | str, lo: int, hi: int, bits: int = 16) -> Column:
     exact integer arithmetic (clamped at the edges; no float rounding
     enters the key)."""
     c = F.col(col) if isinstance(col, str) else col
+    if hi < lo:
+        raise ValueError(f"quantize needs lo <= hi; got lo={lo}, hi={hi}")
     c = F.greatest(F.lit(lo), F.least(F.lit(hi), c)).cast("long")
     span = hi - lo + 1
     if span * (1 << bits) > (1 << 63) - 1:
