@@ -11333,3 +11333,174 @@ def d18_benchmark_decontamination(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q141_transform_decode",
+    oracle="""
+    SELECT event_type,
+           CASE event_type WHEN 'click' THEN 'engage'
+                           WHEN 'view' THEN 'browse' ELSE 'other' END AS decoded,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE event_id % 4 WHEN 0 THEN 10 WHEN 1 THEN 20
+                                      WHEN 2 THEN 30 ELSE -1 END) AS BIGINT)
+             AS weight_sum
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    note="ClickHouse transform(x, from[], to[], default) decode-map "
+    "parity (one string leg, one integer leg): a literal map + "
+    "map_contains_key-guarded element_at + coalesced default — a pure "
+    "JVM expression Catalyst constant-folds into the scan, exactly how "
+    "CH inlines its transform table. The guard (not bare element_at) "
+    "keeps the expression legal under ANSI mode, where a missing map "
+    "key otherwise raises. Scale-free: no shuffle beyond the final "
+    "group-by on the decoded value.",
+)
+def q141_transform_decode(spark, sf_dir):
+    def ch_transform(col, pairs, default):
+        # CH transform semantics: listed values map, everything else
+        # falls through to the default (here the guarded-map idiom)
+        m = F.create_map(*[F.lit(v) for kv in pairs for v in kv])
+        return F.when(F.map_contains_key(m, col), F.element_at(m, col)).otherwise(default)
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        ch_transform(F.col("event_type"), [("click", "engage"), ("view", "browse")],
+                     F.lit("other")).alias("decoded"),
+        ch_transform(F.pmod(F.col("event_id"), F.lit(4)).cast("int"),
+                     [(0, 10), (1, 20), (2, 30)], F.lit(-1)).cast("long").alias("w"),
+    )
+    return (
+        e.groupBy("event_type", "decoded")
+        .agg(F.count("*").alias("n"), F.sum("w").cast("long").alias("weight_sum"))
+        .select("event_type", "decoded", "n", "weight_sum")
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q142_group_array_insert_at",
+    oracle="""
+    WITH k AS (
+      SELECT DISTINCT l_orderkey AS okey FROM lineitem WHERE l_orderkey <= 60
+    ), pp AS (
+      SELECT l_orderkey AS okey, l_linenumber - 1 AS pos,
+             min(CAST(l_quantity AS BIGINT)) AS q
+      FROM lineitem WHERE l_orderkey <= 60 GROUP BY 1, 2
+    ), grid AS (
+      SELECT k.okey, g.pos FROM k, (SELECT unnest(range(0, 7)) AS pos) g
+    )
+    SELECT grid.okey, CAST(grid.pos AS INT) AS pos,
+           coalesce(pp.q, 0) AS val
+    FROM grid LEFT JOIN pp ON grid.okey = pp.okey AND grid.pos = pp.pos
+    ORDER BY grid.okey, grid.pos
+    """,
+    note="ClickHouse groupArrayInsertAt(default, size)(x, pos) parity: "
+    "an aggregate that places each group's values at explicit array "
+    "positions, padding gaps with the default to a fixed size (7 = the "
+    "lineitem linenumber domain). CH's first-seen-wins on duplicate "
+    "positions is nondeterministic under parallelism, so this entry "
+    "resolves duplicates with min() — this testdata has duplicate "
+    "l_linenumber per order (round-7 fixture lesson). Shape: narrow "
+    "(group, pos, min) partial aggregate, then map_from_entries + a "
+    "sequence fill — the array never exceeds the declared size, and "
+    "the result is posexploded to scalar rows for the oracle. At scale "
+    "this is two map-side-combinable aggregates on the same key, no "
+    "wide rows in the shuffle.",
+)
+def q142_group_array_insert_at(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter("l_orderkey <= 60")
+    per_pos = li.groupBy(
+        F.col("l_orderkey").alias("okey"),
+        (F.col("l_linenumber") - 1).cast("int").alias("pos"),
+    ).agg(F.min(F.col("l_quantity").cast("long")).alias("q"))
+    assembled = per_pos.groupBy("okey").agg(
+        F.map_from_entries(F.collect_list(F.struct("pos", "q"))).alias("m")
+    )
+    idxs = F.sequence(F.lit(0), F.lit(6))
+    arr = F.transform(
+        idxs,
+        lambda i: F.when(
+            F.map_contains_key(F.col("m"), i.cast("int")),
+            F.element_at(F.col("m"), i.cast("int")),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return (
+        assembled.select("okey", F.posexplode(arr).alias("pos", "val"))
+        .select("okey", F.col("pos").cast("int").alias("pos"), "val")
+        .orderBy("okey", "pos")
+    )
+
+
+@query(
+    "q143_array_fill",
+    oracle="""
+    WITH a AS (
+      SELECT l_orderkey AS okey,
+             list(CASE WHEN CAST(l_quantity AS BIGINT) % 3 = 0 THEN NULL
+                       ELSE CAST(l_quantity AS BIGINT) END
+                  ORDER BY l_linenumber, l_quantity) AS arr
+      FROM lineitem WHERE l_orderkey <= 60 GROUP BY l_orderkey
+    )
+    SELECT okey,
+           array_to_string(list_transform(arr,
+             v -> coalesce(CAST(v AS VARCHAR), 'n')), ',') AS base,
+           array_to_string(list_transform(arr, (x, i) ->
+             coalesce(CAST(coalesce(x,
+               (list_filter(arr[1:i-1], y -> y IS NOT NULL))[-1]) AS VARCHAR),
+               'n')), ',') AS fwd_fill,
+           array_to_string(list_transform(arr, (x, i) ->
+             coalesce(CAST(coalesce(x,
+               (list_filter(arr[i+1:], y -> y IS NOT NULL))[1]) AS VARCHAR),
+               'n')), ',') AS rev_fill
+    FROM a ORDER BY okey
+    """,
+    note="ClickHouse arrayFill / arrayReverseFill parity (cond = `x IS "
+    "NOT NULL`): nulls are planted deterministically (qty % 3 = 0) in "
+    "a per-order quantity array, then forward-filled from the nearest "
+    "earlier non-null and backward-filled from the nearest later one; "
+    "elements before the first (after the last) non-null stay null, "
+    "per the CH contract. Index-aware lambdas with prefix/suffix "
+    "slice+filter — O(len^2) per array but bounded by lines-per-order, "
+    "and F.get (not element_at) keeps empty-prefix access NULL-safe "
+    "under ANSI. Nulls render as 'n' through the string join on both "
+    "sides so the driver canon sees identical scalar cells.",
+)
+def q143_array_fill(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter("l_orderkey <= 60")
+    q = F.col("l_quantity").cast("long")
+    a = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("l_linenumber", q.alias("qk"), q.alias("qv")))
+            ),
+            lambda s: F.when(s["qv"] % 3 != 0, s["qv"]),
+        ).alias("arr")
+    )
+    arr = F.col("arr")
+
+    def last_nonnull(prefix):
+        kept = F.filter(prefix, lambda y: y.isNotNull())
+        return F.get(kept, F.size(kept) - 1)
+
+    def first_nonnull(suffix):
+        return F.get(F.filter(suffix, lambda y: y.isNotNull()), F.lit(0))
+
+    fwd = F.transform(
+        arr, lambda x, i: F.coalesce(x, last_nonnull(F.slice(arr, 1, i)))
+    )
+    rev = F.transform(
+        arr,
+        lambda x, i: F.coalesce(
+            x, first_nonnull(F.slice(arr, i + 2, F.greatest(F.size(arr) - i - 1, F.lit(0))))
+        ),
+    )
+    joined = lambda c: F.array_join(
+        F.transform(c, lambda x: F.coalesce(x.cast("string"), F.lit("n"))), ","
+    )
+    return a.select(
+        "okey",
+        joined(arr).alias("base"),
+        joined(fwd).alias("fwd_fill"),
+        joined(rev).alias("rev_fill"),
+    ).orderBy("okey")
