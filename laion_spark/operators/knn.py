@@ -218,8 +218,15 @@ def flat_matrix(vcol, dim: int, dtype=None):
     clear error on NULL or ragged vectors — a bare ``flatten().reshape``
     either throws an opaque ValueError mid-job or, when element counts
     happen to coincide, silently misaligns rows to scores
-    (ListArray.flatten drops NULL slots)."""
+    (ListArray.flatten drops NULL slots).
+
+    Also accepts the packed half-width layout
+    (``halfvec.write_half_table(layout="packed")``): a
+    fixed_size_binary(2*dim) column is reinterpreted as little-endian
+    float16 straight off the Arrow data buffer — zero-copy frombuffer,
+    no per-element decode."""
     import numpy as np
+    import pyarrow as pa
 
     n = len(vcol)
     if vcol.null_count:
@@ -227,6 +234,17 @@ def flat_matrix(vcol, dim: int, dtype=None):
             f"{vcol.null_count} NULL vector(s) in Arrow batch; drop NULLs or run "
             "laion_spark.schema.validate_embeddings before Arrow-path scoring"
         )
+    if pa.types.is_fixed_size_binary(vcol.type):
+        width = vcol.type.byte_width
+        if width != 2 * dim:
+            raise ValueError(
+                f"packed vector width {width} B != 2*dim for dim={dim}; packed "
+                "columns are little-endian float16 (2 bytes per element)"
+            )
+        flat = np.frombuffer(
+            vcol.buffers()[1], dtype=np.float16, count=n * dim, offset=vcol.offset * width
+        )
+        return flat.reshape(n, dim).astype(dtype or np.float64, copy=False)
     flat = vcol.flatten().to_numpy(zero_copy_only=False)
     if len(flat) != n * dim:
         raise ValueError(
@@ -342,7 +360,7 @@ def _arrow_to_ddl(t) -> str:
         return "boolean"
     if pa.types.is_string(t) or pa.types.is_large_string(t):
         return "string"
-    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t) or pa.types.is_fixed_size_binary(t):
         return "binary"
     if pa.types.is_date(t):
         return "date"
