@@ -1499,6 +1499,64 @@ def main() -> None:
             errors["ann768_f16"] = f"{type(fex).__name__}: {fex}"[:500]
             print(f"  ann768_f16: FAILED {errors['ann768_f16'].splitlines()[0]}", file=sys.stderr)
 
+        # packed-f16 ivf twin: pruning x half-bytes WITHOUT list<f16>'s
+        # per-value decode tax — the full compounding stack
+        # (partition-pruned probe over bulk-memcpy half-width vectors)
+        if not over_budget(errors, "ann768_f16p"):
+          try:  # own failure domain (noqa: E117)
+            from laion_spark.sources.halfvec import write_half_table
+
+            ivf16p_path = f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf{C}rg{RG_MB}_f16p.parquet"
+            if not os.path.exists(f"{ivf16p_path}/_DONE"):
+                if not ensure_free(
+                    int(N_ANN) * DIM * 2 + 4 * 1024**3,
+                    [f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet",
+                     f"/tmp/laion_bench_10000000x{DIM}_f16.parquet"],
+                    "ivf f16p twin",
+                ):
+                    errors["ann768_f16p"] = "skipped: insufficient /tmp for the f16p twin"
+                    raise _BudgetSkip
+                t0 = time.perf_counter()
+                write_half_table(spark, ivf_path, ivf16p_path, ["embedding"], layout="packed").collect()
+                open(f"{ivf16p_path}/_DONE", "w").close()
+                print(f"  ivf f16p twin build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+            idx16p = IVFIndex(dim=DIM, n_clusters=C, nprobe=NPROBE)
+            idx16p.centroids = idx.centroids  # same quantizer, own plan cache
+
+            def ann16p_with(v):
+                return idx16p.search_parquet(
+                    spark, ivf16p_path, v, k=10, vector_col="embedding", select=["id"],
+                    nprobe=ann_nprobe,
+                ).collect()
+
+            h16p = sum(
+                len(exact_sets[qid] & {r.id for r in ann16p_with(all_rows[qid])})
+                for qid in all_ids
+            )
+            extras["ann768_f16p_recall_at_10"] = round(h16p / (10 * len(all_ids)), 3)
+            t16p = sorted(timed(lambda: ann16p_with(aq)) for _ in range(5))
+            queries["ann768_f16p"] = t16p[2]
+            extras["ann768_f16p_best_sec"] = t16p[0]
+            extras["ann768_f16p_speedup"] = round(ets[0] / t16p[0], 2)
+            probed16p = sum(
+                du(f"{ivf16p_path}/ivf_cluster={p}")
+                for p in idx16p.probe_clusters(aq, ann_nprobe)
+                if os.path.isdir(f"{ivf16p_path}/ivf_cluster={p}")
+            )
+            extras["ann768_f16p_bytes_fraction"] = round(probed16p / du(ivf_path), 4)
+            print(
+                f"  ann768_f16p: {t16p} recall={extras['ann768_f16p_recall_at_10']} "
+                f"speedup={extras['ann768_f16p_speedup']} "
+                f"bytes_frac={extras['ann768_f16p_bytes_fraction']}",
+                file=sys.stderr,
+            )
+            _rm(ivf16p_path)  # transient, like the list twin
+          except _BudgetSkip:
+            print("  ann768_f16p: SKIPPED (disk)", file=sys.stderr)
+          except Exception as pfex:  # noqa: BLE001
+            errors["ann768_f16p"] = f"{type(pfex).__name__}: {pfex}"[:500]
+            print(f"  ann768_f16p: FAILED {errors['ann768_f16p'].splitlines()[0]}", file=sys.stderr)
+
         # The big-ANN curve point the judge asked for three rounds
         # running now IS the section above: N_ANN defaults to 8M (the
         # 16M fallback VERDICT r7 offered is still impossible — 48 GB

@@ -451,3 +451,36 @@ def test_ivf_tune_nprobe(spark, emb, tmp_path):
         widths=(8,), id_col="vec_id",
     )
     assert w8 == 8 and rec8 == 1.0
+
+
+def test_packed_twin_preserves_ivf_tree_and_probes(spark, emb, tmp_path):
+    """layout="packed" keeps the ivf_cluster=K partition dirs and the
+    probe path decodes fixed_size_binary vectors — pruning composes
+    with the bulk-memcpy half-width layout, and (same float16 values)
+    the neighbors equal the list<f16> twin's exactly."""
+    import os
+
+    from laion_spark.operators.similarity import IVFIndex
+    from laion_spark.sources.halfvec import write_half_table
+
+    idx = IVFIndex(dim=64, n_clusters=4, n_iters=1, nprobe=2).fit(
+        emb, id_col="vec_id", vector_col="embedding"
+    )
+    src = str(tmp_path / "ivf_full_p")
+    idx.write_index(emb, src, "embedding")
+    d_list = str(tmp_path / "ivf_f16_l")
+    d_pack = str(tmp_path / "ivf_f16_p")
+    write_half_table(spark, src, d_list, ["embedding"]).collect()
+    write_half_table(spark, src, d_pack, ["embedding"], layout="packed").collect()
+    src_dirs = {d for d in os.listdir(src) if d.startswith("ivf_cluster=")}
+    pack_dirs = {d for d in os.listdir(d_pack) if d.startswith("ivf_cluster=")}
+    assert src_dirs and src_dirs == pack_dirs
+    qvec = [float(x) for r in emb.filter("vec_id = 3").collect() for x in r.embedding]
+    mk = lambda: IVFIndex(dim=64, n_clusters=4, nprobe=2)
+    il, ip = mk(), mk()
+    il.centroids = ip.centroids = idx.centroids
+    lst = il.search_parquet(spark, d_list, qvec, k=3, vector_col="embedding", select=["vec_id"]).collect()
+    pck = ip.search_parquet(spark, d_pack, qvec, k=3, vector_col="embedding", select=["vec_id"]).collect()
+    assert [(r.vec_id, round(r.score, 6)) for r in pck] == [
+        (r.vec_id, round(r.score, 6)) for r in lst
+    ]
