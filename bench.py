@@ -658,9 +658,11 @@ def main() -> None:
             f"/tmp/laion_bench_{N_VEC}x{DIM}.parquet",
             f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet",
             f"/tmp/laion_bench_{N_VEC}x{DIM}_f16p.parquet",
+            f"/tmp/laion_bench_{N_VEC}x{DIM}_i8.parquet",
             f"/tmp/laion_bench_{N_10M}x{DIM}.parquet",
             f"/tmp/laion_bench_{N_10M}x{DIM}_f16.parquet",
             f"/tmp/laion_bench_{N_10M}x{DIM}_f16p.parquet",
+            f"/tmp/laion_bench_{N_10M}x{DIM}_i8.parquet",
             f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf256rg8.parquet",
             f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf256rg8_f16.parquet",
             f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf256rg8_centroids.json",
@@ -1217,6 +1219,37 @@ def main() -> None:
         extras["knn768_f16p_rows_per_sec"] = round(N_VEC / tsp[0])
         extras["knn768_f16p_bytes_fraction"] = round(du(packed_path) / du(bench_path), 4)
         print(f"  knn768_f16p: {tsp} bytes_frac={extras['knn768_f16p_bytes_fraction']}", file=sys.stderr)
+
+        # SQ8 twin: packed int8 codes + per-vector float32 scale — 1/4
+        # of the f32 bytes, dequantized batch-wise in the scorer
+        from laion_spark.sources.halfvec import write_int8_table
+
+        i8_path = f"/tmp/laion_bench_{N_VEC}x{DIM}_i8.parquet"
+        if not os.path.exists(f"{i8_path}/_DONE"):
+            t0 = time.perf_counter()
+            write_int8_table(spark, bench_path, i8_path, vector_cols=("embedding",)).collect()
+            open(f"{i8_path}/_DONE", "w").close()
+            print(f"  i8 rewrite: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+        def run_i8():
+            return knn_search_parquet(
+                spark, i8_path, qvec, k=10, vector_col="embedding", select=["id"],
+                scale_col="embedding_scale",
+            ).collect()
+
+        truth_1m = {r.id for r in run_knn("scan")}
+        i8_ids = {r.id for r in run_i8()}  # doubles as the warm run
+        extras["knn768_i8_recall_at_10"] = round(len(truth_1m & i8_ids) / 10, 2)
+        tsi = sorted(timed(run_i8) for _ in range(5))
+        queries["knn768_i8"] = tsi[2]
+        extras["knn768_i8_best_sec"] = tsi[0]
+        extras["knn768_i8_rows_per_sec"] = round(N_VEC / tsi[0])
+        extras["knn768_i8_bytes_fraction"] = round(du(i8_path) / du(bench_path), 4)
+        print(
+            f"  knn768_i8: {tsi} recall={extras['knn768_i8_recall_at_10']} "
+            f"bytes_frac={extras['knn768_i8_bytes_fraction']}",
+            file=sys.stderr,
+        )
     except _BudgetSkip:
         pass
     except Exception as ex:  # noqa: BLE001
@@ -1557,6 +1590,63 @@ def main() -> None:
             errors["ann768_f16p"] = f"{type(pfex).__name__}: {pfex}"[:500]
             print(f"  ann768_f16p: FAILED {errors['ann768_f16p'].splitlines()[0]}", file=sys.stderr)
 
+        # SQ8 ivf twin: pruning x 1/4 bytes — the deepest compression
+        # point of the storage ladder (f32 -> f16 -> i8), recall judged
+        # against the FLOAT32 exact sets like the f16 rows
+        if not over_budget(errors, "ann768_i8"):
+          try:  # own failure domain (noqa: E117)
+            from laion_spark.sources.halfvec import write_int8_table
+
+            ivfi8_path = f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf{C}rg{RG_MB}_i8.parquet"
+            if not os.path.exists(f"{ivfi8_path}/_DONE"):
+                if not ensure_free(
+                    int(N_ANN) * DIM + 2 * 1024**3,
+                    [f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet"],
+                    "ivf i8 twin",
+                ):
+                    errors["ann768_i8"] = "skipped: insufficient /tmp for the i8 twin"
+                    raise _BudgetSkip
+                t0 = time.perf_counter()
+                write_int8_table(spark, ivf_path, ivfi8_path, ["embedding"]).collect()
+                open(f"{ivfi8_path}/_DONE", "w").close()
+                print(f"  ivf i8 twin build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+            idxi8 = IVFIndex(dim=DIM, n_clusters=C, nprobe=NPROBE)
+            idxi8.centroids = idx.centroids
+
+            def anni8_with(v):
+                return idxi8.search_parquet(
+                    spark, ivfi8_path, v, k=10, vector_col="embedding", select=["id"],
+                    nprobe=ann_nprobe, scale_col="embedding_scale",
+                ).collect()
+
+            hi8 = sum(
+                len(exact_sets[qid] & {r.id for r in anni8_with(all_rows[qid])})
+                for qid in all_ids
+            )
+            extras["ann768_i8_recall_at_10"] = round(hi8 / (10 * len(all_ids)), 3)
+            ti8 = sorted(timed(lambda: anni8_with(aq)) for _ in range(5))
+            queries["ann768_i8"] = ti8[2]
+            extras["ann768_i8_best_sec"] = ti8[0]
+            extras["ann768_i8_speedup"] = round(ets[0] / ti8[0], 2)
+            probedi8 = sum(
+                du(f"{ivfi8_path}/ivf_cluster={p}")
+                for p in idxi8.probe_clusters(aq, ann_nprobe)
+                if os.path.isdir(f"{ivfi8_path}/ivf_cluster={p}")
+            )
+            extras["ann768_i8_bytes_fraction"] = round(probedi8 / du(ivf_path), 4)
+            print(
+                f"  ann768_i8: {ti8} recall={extras['ann768_i8_recall_at_10']} "
+                f"speedup={extras['ann768_i8_speedup']} "
+                f"bytes_frac={extras['ann768_i8_bytes_fraction']}",
+                file=sys.stderr,
+            )
+            _rm(ivfi8_path)  # transient, like the f16 twins
+          except _BudgetSkip:
+            print("  ann768_i8: SKIPPED (disk)", file=sys.stderr)
+          except Exception as qex:  # noqa: BLE001
+            errors["ann768_i8"] = f"{type(qex).__name__}: {qex}"[:500]
+            print(f"  ann768_i8: FAILED {errors['ann768_i8'].splitlines()[0]}", file=sys.stderr)
+
         # The big-ANN curve point the judge asked for three rounds
         # running now IS the section above: N_ANN defaults to 8M (the
         # 16M fallback VERDICT r7 offered is still impossible — 48 GB
@@ -1608,8 +1698,9 @@ def main() -> None:
                 spark, path_10m, qvec, k=10, vector_col="embedding", select=["id"]
             ).collect()
 
-        run_10m()  # warm (page cache will NOT hold 30 GB — this is a
-        # disk-bound scan, closest in spirit to the reference's NVMe runs)
+        truth_10m = {r.id for r in run_10m()}  # warm (page cache will NOT
+        # hold 30 GB — this is a disk-bound scan, closest in spirit to the
+        # reference's NVMe runs); the ids double as the i8 row's recall truth
         ts10 = sorted(timed(run_10m) for _ in range(3))
         queries["knn768_10m"] = ts10[1]
         extras["knn768_10m_best_sec"] = ts10[0]
@@ -1756,6 +1847,55 @@ def main() -> None:
         except Exception as pex_:  # noqa: BLE001
             errors["knn768_f16p_10m"] = f"{type(pex_).__name__}: {pex_}"[:500]
             print(f"  knn768_f16p_10m: FAILED {errors['knn768_f16p_10m'].splitlines()[0]}", file=sys.stderr)
+
+        # SQ8 at 10M: 1/4 of the f32 bytes (7.5 GB twin), recall judged
+        # against the f32 scan's own top-10 from this session
+        try:
+            if time.perf_counter() - _T_START > BUDGET_S - 180:
+                errors["knn768_i8_10m"] = "skipped: < 180s of bench budget left"
+                print("  knn768_i8_10m: SKIPPED (headroom)", file=sys.stderr)
+                raise _BudgetSkip
+            i8_10m = f"/tmp/laion_bench_{N_10M}x{DIM}_i8.parquet"
+            if not os.path.exists(f"{i8_10m}/_DONE"):
+                if not ensure_free(
+                    N_10M * DIM + 2 * 1024**3,
+                    [f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf256rg8_f16.parquet"],
+                    "i8 10m twin",
+                ):
+                    errors["knn768_i8_10m"] = "skipped: insufficient /tmp for the 8 GB twin"
+                    print("  knn768_i8_10m: SKIPPED (disk)", file=sys.stderr)
+                    raise _BudgetSkip
+                from laion_spark.sources.halfvec import write_int8_table
+
+                t0 = time.perf_counter()
+                write_int8_table(spark, path_10m, i8_10m, vector_cols=("embedding",)).collect()
+                open(f"{i8_10m}/_DONE", "w").close()
+                print(f"  i8 10m rewrite: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+            def run_i8_10m():
+                return knn_search_parquet(
+                    spark, i8_10m, qvec, k=10, vector_col="embedding", select=["id"],
+                    scale_col="embedding_scale",
+                ).collect()
+
+            i8_ids_10m = {r.id for r in run_i8_10m()}  # warm + recall
+            extras["knn768_i8_10m_recall_at_10"] = round(len(truth_10m & i8_ids_10m) / 10, 2)
+            tsi10 = sorted(timed(run_i8_10m) for _ in range(3))
+            queries["knn768_i8_10m"] = tsi10[1]
+            extras["knn768_i8_10m_best_sec"] = tsi10[0]
+            extras["knn768_i8_10m_rows_per_sec"] = round(N_10M / tsi10[0])
+            extras["knn768_i8_10m_bytes_fraction"] = round(du(i8_10m) / du(path_10m), 4)
+            print(
+                f"  knn768_i8_10m: {tsi10} recall={extras['knn768_i8_10m_recall_at_10']} "
+                f"bytes_frac={extras['knn768_i8_10m_bytes_fraction']}",
+                file=sys.stderr,
+            )
+            _rm(i8_10m)  # transient, like the f16 twins
+        except _BudgetSkip:
+            pass
+        except Exception as iex_:  # noqa: BLE001
+            errors["knn768_i8_10m"] = f"{type(iex_).__name__}: {iex_}"[:500]
+            print(f"  knn768_i8_10m: FAILED {errors['knn768_i8_10m'].splitlines()[0]}", file=sys.stderr)
     except _BudgetSkip:
         pass
     except Exception as ex:  # noqa: BLE001

@@ -236,13 +236,17 @@ def flat_matrix(vcol, dim: int, dtype=None):
         )
     if pa.types.is_fixed_size_binary(vcol.type):
         width = vcol.type.byte_width
-        if width != 2 * dim:
+        if width == 2 * dim:
+            elem = np.float16  # packed float16 (halfvec layout="packed")
+        elif width == dim:
+            elem = np.int8  # packed int8 SQ codes (write_int8_table)
+        else:
             raise ValueError(
-                f"packed vector width {width} B != 2*dim for dim={dim}; packed "
-                "columns are little-endian float16 (2 bytes per element)"
+                f"packed vector width {width} B fits neither float16 (2*dim) "
+                f"nor int8 (dim) for dim={dim}"
             )
         flat = np.frombuffer(
-            vcol.buffers()[1], dtype=np.float16, count=n * dim, offset=vcol.offset * width
+            vcol.buffers()[1], dtype=elem, count=n * dim, offset=vcol.offset * width
         )
         return flat.reshape(n, dim).astype(dtype or np.float64, copy=False)
     flat = vcol.flatten().to_numpy(zero_copy_only=False)
@@ -499,6 +503,7 @@ def knn_search_parquet(
     n_partitions: int | None = None,
     pa_filter=None,
     plan: ScanPlan | None = None,
+    scale_col: str | None = None,
 ) -> DataFrame:
     """Brute-force top-k over a parquet table via a *scan-side* scorer:
     each Spark task opens its (file, row_group) split directly with
@@ -541,6 +546,13 @@ def knn_search_parquet(
     parquet reader: row groups whose statistics exclude the predicate
     are skipped entirely and the residual filter runs vectorized before
     scoring — the scan-path equivalent of Catalyst's PushedFilters.
+
+    ``scale_col`` enables int8 scalar-quantized (SQ8) tables
+    (``halfvec.write_int8_table``): the vector column holds packed int8
+    codes (fixed_size_binary(dim)) and ``scale_col`` the per-vector
+    float32 dequantization factor — each batch dequantizes as
+    ``codes * scale`` before scoring, so the scan reads 1/4 of the
+    float32 bytes at SQ8's ~1/254 relative grain.
     """
     if metric not in _METRICS:
         raise ValueError(f"metric must be one of {_METRICS}, got {metric!r}")
@@ -559,6 +571,8 @@ def knn_search_parquet(
     phys = set(arrow_schema.names)
     if vector_col not in phys:
         raise ValueError(f"vector column {vector_col!r} not in parquet files ({sorted(phys)})")
+    if scale_col is not None and scale_col not in phys:
+        raise ValueError(f"scale column {scale_col!r} not in parquet files ({sorted(phys)})")
     if select is not None:
         missing = [c for c in select if c not in phys]
         if missing:
@@ -569,7 +583,7 @@ def knn_search_parquet(
             )
         cols = list(select)
     else:
-        cols = [c for c in arrow_schema.names if c != vector_col]
+        cols = [c for c in arrow_schema.names if c != vector_col and c != scale_col]
 
     qvec = [float(x) for x in query_vec]
     if batch_rows is None:
@@ -605,6 +619,8 @@ def knn_search_parquet(
     )
     out_schema = (out_schema + ", " if out_schema else "") + "_raw double"
     read_cols = list(cols) + ([vector_col] if vector_col not in cols else [])
+    if scale_col is not None and scale_col not in read_cols:
+        read_cols.append(scale_col)
     kk = k
 
     def score_split(batches):
@@ -661,6 +677,13 @@ def knn_search_parquet(
                     n = len(vcol)
                     if n == 0:
                         continue
+                    scales = (
+                        b.column(b.schema.get_field_index(scale_col))
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.float32, copy=False)
+                        if scale_col is not None
+                        else None
+                    )
                     top = min(kk, n)
                     if metric == "l2":
                         # two-stage: float32 dot-form SELECTION (SIMD-wide,
@@ -674,6 +697,8 @@ def knn_search_parquet(
                         # bound for a float32 dot product
                         # (|fl(x.y) - x.y| <= ~n*u*sum|x_i y_i|).
                         mat32 = flat_matrix(vcol, dim, np.float32)
+                        if scales is not None:  # SQ8 dequantize: codes * scale
+                            mat32 = mat32 * scales[:, None]
                         q32 = q.astype(np.float32)
                         nrm = np.einsum("ij,ij->i", mat32, mat32, dtype=np.float32)
                         raw32 = nrm - 2.0 * (mat32 @ q32) + np.float32(qq)
@@ -694,11 +719,15 @@ def knn_search_parquet(
                         idx = pa.array(cand)
                     elif metric == "dot":
                         mat = flat_matrix(vcol, dim)
+                        if scales is not None:
+                            mat = mat * scales[:, None]
                         raw = mat @ q
                         idx = pa.array(np.argpartition(-raw, top - 1)[:top])
                         raw = raw[idx.to_numpy()]
                     else:
                         mat = flat_matrix(vcol, dim)
+                        if scales is not None:
+                            mat = mat * scales[:, None]
                         norms = np.sqrt(np.einsum("ij,ij->i", mat, mat)) * np.sqrt(qq)
                         with np.errstate(divide="ignore", invalid="ignore"):
                             raw = np.where(norms != 0.0, (mat @ q) / norms, np.nan)

@@ -595,6 +595,7 @@ class IVFIndex:
         select: Sequence[str] | None = None,
         metric: str = "l2",
         nprobe: int | None = None,
+        scale_col: str | None = None,
     ):
         """Single-probe ANN over a ``write_index`` table with the cached
         scan plan: prunes to the nprobe nearest clusters' (file,
@@ -615,7 +616,7 @@ class IVFIndex:
         plan = ScanPlan(info["fs"], files, info["remote"], tasks, info["schema"])
         return knn_search_parquet(
             spark, path, qvec, k=k, vector_col=vector_col, select=select,
-            metric=metric, plan=plan,
+            metric=metric, plan=plan, scale_col=scale_col,
         )
 
     def knn_join_parquet(

@@ -145,3 +145,98 @@ def write_half_table(
     if n > 1:
         jobs = jobs.repartition(min(n, spark.sparkContext.defaultParallelism))
     return jobs.mapInArrow(conv, "path string, rows long")
+
+
+def write_int8_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    vector_cols: Sequence[str] = ("embedding",),
+    compression: str = "snappy",
+) -> DataFrame:
+    """Rewrite a parquet table with ``vector_cols`` scalar-quantized to
+    int8 (SQ8): each vector becomes a packed fixed_size_binary(dim) of
+    symmetric int8 codes plus a ``{col}_scale`` float32 column with its
+    per-vector dequantization factor (max|x| / 127; codes reconstruct
+    as ``code * scale``). 1/4 of the float32 bytes — the storage the
+    v13 catalog entry's int8 codes were designed to ship to — served by
+    ``knn_search_parquet(..., scale_col="{col}_scale")`` and composing
+    with IVF partition pruning exactly like the f16 twins (the source's
+    directory tree, including ``ivf_cluster=K`` dirs, is preserved).
+
+    Zero vectors quantize to all-zero codes with scale 1.0 (exact).
+    Same file-wise distributed rewrite shape as ``write_half_table``:
+    one task per source file, no shuffle, wide columns never in the JVM.
+    """
+    from laion_spark.operators.knn import _list_parquet_files
+    from laion_spark.session import _ship_package
+
+    _ship_package(spark)
+    fs, files, remote = _list_parquet_files([src_path])
+    if remote:
+        raise NotImplementedError("write_int8_table targets local paths (fixture/bench use)")
+    root = src_path[7:] if src_path.startswith("file:///") else src_path
+    root = root.rstrip("/")
+    tasks = []
+    for i, f in enumerate(files):
+        rel = f[len(root):].lstrip("/") if f.startswith(root) else f"part-{i:05d}.parquet"
+        rel = rel or os.path.basename(f)
+        dst = os.path.join(dst_path, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        tasks.append((f, dst))
+    vcols = list(vector_cols)
+
+    def conv(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from laion_spark.operators.knn import flat_matrix
+
+        def quantize_chunk(ch, dim):
+            mat = flat_matrix(ch, dim, np.float32)
+            n = len(ch)
+            maxabs = np.abs(mat).max(axis=1)
+            scale = np.where(maxabs > 0, maxabs / 127.0, 1.0).astype(np.float32)
+            codes = np.clip(np.rint(mat / scale[:, None]), -127, 127).astype(np.int8)
+            fsb = pa.Array.from_buffers(
+                pa.binary(dim), n, [None, pa.py_buffer(np.ascontiguousarray(codes).tobytes())]
+            )
+            return fsb, pa.array(scale, type=pa.float32())
+
+        for rb in batches:
+            for src, dst in zip(rb.column(0).to_pylist(), rb.column(1).to_pylist()):
+                pf = pq.ParquetFile(src)
+                schema = pf.schema_arrow
+                probe = pf.read_row_group(0, columns=vcols)
+                dims: dict[str, int] = {}
+                for c in vcols:
+                    col = probe.column(c).combine_chunks()
+                    if len(col) == 0:
+                        raise ValueError(f"cannot infer dim of {c!r}: empty row group")
+                    dims[c] = len(col.flatten()) // len(col)
+                for c in vcols:
+                    i = schema.get_field_index(c)
+                    schema = schema.set(i, schema.field(i).with_type(pa.binary(dims[c])))
+                    schema = schema.append(pa.field(f"{c}_scale", pa.float32()))
+                rows = 0
+                with pq.ParquetWriter(dst, schema, compression=compression) as w:
+                    for g in range(pf.metadata.num_row_groups):
+                        t = pf.read_row_group(g)
+                        for c in vcols:
+                            i = t.schema.get_field_index(c)
+                            fsb, sc = quantize_chunk(t.column(c).combine_chunks(), dims[c])
+                            t = t.set_column(i, c, fsb)
+                            t = t.append_column(f"{c}_scale", sc)
+                        w.write_table(t.cast(schema))
+                        rows += t.num_rows
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([dst]), pa.array([rows], type=pa.int64())],
+                    ["path", "rows"],
+                )
+
+    n = len(tasks)
+    jobs = spark.createDataFrame(tasks, "src string, dst string")
+    if n > 1:
+        jobs = jobs.repartition(min(n, spark.sparkContext.defaultParallelism))
+    return jobs.mapInArrow(conv, "path string, rows long")

@@ -84,3 +84,76 @@ def test_packed_matches_list_f16_exactly(spark, sf_dir, tmp_path):
     a = knn_search_parquet(spark, d_list, QVEC64, k=10, vector_col="embedding", select=["vec_id"])
     b = knn_search_parquet(spark, d_pack, QVEC64, k=10, vector_col="embedding", select=["vec_id"])
     assert [r.vec_id for r in a.collect()] == [r.vec_id for r in b.collect()]
+
+
+def test_int8_rewrite_quarter_bytes_and_schema(spark, sf_dir, tmp_path):
+    from laion_spark.sources.halfvec import write_int8_table
+
+    src = f"{sf_dir}/embeddings.parquet"
+    dst = str(tmp_path / "emb_i8")
+    res = write_int8_table(spark, src, dst, vector_cols=("embedding",)).collect()
+    n_src = spark.read.parquet(src).count()
+    assert sum(r.rows for r in res) == n_src
+    import glob as _g
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    f0 = sorted(_g.glob(dst + "/*.parquet"))[0]
+    t = pq.read_table(f0)
+    assert pa.types.is_fixed_size_binary(t.schema.field("embedding").type)
+    assert t.schema.field("embedding").type.byte_width == 64  # 1 B/elem
+    assert pa.types.is_float32(t.schema.field("embedding_scale").type)
+    sz = lambda files: sum(os.path.getsize(f) for f in files)
+    src_b = sz(glob.glob(src) or glob.glob(src + "/*.parquet"))
+    dst_b = sz(glob.glob(dst + "/*.parquet"))
+    # codes are 1/4 the f32 vector bytes (+ tiny scale column)
+    assert dst_b < 0.45 * src_b, (src_b, dst_b)
+
+
+def test_int8_knn_recall_vs_full_precision(spark, sf_dir, tmp_path):
+    from laion_spark.sources.halfvec import write_int8_table
+
+    src = f"{sf_dir}/embeddings.parquet"
+    dst = str(tmp_path / "emb_i8_knn")
+    write_int8_table(spark, src, dst, vector_cols=("embedding",)).collect()
+    full = knn_search_parquet(spark, src, QVEC64, k=10, vector_col="embedding", select=["vec_id"])
+    quant = knn_search_parquet(
+        spark, dst, QVEC64, k=10, vector_col="embedding", select=["vec_id"],
+        scale_col="embedding_scale",
+    )
+    full_ids = {r.vec_id for r in full.collect()}
+    quant_ids = {r.vec_id for r in quant.collect()}
+    # SQ8's ~1/254 relative grain: near-ties at the tail may swap
+    assert len(full_ids & quant_ids) >= 8, (full_ids, quant_ids)
+
+
+def test_int8_dequantization_error_bound(spark, sf_dir, tmp_path):
+    """Every reconstructed element is within scale/2 = max|x|/254 of the
+    original (round-to-nearest symmetric quantization)."""
+    import numpy as np
+
+    from laion_spark.sources.halfvec import write_int8_table
+
+    src = f"{sf_dir}/embeddings.parquet"
+    dst = str(tmp_path / "emb_i8_err")
+    write_int8_table(spark, src, dst, vector_cols=("embedding",)).collect()
+    import glob as _g
+
+    import pyarrow.parquet as pq
+
+    orig = {r.vec_id: np.asarray(r.embedding, dtype=np.float32)
+            for r in spark.read.parquet(src).collect()}
+    f0 = sorted(_g.glob(dst + "/*.parquet"))
+    ids, codes, scales = [], [], []
+    for f in f0:
+        t = pq.read_table(f)
+        ids += t.column("vec_id").to_pylist()
+        scales += t.column("embedding_scale").to_pylist()
+        buf = t.column("embedding").combine_chunks()
+        for i in range(len(buf)):
+            codes.append(np.frombuffer(buf[i].as_py(), dtype=np.int8))
+    for vid, c, s in zip(ids, codes, scales):
+        x = orig[vid]
+        err = np.abs(c.astype(np.float32) * s - x)
+        assert err.max() <= s / 2 + 1e-7, (vid, err.max(), s)

@@ -484,3 +484,33 @@ def test_packed_twin_preserves_ivf_tree_and_probes(spark, emb, tmp_path):
     assert [(r.vec_id, round(r.score, 6)) for r in pck] == [
         (r.vec_id, round(r.score, 6)) for r in lst
     ]
+
+
+def test_int8_twin_preserves_ivf_tree_and_probes(spark, emb, tmp_path):
+    """SQ8 twin keeps the partition tree; probes through scale_col reach
+    recall >= 2/3 vs the full-precision probe at SQ8's grain."""
+    import os
+
+    from laion_spark.operators.similarity import IVFIndex
+    from laion_spark.sources.halfvec import write_int8_table
+
+    idx = IVFIndex(dim=64, n_clusters=4, n_iters=1, nprobe=2).fit(
+        emb, id_col="vec_id", vector_col="embedding"
+    )
+    src = str(tmp_path / "ivf_full_i8")
+    idx.write_index(emb, src, "embedding")
+    dst = str(tmp_path / "ivf_i8")
+    write_int8_table(spark, src, dst, ["embedding"]).collect()
+    src_dirs = {d for d in os.listdir(src) if d.startswith("ivf_cluster=")}
+    dst_dirs = {d for d in os.listdir(dst) if d.startswith("ivf_cluster=")}
+    assert src_dirs and src_dirs == dst_dirs
+    qvec = [float(x) for r in emb.filter("vec_id = 3").collect() for x in r.embedding]
+    i8 = IVFIndex(dim=64, n_clusters=4, nprobe=2)
+    i8.centroids = idx.centroids
+    full = idx.search_parquet(spark, src, qvec, k=3, vector_col="embedding", select=["vec_id"]).collect()
+    quant = i8.search_parquet(
+        spark, dst, qvec, k=3, vector_col="embedding", select=["vec_id"],
+        scale_col="embedding_scale",
+    ).collect()
+    assert len(quant) == 3
+    assert len({r.vec_id for r in quant} & {r.vec_id for r in full}) >= 2
