@@ -632,6 +632,7 @@ class IVFIndex:
         metric: str = "l2",
         nprobe: int | None = None,
         max_queries: int = 4096,
+        scale_col: str | None = None,
     ) -> DataFrame:
         """Batched ANN join: approximate k nearest corpus rows for EACH
         query row, over a ``write_index``-layout table — the asymmetric
@@ -733,15 +734,23 @@ class IVFIndex:
                     pf = pq.ParquetFile(fs.open_input_file(fpath))
                     rgs = [rg] if rg >= 0 else range(pf.metadata.num_row_groups)
                     out_q, out_c, out_s = [], [], []
+                    read_cols = [corpus_id, vector_col] + (
+                        [scale_col] if scale_col is not None else []
+                    )
                     for b in pf.iter_batches(
                         batch_size=batch_rows, row_groups=rgs,
-                        columns=[corpus_id, vector_col], use_threads=False,
+                        columns=read_cols, use_threads=False,
                     ):
                         vcol = b.column(b.schema.get_field_index(vector_col))
                         n = len(vcol)
                         if n == 0:
                             continue
                         X = flat_matrix(vcol, dim)
+                        if scale_col is not None:  # SQ8 dequantize
+                            X = X * (
+                                b.column(b.schema.get_field_index(scale_col))
+                                .to_numpy(zero_copy_only=False)[:, None]
+                            )
                         if metric == "l2":
                             d2 = (
                                 np.einsum("ij,ij->i", X, X)[:, None]

@@ -514,3 +514,35 @@ def test_int8_twin_preserves_ivf_tree_and_probes(spark, emb, tmp_path):
     ).collect()
     assert len(quant) == 3
     assert len({r.vec_id for r in quant} & {r.vec_id for r in full}) >= 2
+
+
+def test_knn_join_parquet_over_int8_twin(spark, emb, tmp_path):
+    """Batch ANN join over an SQ8 table: scale_col dequantizes in the
+    per-cluster GEMM; per-query results overlap the full-precision
+    join's at SQ8's grain."""
+    from laion_spark.operators.similarity import IVFIndex
+    from laion_spark.sources.halfvec import write_int8_table
+
+    idx = IVFIndex(dim=64, n_clusters=4, n_iters=1, nprobe=2).fit(
+        emb, id_col="vec_id", vector_col="embedding"
+    )
+    src = str(tmp_path / "ivf_full_j8")
+    idx.write_index(emb, src, "embedding")
+    dst = str(tmp_path / "ivf_j8")
+    write_int8_table(spark, src, dst, ["embedding"]).collect()
+    q = emb.filter("vec_id IN (3, 17)").select("vec_id", "embedding")
+    full = idx.knn_join_parquet(
+        spark, src, q, k=3, query_id="vec_id", query_vec="embedding",
+        corpus_id="vec_id", vector_col="embedding",
+    ).collect()
+    quant = idx.knn_join_parquet(
+        spark, dst, q, k=3, query_id="vec_id", query_vec="embedding",
+        corpus_id="vec_id", vector_col="embedding", scale_col="embedding_scale",
+    ).collect()
+    by_q = lambda rows: {
+        qid: {r.vec_id_c for r in rows if r.vec_id_q == qid} for qid in (3, 17)
+    }
+    f, g = by_q(full), by_q(quant)
+    for qid in (3, 17):
+        assert len(g[qid]) == 3
+        assert len(f[qid] & g[qid]) >= 2, (qid, f[qid], g[qid])
