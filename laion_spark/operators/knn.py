@@ -573,6 +573,21 @@ def knn_search_parquet(
         raise ValueError(f"vector column {vector_col!r} not in parquet files ({sorted(phys)})")
     if scale_col is not None and scale_col not in phys:
         raise ValueError(f"scale column {scale_col!r} not in parquet files ({sorted(phys)})")
+    import pyarrow as pa
+
+    vtype = arrow_schema.field(vector_col).type
+    if (
+        scale_col is None
+        and pa.types.is_fixed_size_binary(vtype)
+        and vtype.byte_width == len(query_vec)
+    ):
+        # an SQ8 table scored without its scale would silently rank raw
+        # codes — wrong results, no crash. Fail loudly instead.
+        raise ValueError(
+            f"{vector_col!r} is fixed_size_binary({vtype.byte_width}) = packed int8 "
+            f"codes for dim={len(query_vec)}; pass scale_col "
+            f"(write_int8_table stores it as '{vector_col}_scale')"
+        )
     if select is not None:
         missing = [c for c in select if c not in phys]
         if missing:

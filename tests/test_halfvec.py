@@ -157,3 +157,15 @@ def test_int8_dequantization_error_bound(spark, sf_dir, tmp_path):
         x = orig[vid]
         err = np.abs(c.astype(np.float32) * s - x)
         assert err.max() <= s / 2 + 1e-7, (vid, err.max(), s)
+
+
+def test_int8_table_without_scale_col_fails_loudly(spark, sf_dir, tmp_path):
+    import pytest
+
+    from laion_spark.sources.halfvec import write_int8_table
+
+    src = f"{sf_dir}/embeddings.parquet"
+    dst = str(tmp_path / "emb_i8_guard")
+    write_int8_table(spark, src, dst, vector_cols=("embedding",)).collect()
+    with pytest.raises(ValueError, match="scale_col"):
+        knn_search_parquet(spark, dst, QVEC64, k=10, vector_col="embedding", select=["vec_id"])

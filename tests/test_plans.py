@@ -878,3 +878,18 @@ def test_d18_probe_grams_broadcast(spark, sf_dir):
     p = plan_str(REGISTRY["d18_benchmark_decontamination"].fn(spark, sf_dir), "simple")
     assert "BroadcastHashJoin" in p, p
     assert "Python" not in p, p
+
+
+def test_r9_entries_stay_jvm_side(spark, sf_dir):
+    """q141-q143 are pure built-in expression work (decode map, two
+    narrow aggregates + map fill, bounded array lambdas): no Python
+    node may appear in any plan."""
+    from laion_spark.catalog import REGISTRY
+
+    for name in [
+        "q141_transform_decode",
+        "q142_group_array_insert_at",
+        "q143_array_fill",
+    ]:
+        p = plan_str(REGISTRY[name].fn(spark, sf_dir), "simple")
+        assert "Python" not in p, (name, p)
