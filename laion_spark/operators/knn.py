@@ -614,20 +614,25 @@ def knn_search_parquet(
         batch_rows = max(256, 393_216 // max(len(query_vec), 1))
     import pyarrow as pa
 
-    #: select columns needing an Arrow-side upcast before rows reach the
-    #: JVM (Spark cannot represent float16) — either bare float16 or
-    #: list<float16>, mapped to the float32 type _arrow_to_ddl declared
-    def _half_target(t):
+    #: select columns needing an Arrow-side cast before rows reach the
+    #: JVM: float16 / list<float16> upcast to float32 (Spark has no half
+    #: type), and fixed_size_binary re-typed to plain binary — Spark's
+    #: Arrow converter rejects FSB arrays against the BinaryType schema
+    #: _arrow_to_ddl declares (ADVICE r9: selecting a packed vector
+    #: column used to die with an opaque runtime type error)
+    def _cast_target(t):
         if pa.types.is_float16(t):
             return pa.float32()
         if (pa.types.is_list(t) or pa.types.is_large_list(t)) and pa.types.is_float16(t.value_type):
             return pa.list_(pa.float32())
+        if pa.types.is_fixed_size_binary(t):
+            return pa.binary()
         return None
 
-    half_cols = {
+    cast_cols = {
         c: tgt
         for c in cols
-        if (tgt := _half_target(arrow_schema.field(c).type)) is not None
+        if (tgt := _cast_target(arrow_schema.field(c).type)) is not None
     }
     out_schema = ", ".join(
         f"`{c}` {_arrow_to_ddl(arrow_schema.field(c).type)}" for c in cols
@@ -761,10 +766,11 @@ def knn_search_parquet(
                     pa.concat_arrays([ch.combine_chunks() if isinstance(ch, pa.ChunkedArray) else ch for ch in chunks]).take(keep)
                     for chunks in cand_cols
                 ]
-                # float16 storage columns upcast before rows reach the
-                # JVM (Spark has no half type)
+                # float16 storage columns upcast (Spark has no half
+                # type) and fixed_size_binary re-typed to plain binary
+                # before rows reach the JVM
                 arrays = [
-                    a.cast(half_cols[c]) if c in half_cols else a
+                    a.cast(cast_cols[c]) if c in cast_cols else a
                     for c, a in zip(cols, arrays)
                 ]
                 arrays.append(pa.array(s[keep.to_numpy()], type=pa.float64()))

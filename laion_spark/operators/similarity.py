@@ -697,6 +697,22 @@ class IVFIndex:
                 f"no parquet files in probed clusters {sorted(by_cluster)} under {path}"
             )
         arrow_schema = info["schema"]
+        import pyarrow as pa
+
+        vtype = arrow_schema.field(vector_col).type
+        if (
+            scale_col is None
+            and pa.types.is_fixed_size_binary(vtype)
+            and vtype.byte_width == self.dim
+        ):
+            # same guard as knn_search_parquet: SQ8 codes scored without
+            # their scale would silently rank raw int8 — wrong neighbors,
+            # no crash (ADVICE r9)
+            raise ValueError(
+                f"{vector_col!r} is fixed_size_binary({vtype.byte_width}) = packed "
+                f"int8 codes for dim={self.dim}; pass scale_col "
+                f"(write_int8_table stores it as '{vector_col}_scale')"
+            )
         cid_t = _arrow_to_ddl(arrow_schema.field(corpus_id).type)
         qid_t = queries.schema[query_id].dataType.simpleString()
         dim = self.dim

@@ -31,12 +31,14 @@ def write_half_table(
     dst_path: str,
     vector_cols: Sequence[str] = ("embedding",),
     compression: str = "snappy",
-    layout: str = "list",
+    layout: str = "packed",
 ) -> DataFrame:
     """Rewrite a parquet table with ``vector_cols`` narrowed from
     list<float/double> to half-width float16 (half the vector bytes).
 
-    ``layout`` picks the physical encoding:
+    ``layout`` picks the physical encoding (default ``"packed"`` — the
+    only layout that converts halved bytes into halved scan time;
+    measured 10M x 768: packed 1.72 s vs list 5.19 s vs f32 3.05 s):
 
     - ``"list"``: list<float16>. Parquet stores each element as
       FIXED_LEN_BYTE_ARRAY(2), which pyarrow decodes PER VALUE — the
@@ -196,6 +198,16 @@ def write_int8_table(
         def quantize_chunk(ch, dim):
             mat = flat_matrix(ch, dim, np.float32)
             n = len(ch)
+            if not np.isfinite(mat).all():
+                # NaN/Inf through rint→astype(int8) is undefined in
+                # numpy — corrupt codes written silently. Same loud-
+                # failure policy as the NULL/ragged checks (ADVICE r9).
+                bad = int((~np.isfinite(mat)).sum())
+                raise ValueError(
+                    f"{bad} non-finite element(s) in vector column; SQ8 "
+                    "quantization requires finite inputs — clean or clip "
+                    "the vectors before write_int8_table"
+                )
             maxabs = np.abs(mat).max(axis=1)
             scale = np.where(maxabs > 0, maxabs / 127.0, 1.0).astype(np.float32)
             codes = np.clip(np.rint(mat / scale[:, None]), -127, 127).astype(np.int8)

@@ -79,7 +79,7 @@ def test_packed_matches_list_f16_exactly(spark, sf_dir, tmp_path):
     src = f"{sf_dir}/embeddings.parquet"
     d_list = str(tmp_path / "emb_l")
     d_pack = str(tmp_path / "emb_p")
-    write_half_table(spark, src, d_list, vector_cols=("embedding",)).collect()
+    write_half_table(spark, src, d_list, vector_cols=("embedding",), layout="list").collect()
     write_half_table(spark, src, d_pack, vector_cols=("embedding",), layout="packed").collect()
     a = knn_search_parquet(spark, d_list, QVEC64, k=10, vector_col="embedding", select=["vec_id"])
     b = knn_search_parquet(spark, d_pack, QVEC64, k=10, vector_col="embedding", select=["vec_id"])
@@ -169,3 +169,54 @@ def test_int8_table_without_scale_col_fails_loudly(spark, sf_dir, tmp_path):
     write_int8_table(spark, src, dst, vector_cols=("embedding",)).collect()
     with pytest.raises(ValueError, match="scale_col"):
         knn_search_parquet(spark, dst, QVEC64, k=10, vector_col="embedding", select=["vec_id"])
+
+
+def test_default_layout_is_packed(spark, sf_dir, tmp_path):
+    """r10: layout="packed" is the default — the only layout that turns
+    halved bytes into halved scan time (10M x 768: 1.72 s vs list 5.19 s)."""
+    import glob as _g
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = f"{sf_dir}/embeddings.parquet"
+    dst = str(tmp_path / "emb_default")
+    write_half_table(spark, src, dst, vector_cols=("embedding",)).collect()
+    f0 = sorted(_g.glob(dst + "/*.parquet"))[0]
+    t = pq.read_table(f0)
+    assert pa.types.is_fixed_size_binary(t.schema.field("embedding").type)
+    assert t.schema.field("embedding").type.byte_width == 2 * 64
+
+
+def test_int8_rejects_non_finite_vectors(spark, tmp_path):
+    """ADVICE r9: NaN/Inf through rint->astype(int8) is undefined in
+    numpy — the writer must fail loudly, not write corrupt codes."""
+    import pytest
+
+    from laion_spark.sources.halfvec import write_int8_table
+
+    src = str(tmp_path / "bad_src")
+    spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [float("nan"), 0.5])],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1).write.parquet(src)
+    dst = str(tmp_path / "bad_i8")
+    with pytest.raises(Exception, match="non-finite"):
+        write_int8_table(spark, src, dst, vector_cols=("embedding",)).collect()
+
+
+def test_select_of_packed_vector_column_returns_binary(spark, sf_dir, tmp_path):
+    """ADVICE r9: selecting a fixed_size_binary column used to put an FSB
+    array against a BinaryType mapInArrow schema — opaque runtime type
+    error. Now it casts to plain binary and the raw packed bytes come
+    through."""
+    src = f"{sf_dir}/embeddings.parquet"
+    dst = str(tmp_path / "emb_sel_p")
+    write_half_table(spark, src, dst, vector_cols=("embedding",), layout="packed").collect()
+    rows = knn_search_parquet(
+        spark, dst, QVEC64, k=3, vector_col="embedding", select=["vec_id", "embedding"]
+    ).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert isinstance(r.embedding, (bytes, bytearray))
+        assert len(r.embedding) == 2 * 64  # packed little-endian float16

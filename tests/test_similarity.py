@@ -470,7 +470,7 @@ def test_packed_twin_preserves_ivf_tree_and_probes(spark, emb, tmp_path):
     idx.write_index(emb, src, "embedding")
     d_list = str(tmp_path / "ivf_f16_l")
     d_pack = str(tmp_path / "ivf_f16_p")
-    write_half_table(spark, src, d_list, ["embedding"]).collect()
+    write_half_table(spark, src, d_list, ["embedding"], layout="list").collect()
     write_half_table(spark, src, d_pack, ["embedding"], layout="packed").collect()
     src_dirs = {d for d in os.listdir(src) if d.startswith("ivf_cluster=")}
     pack_dirs = {d for d in os.listdir(d_pack) if d.startswith("ivf_cluster=")}
@@ -546,3 +546,27 @@ def test_knn_join_parquet_over_int8_twin(spark, emb, tmp_path):
     for qid in (3, 17):
         assert len(g[qid]) == 3
         assert len(f[qid] & g[qid]) >= 2, (qid, f[qid], g[qid])
+
+
+def test_knn_join_parquet_int8_without_scale_fails_loudly(spark, emb, tmp_path):
+    """ADVICE r9 (medium): the join path mirrors knn_search_parquet's
+    SQ8 guard — scoring raw int8 codes without scale_col would return
+    wrong neighbors with no crash."""
+    import pytest
+
+    from laion_spark.operators.similarity import IVFIndex
+    from laion_spark.sources.halfvec import write_int8_table
+
+    idx = IVFIndex(dim=64, n_clusters=4, n_iters=1, nprobe=2).fit(
+        emb, id_col="vec_id", vector_col="embedding"
+    )
+    src = str(tmp_path / "ivf_full_g8")
+    idx.write_index(emb, src, "embedding")
+    dst = str(tmp_path / "ivf_g8")
+    write_int8_table(spark, src, dst, ["embedding"]).collect()
+    q = emb.filter("vec_id = 3").select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="scale_col"):
+        idx.knn_join_parquet(
+            spark, dst, q, k=3, query_id="vec_id", query_vec="embedding",
+            corpus_id="vec_id", vector_col="embedding",
+        )
