@@ -1718,8 +1718,10 @@ def main() -> None:
                     raise _BudgetSkip
                 raw_pt = n_pt * DIM * 4
                 pt_path = f"/tmp/laion_bench_{n_pt}x{DIM}_ivf{C}rg{RG_MB}.parquet"
-                # evict the cheap 1M fixtures if the build needs room
-                # (each rebuilds in well under a minute when next needed)
+                # evict cheap 1M fixtures first; the 10M base is the
+                # last resort — it rebuilds in ~60 s (synth_vectors)
+                # while the 4M point is unmeasurable without the room
+                # (r10 first run: 22 GB reachable vs 25 GB needed)
                 if not ensure_free(
                     int(raw_pt * 2.2),
                     [
@@ -1727,6 +1729,7 @@ def main() -> None:
                         f"/tmp/laion_bench_{N_VEC}x{DIM}_f16p.parquet",
                         f"/tmp/laion_bench_{N_VEC}x{DIM}_i8.parquet",
                         f"/tmp/laion_bench_{N_VEC}x{DIM}.parquet",
+                        f"/tmp/laion_bench_{N_10M}x{DIM}.parquet",
                     ],
                     key,
                 ):
@@ -1735,10 +1738,18 @@ def main() -> None:
                     )
                     print(f"  {key}: SKIPPED (disk)", file=sys.stderr)
                     raise _BudgetSkip
-                idx_pt = IVFIndex(dim=DIM, n_clusters=C, n_iters=4, nprobe=NPROBE)
+                if idx.centroids is None:
+                    errors[key] = "skipped: no 8M quantizer to share"
+                    raise _BudgetSkip
+                idx_pt = IVFIndex(dim=DIM, n_clusters=C, nprobe=NPROBE)
+                # same quantizer as the 8M headline: the generative
+                # mixture is identical at every scale (centers depend
+                # only on the seed), so sharing centroids isolates the
+                # SCALE variable and skips a redundant ~90 s fit — the
+                # fit-once / index-growing-data serving shape
+                idx_pt.centroids = idx.centroids
                 t0 = time.perf_counter()
                 gen_pt = synth_df(spark, n_pt, DIM, clustered=True)
-                idx_pt.fit(gen_pt, id_col="id", vector_col="embedding", fit_rows=200_000)
                 idx_pt.write_index(gen_pt, pt_path, "embedding", row_group_bytes=RG_MB * 1024 * 1024)
                 print(f"  {key} ivf build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
                 vec_pt = spark.read.parquet(pt_path)

@@ -9200,21 +9200,25 @@ def q119_group_bitmap(spark, sf_dir):
     note="ClickHouse system.parts / primary-index read as a query: "
     "orders lands in a Hive-partitioned layout (PARTITION BY "
     "analog), then per-part row counts and key min/max are answered "
-    "from parquet FOOTER STATISTICS ONLY — the driver-side metadata "
-    "pass of sources/minmax.py, no data task is launched for stats-"
-    "bearing files (a per-partition Spark scan fallback keeps the "
-    "result correct if a footer lacks stats). The oracle recomputes "
-    "the same numbers from the raw rows, so what's verified is that "
-    "the metadata path equals the data path. At 100 TB this is "
-    "exactly the ClickHouse primary.idx economics: one small footer "
-    "per part replaces scanning the part, and the planner's file "
-    "pruning (x06) is this same read used as a filter.",
+    "from parquet FOOTER STATISTICS ONLY — minmax.collect_file_stats, "
+    "which reads the footers on the driver at this table's size and "
+    "fans the reads out as a mapInArrow over the file list above a "
+    "threshold (r10: only tiny stats rows return, so 10^5-10^6 parts "
+    "never serialize on the driver; both paths unit-pinned identical). "
+    "No data task is launched for stats-bearing files (a per-partition "
+    "Spark scan fallback keeps the result correct if a footer lacks "
+    "stats). The oracle recomputes the same numbers from the raw rows, "
+    "so what's verified is that the metadata path equals the data "
+    "path. At 100 TB this is exactly the ClickHouse primary.idx "
+    "economics: one small footer per part replaces scanning the part, "
+    "and the planner's file pruning (x06) is this same read used as a "
+    "filter.",
 )
 def x12_parts_footer_stats(spark, sf_dir):
     import os
     import tempfile
 
-    import pyarrow.parquet as pq
+    from laion_spark.sources.minmax import collect_file_stats
 
     tune_session(spark)
     o = t(spark, sf_dir, "orders").withColumn(
@@ -9223,28 +9227,33 @@ def x12_parts_footer_stats(spark, sf_dir):
     base = tempfile.mkdtemp(prefix="laion_parts_")
     o.write.partitionBy("bucket").mode("overwrite").parquet(base)
 
-    rows = []
+    # one (part, file) task per data file; the footer reads go through
+    # collect_file_stats — driver loop at this table's size, mapInArrow
+    # fan-out past the threshold (r10: the same parts query no longer
+    # serializes on the driver at 10^5-10^6 files)
+    tasks = []
     for bdir in sorted(os.listdir(base)):
         if not bdir.startswith("bucket="):
             continue
-        b = int(bdir.split("=", 1)[1])
-        n, lo, hi, missing = 0, None, None, False
-        for fn in os.listdir(os.path.join(base, bdir)):
-            if not fn.endswith(".parquet"):
-                continue
-            md = pq.ParquetFile(os.path.join(base, bdir, fn)).metadata
-            n += md.num_rows
-            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx["o_orderkey"]).statistics
-                if st is None or not st.has_min_max:
-                    missing = True
-                    continue
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
-        if missing or lo is None:  # conservative: scan that part
+        for fn in sorted(os.listdir(os.path.join(base, bdir))):
+            if fn.endswith(".parquet"):
+                tasks.append((bdir, os.path.join(base, bdir, fn)))
+    agg: dict[int, list] = {}
+    for part, n, lo, hi, ok in collect_file_stats(spark, tasks, "o_orderkey"):
+        b = int(part.split("=", 1)[1])
+        cur = agg.setdefault(b, [0, None, None, False])
+        cur[0] += n
+        if not ok:
+            cur[3] = True  # conservative: scan that part below
+        else:
+            cur[1] = lo if cur[1] is None else min(cur[1], lo)
+            cur[2] = hi if cur[2] is None else max(cur[2], hi)
+    rows = []
+    for b in sorted(agg):
+        n, lo, hi, missing = agg[b]
+        if missing or lo is None:  # stats-less part: scan, never guess
             r = (
-                spark.read.parquet(os.path.join(base, bdir))
+                spark.read.parquet(os.path.join(base, f"bucket={b}"))
                 .agg(
                     F.count("*"), F.min("o_orderkey"), F.max("o_orderkey")
                 )
@@ -11504,3 +11513,99 @@ def q143_array_fill(spark, sf_dir):
         joined(fwd).alias("fwd_fill"),
         joined(rev).alias("rev_fill"),
     ).orderBy("okey")
+
+
+# =============================================================================
+# Round 10: the last parked ClickHouse correlation-family member
+# =============================================================================
+
+
+@query(
+    "q144_kendall_tau",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey AS k, p_brand AS brand, p_size AS x,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS y
+      FROM part WHERE p_partkey <= 150
+    ), pr AS (
+      SELECT a.brand,
+             CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS dx,
+             CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS dy
+      FROM p a JOIN p b ON a.brand = b.brand AND a.k < b.k
+    ), ag AS (
+      SELECT brand,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(dx * dy) AS BIGINT) AS s_sum,
+             CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+             CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ties_y
+      FROM pr GROUP BY brand
+    )
+    SELECT brand, n_pairs, s_sum, ties_x, ties_y,
+           CAST(floor(CAST(s_sum * 1000000 AS DOUBLE)
+                      / sqrt(CAST((n_pairs - ties_x) * (n_pairs - ties_y) AS DOUBLE)))
+                AS BIGINT) AS tau_b_micro
+    FROM ag
+    WHERE n_pairs - ties_x > 0 AND n_pairs - ties_y > 0
+    ORDER BY brand
+    """,
+    note="ClickHouse kendallTau — exact tau-b with tie correction, "
+    "closing the correlation family after rankCorr (q75) and "
+    "corrMatrix (q113): per-brand blocks of (p_size, retail cents), "
+    "pairs meeting through the p_brand equi-key (the q103/t19 "
+    "blocking discipline — a grouped self-join, never all-pairs). "
+    "Every pair term is an exact integer (sign products, tie counts), "
+    "and tau ships as floored integer micros of "
+    "S*1e6/sqrt((n0-tx)(n0-ty)): sqrt is correctly rounded in both "
+    "engines and every operand arrives as the same exact int, so the "
+    "double chains are bit-identical — no quotient-tie risk. "
+    "Degenerate blocks (all-tied on either axis) are filtered by the "
+    "same predicate both sides. For ONE giant series at 100 TB the "
+    "blocked design changes shape, not cost class: y-value bands cut "
+    "at quantile boundaries (equal values share a band) make every "
+    "cross-band pair's dy sign known from the band order, so only "
+    "within-band pairs need local counting — O(n log n) total, never "
+    "an O(n^2) pair shuffle.",
+)
+def q144_kendall_tau(spark, sf_dir):
+    p = t(spark, sf_dir, "part").filter("p_partkey <= 150").select(
+        F.col("p_partkey").alias("k"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("x"),
+        F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("y"),
+    )
+    a = p.select(F.col("k").alias("ka"), "brand",
+                 F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = p.select(F.col("k").alias("kb"), "brand",
+                 F.col("x").alias("xb"), F.col("y").alias("yb"))
+
+    def sgn(u, v):
+        return (
+            F.when(F.col(u) > F.col(v), 1)
+            .when(F.col(u) < F.col(v), -1)
+            .otherwise(0)
+        )
+
+    pr = (
+        a.join(b, ["brand"])
+        .filter(F.col("ka") < F.col("kb"))
+        .select("brand", sgn("xb", "xa").alias("dx"), sgn("yb", "ya").alias("dy"))
+    )
+    ag = pr.groupBy("brand").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.col("dx") * F.col("dy")).alias("s_sum"),
+        F.sum(F.when(F.col("dx") == 0, 1).otherwise(0)).alias("ties_x"),
+        F.sum(F.when(F.col("dy") == 0, 1).otherwise(0)).alias("ties_y"),
+    )
+    cx = F.col("n_pairs") - F.col("ties_x")
+    cy = F.col("n_pairs") - F.col("ties_y")
+    return (
+        ag.filter((cx > 0) & (cy > 0))
+        .select(
+            "brand", "n_pairs", "s_sum", "ties_x", "ties_y",
+            F.floor(
+                (F.col("s_sum") * 1_000_000).cast("double")
+                / F.sqrt((cx * cy).cast("double"))
+            ).cast("long").alias("tau_b_micro"),
+        )
+        .orderBy("brand")
+    )

@@ -43,6 +43,7 @@ def knn_join(
     query_id: str = "id",
     metric: str = "l2",
     max_queries: int = 100_000,
+    chunk_queries: bool = False,
 ) -> DataFrame:
     """Exact k nearest corpus rows for EACH query row.
 
@@ -53,21 +54,74 @@ def knn_join(
     driver and closed over. ``max_queries`` enforces that contract
     (the guard itself only ever collects ``max_queries + 1`` rows, so
     an oversized query side fails fast instead of OOMing the driver).
+
+    ``chunk_queries=True`` lifts the hard cap for serving-scale batches
+    (VERDICT r9 #5): the query side streams through the driver via
+    ``toLocalIterator`` in blocks of ``max_queries``, each block gets
+    its own Arrow scorer pass, and the per-block top-k results are
+    unioned — exact, because each query's k neighbors are computed
+    entirely within its own block (qid sets are disjoint across
+    blocks). The corpus still never shuffles; it is scanned once per
+    block, so ``max_queries`` becomes the bytes-per-task-closure /
+    scans trade-off knob. The driver holds every block's query matrix
+    across the union plan (~dim x 8 B per query) — for batches beyond
+    driver memory, run blocks as separate jobs.
     """
     if metric not in ("l2", "cosine"):
         raise ValueError("metric must be l2|cosine")
     from laion_spark.session import _ship_package
 
     _ship_package(corpus.sparkSession)  # scorer closure imports laion_spark on workers
+    qid_t = queries.schema[query_id].dataType.simpleString()
+    if chunk_queries:
+        blocks: list[list] = []
+        buf: list = []
+        for r in queries.select(query_id, query_vec).toLocalIterator():
+            buf.append(r)
+            if len(buf) >= max_queries:
+                blocks.append(buf)
+                buf = []
+        if buf:
+            blocks.append(buf)
+        if not blocks:
+            raise ValueError("queries DataFrame is empty")
+        parts = [
+            _knn_join_block(
+                corpus, blk, k, corpus_vec, corpus_id, query_id, qid_t, metric
+            )
+            for blk in blocks
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.orderBy(query_id + "_q", "score", corpus_id + "_c")
     q_rows = queries.select(query_id, query_vec).limit(max_queries + 1).collect()
     if len(q_rows) > max_queries:
         raise ValueError(
             f"queries side exceeds max_queries={max_queries}; knn_join collects "
             "queries driver-side by contract — pre-aggregate or batch the query "
-            "set, or raise max_queries deliberately"
+            "set (chunk_queries=True), or raise max_queries deliberately"
         )
     if not q_rows:
         raise ValueError("queries DataFrame is empty")
+    return _knn_join_block(
+        corpus, q_rows, k, corpus_vec, corpus_id, query_id, qid_t, metric
+    ).orderBy(query_id + "_q", "score", corpus_id + "_c")
+
+
+def _knn_join_block(
+    corpus: DataFrame,
+    q_rows: list,
+    k: int,
+    corpus_vec: str,
+    corpus_id: str,
+    query_id: str,
+    qid_t: str,
+    metric: str,
+) -> DataFrame:
+    """One ``knn_join`` query block: Arrow scorer over the corpus +
+    per-query window top-k, WITHOUT the final global order (the caller
+    orders once, over one block or a union of blocks)."""
     q_ids = [r[0] for r in q_rows]
     q_mat = [list(map(float, r[1])) for r in q_rows]
     dim = len(q_mat[0])
@@ -122,7 +176,6 @@ def knn_join(
                 ["qid", "cid", "score"],
             )
 
-    qid_t = queries.schema[query_id].dataType.simpleString()
     cid_t = corpus.schema[corpus_id].dataType.simpleString()
     partial = pruned.mapInArrow(score, f"qid {qid_t}, cid {cid_t}, score double")
     asc = metric == "l2"
@@ -138,7 +191,6 @@ def knn_join(
             F.col("cid").alias(corpus_id + "_c"),
             F.round("score", 6).alias("score"),
         )
-        .orderBy(query_id + "_q", "score", corpus_id + "_c")
     )
 
 

@@ -48,6 +48,89 @@ def _file_key_range(path: str, column: str):
     return (lo, hi)
 
 
+def collect_file_stats(
+    spark: SparkSession,
+    tasks: list,
+    column: str,
+    distributed_threshold: int = 64,
+) -> list:
+    """Per-FILE footer statistics for a list of ``(part_label,
+    file_path)`` tasks — the system.parts metadata read (reference
+    analog: ClickHouse reads one small primary.idx/count per part
+    instead of scanning it). Returns one tuple per file:
+    ``(part_label, n_rows, key_min, key_max, has_stats)``.
+
+    Up to ``distributed_threshold`` files the driver reads the footers
+    itself (a handful of ~KB metadata reads — the fast path every
+    interactive parts query wants). Above it the reads fan out as a
+    ``mapInArrow`` over the file list — one footer open per task, only
+    the tiny stats rows return — so a 10^5-10^6-part listing never
+    serializes on the driver (VERDICT r9 #6). Both paths are
+    result-identical (unit-pinned in tests/test_footer_stats.py).
+
+    ``has_stats=False`` (missing column, or any row group without
+    min/max) means the caller must scan that part — the range is never
+    guessed. Integer key columns only: the distributed schema declares
+    long min/max (the MergeTree ORDER BY key analog)."""
+
+    def file_stats(path: str):
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        n = md.num_rows
+        lo = hi = None
+        ok = column in idx
+        if ok:
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[column]).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        return (n, lo if ok else None, hi if ok else None, ok)
+
+    if len(tasks) <= distributed_threshold:
+        return [(p, *file_stats(f)) for p, f in tasks]
+
+    def read_footers(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            parts, ns, los, his, oks = [], [], [], [], []
+            for p, f in zip(rb.column(0).to_pylist(), rb.column(1).to_pylist()):
+                n, lo, hi, ok = file_stats(f)
+                parts.append(p)
+                ns.append(n)
+                los.append(lo)
+                his.append(hi)
+                oks.append(ok)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(parts),
+                    pa.array(ns, type=pa.int64()),
+                    pa.array(los, type=pa.int64()),
+                    pa.array(his, type=pa.int64()),
+                    pa.array(oks),
+                ],
+                ["part", "n_rows", "key_min", "key_max", "has_stats"],
+            )
+
+    from laion_spark.session import _ship_package
+
+    _ship_package(spark)
+    jobs = spark.createDataFrame(list(tasks), "part string, path string")
+    n_parts = max(1, min(len(tasks), spark.sparkContext.defaultParallelism))
+    if n_parts > 1:
+        jobs = jobs.repartition(n_parts)
+    rows = jobs.mapInArrow(
+        read_footers,
+        "part string, n_rows long, key_min long, key_max long, has_stats boolean",
+    ).collect()
+    return [(r.part, r.n_rows, r.key_min, r.key_max, r.has_stats) for r in rows]
+
+
 def minmax_pruned_scan(
     spark: SparkSession,
     path: str,

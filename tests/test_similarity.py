@@ -570,3 +570,37 @@ def test_knn_join_parquet_int8_without_scale_fails_loudly(spark, emb, tmp_path):
             spark, dst, q, k=3, query_id="vec_id", query_vec="embedding",
             corpus_id="vec_id", vector_col="embedding",
         )
+
+
+def test_knn_join_chunked_matches_single_block(spark, emb):
+    """G62: chunk_queries=True streams query blocks of max_queries and
+    unions per-block top-k — exactly the single-block result (qid sets
+    are disjoint across blocks), corpus scanned once per block."""
+    queries = emb.filter("vec_id < 25").select("vec_id", "embedding")
+    one = knn_join(
+        emb, queries, k=4, corpus_id="vec_id", query_id="vec_id", max_queries=1000
+    ).collect()
+    chunked = knn_join(
+        emb, queries, k=4, corpus_id="vec_id", query_id="vec_id",
+        max_queries=7, chunk_queries=True,
+    ).collect()
+    assert [tuple(r) for r in chunked] == [tuple(r) for r in one]
+    assert len(chunked) == 25 * 4
+
+
+def test_knn_join_chunked_cosine_and_oversize_contract(spark, emb):
+    import pytest
+
+    queries = emb.filter("vec_id < 12").select("vec_id", "embedding")
+    one = knn_join(
+        emb, queries, k=3, corpus_id="vec_id", query_id="vec_id",
+        metric="cosine", max_queries=1000,
+    ).collect()
+    chunked = knn_join(
+        emb, queries, k=3, corpus_id="vec_id", query_id="vec_id",
+        metric="cosine", max_queries=5, chunk_queries=True,
+    ).collect()
+    assert [tuple(r) for r in chunked] == [tuple(r) for r in one]
+    # without chunking, exceeding max_queries still fails fast
+    with pytest.raises(ValueError, match="max_queries"):
+        knn_join(emb, queries, k=3, corpus_id="vec_id", query_id="vec_id", max_queries=5)
