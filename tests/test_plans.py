@@ -893,3 +893,15 @@ def test_r9_entries_stay_jvm_side(spark, sf_dir):
     ]:
         p = plan_str(REGISTRY[name].fn(spark, sf_dir), "simple")
         assert "Python" not in p, (name, p)
+
+
+def test_q144_kendall_pairs_meet_in_brand_blocks(spark, sf_dir):
+    """q144's pair generation must be a brand-keyed equi-join (the
+    q103/t19 blocking discipline) — never a cartesian/NLJ all-pairs
+    step — and the whole pipeline stays JVM-side."""
+    from laion_spark.catalog import REGISTRY
+
+    p = plan_str(REGISTRY["q144_kendall_tau"].fn(spark, sf_dir), "simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "Python" not in p, p
