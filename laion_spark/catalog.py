@@ -11567,37 +11567,21 @@ def q143_array_fill(spark, sf_dir):
     "an O(n^2) pair shuffle.",
 )
 def q144_kendall_tau(spark, sf_dir):
+    from laion_spark.operators.stats import kendall_tau_b
+
     p = t(spark, sf_dir, "part").filter("p_partkey <= 150").select(
         F.col("p_partkey").alias("k"),
         F.col("p_brand").alias("brand"),
         F.col("p_size").alias("x"),
         F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("y"),
     )
-    a = p.select(F.col("k").alias("ka"), "brand",
-                 F.col("x").alias("xa"), F.col("y").alias("ya"))
-    b = p.select(F.col("k").alias("kb"), "brand",
-                 F.col("x").alias("xb"), F.col("y").alias("yb"))
-
-    def sgn(u, v):
-        return (
-            F.when(F.col(u) > F.col(v), 1)
-            .when(F.col(u) < F.col(v), -1)
-            .otherwise(0)
-        )
-
-    pr = (
-        a.join(b, ["brand"])
-        .filter(F.col("ka") < F.col("kb"))
-        .select("brand", sgn("xb", "xa").alias("dx"), sgn("yb", "ya").alias("dy"))
-    )
-    ag = pr.groupBy("brand").agg(
-        F.count("*").alias("n_pairs"),
-        F.sum(F.col("dx") * F.col("dy")).alias("s_sum"),
-        F.sum(F.when(F.col("dx") == 0, 1).otherwise(0)).alias("ties_x"),
-        F.sum(F.when(F.col("dy") == 0, 1).otherwise(0)).alias("ties_y"),
-    )
+    ag = kendall_tau_b(p, "x", "y", block="brand", id_col="k")
     cx = F.col("n_pairs") - F.col("ties_x")
     cy = F.col("n_pairs") - F.col("ties_y")
+    # tau as floored integer micros derived from the helper's EXACT
+    # integer components (never its double tau_b) — the cross-engine
+    # bit-stability discipline; degenerate blocks filtered like the
+    # oracle's WHERE
     return (
         ag.filter((cx > 0) & (cy > 0))
         .select(

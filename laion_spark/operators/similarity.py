@@ -685,11 +685,20 @@ class IVFIndex:
         nprobe: int | None = None,
         max_queries: int = 4096,
         scale_col: str | None = None,
+        chunk_queries: bool = False,
     ) -> DataFrame:
         """Batched ANN join: approximate k nearest corpus rows for EACH
         query row, over a ``write_index``-layout table — the asymmetric
         many-queries x huge-corpus case (e.g. linking a 1M-item batch
         against a 100M-row corpus).
+
+        ``chunk_queries=True`` lifts the ``max_queries`` cap the same
+        way ``knn_join`` does (r10): the query side streams through the
+        driver in blocks of ``max_queries``, each block runs its own
+        routed join (bytes still bounded by that block's probed
+        clusters), and the per-block top-k results are unioned — exact
+        relative to the unchunked join because every query's neighbors
+        are computed entirely within its own block.
 
         Routing happens driver-side: each query probes its ``nprobe``
         nearest clusters, inverting to cluster -> query set. Each
@@ -713,11 +722,37 @@ class IVFIndex:
         from laion_spark.session import _ship_package
 
         _ship_package(spark)
+        if chunk_queries:
+            src = queries.select(query_id, query_vec)
+            blocks: list[list] = []
+            buf: list = []
+            for r in src.toLocalIterator():
+                buf.append(r)
+                if len(buf) >= max_queries:
+                    blocks.append(buf)
+                    buf = []
+            if buf:
+                blocks.append(buf)
+            if not blocks:
+                raise ValueError("queries DataFrame is empty")
+            parts = [
+                self.knn_join_parquet(
+                    spark, path, spark.createDataFrame(blk, src.schema), k=k,
+                    query_id=query_id, query_vec=query_vec, corpus_id=corpus_id,
+                    vector_col=vector_col, metric=metric, nprobe=nprobe,
+                    max_queries=max_queries, scale_col=scale_col,
+                )
+                for blk in blocks
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out.orderBy(query_id + "_q", "score", corpus_id + "_c")
         q_rows = queries.select(query_id, query_vec).limit(max_queries + 1).collect()
         if len(q_rows) > max_queries:
             raise ValueError(
                 f"queries side exceeds max_queries={max_queries}; batch the query "
-                "set or raise max_queries deliberately"
+                "set (chunk_queries=True) or raise max_queries deliberately"
             )
         if not q_rows:
             raise ValueError("queries DataFrame is empty")

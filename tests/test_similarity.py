@@ -604,3 +604,27 @@ def test_knn_join_chunked_cosine_and_oversize_contract(spark, emb):
     # without chunking, exceeding max_queries still fails fast
     with pytest.raises(ValueError, match="max_queries"):
         knn_join(emb, queries, k=3, corpus_id="vec_id", query_id="vec_id", max_queries=5)
+
+
+def test_knn_join_parquet_chunked_matches_single(spark, emb, tmp_path):
+    """r10: chunk_queries=True on the routed parquet join — per-block
+    unions must equal the single-batch join exactly."""
+    from laion_spark.operators.similarity import IVFIndex
+
+    idx = IVFIndex(dim=64, n_clusters=4, n_iters=1, nprobe=2).fit(
+        emb, id_col="vec_id", vector_col="embedding"
+    )
+    path = str(tmp_path / "ivf_chunkj")
+    idx.write_index(emb, path, "embedding")
+    q = emb.filter("vec_id < 15").select("vec_id", "embedding")
+    one = idx.knn_join_parquet(
+        spark, path, q, k=3, query_id="vec_id", query_vec="embedding",
+        corpus_id="vec_id", vector_col="embedding", max_queries=100,
+    ).collect()
+    chunked = idx.knn_join_parquet(
+        spark, path, q, k=3, query_id="vec_id", query_vec="embedding",
+        corpus_id="vec_id", vector_col="embedding", max_queries=4,
+        chunk_queries=True,
+    ).collect()
+    assert [tuple(r) for r in chunked] == [tuple(r) for r in one]
+    assert len(chunked) == 15 * 3

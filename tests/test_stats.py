@@ -1,0 +1,83 @@
+"""G61: kendall_tau_b verified against an INDEPENDENT pure-python pair
+loop (not the SQL oracle's formula — a second derivation), including
+tie-heavy and degenerate blocks."""
+
+import math
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from laion_spark.operators.stats import kendall_tau_b
+
+
+def _tau_reference(xs, ys):
+    """Brute-force tau-b components over one block."""
+    n0 = s = tx = ty = 0
+    m = len(xs)
+    for i in range(m):
+        for j in range(i + 1, m):
+            dx = (xs[j] > xs[i]) - (xs[j] < xs[i])
+            dy = (ys[j] > ys[i]) - (ys[j] < ys[i])
+            n0 += 1
+            s += dx * dy
+            tx += dx == 0
+            ty += dy == 0
+    tau = None
+    if n0 - tx > 0 and n0 - ty > 0:
+        tau = s / math.sqrt((n0 - tx) * (n0 - ty))
+    return n0, s, tx, ty, tau
+
+
+def _run(spark, blocks):
+    rows = [
+        (bi, i, x, y)
+        for bi, pts in enumerate(blocks)
+        for i, (x, y) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(rows, "blk int, rid int, x long, y long")
+    got = {
+        r.blk: (r.n_pairs, r.s_sum, r.ties_x, r.ties_y, r.tau_b)
+        for r in kendall_tau_b(df, "x", "y", block="blk", id_col="rid").collect()
+    }
+    for bi, pts in enumerate(blocks):
+        if len(pts) < 2:
+            assert bi not in got  # no pairs -> no row
+            continue
+        n0, s, tx, ty, tau = _tau_reference([p[0] for p in pts], [p[1] for p in pts])
+        gn, gs, gtx, gty, gtau = got[bi]
+        assert (gn, gs, gtx, gty) == (n0, s, tx, ty), (bi, got[bi])
+        if tau is None:
+            assert gtau is None, (bi, gtau)
+        else:
+            assert gtau == pytest.approx(tau, abs=1e-12), (bi, gtau, tau)
+
+
+def test_kendall_known_values(spark):
+    # perfectly concordant, perfectly discordant, tie-degenerate
+    _run(
+        spark,
+        [
+            [(1, 10), (2, 20), (3, 30), (4, 40)],   # tau = 1
+            [(1, 40), (2, 30), (3, 20), (4, 10)],   # tau = -1
+            [(5, 1), (5, 2), (5, 3)],               # x all tied -> NULL
+            [(1, 7)],                                # single row -> no pairs
+        ],
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(st.integers(-3, 3), st.integers(-3, 3)),
+            min_size=2,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_kendall_matches_pair_loop(spark, blocks):
+    # small integer domains force heavy ties — the tau-b correction
+    # and the degenerate-block NULL path both get exercised
+    _run(spark, blocks)
