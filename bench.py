@@ -1312,7 +1312,6 @@ def main() -> None:
                 int(raw * 2.2),
                 [
                     f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet",
-                    f"/tmp/laion_bench_10000000x{DIM}_f16.parquet",
                     f"/tmp/laion_bench_10000000x{DIM}.parquet",
                 ],
                 "ivf build",
@@ -1520,8 +1519,7 @@ def main() -> None:
             if not os.path.exists(f"{ivf16_path}/_DONE"):
                 if not ensure_free(
                     int(N_ANN) * DIM * 2 + 4 * 1024**3,
-                    [f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet",
-                     f"/tmp/laion_bench_10000000x{DIM}_f16.parquet"],
+                    [f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet"],
                     "ivf f16 twin",
                 ):
                     errors["ann768_f16"] = "skipped: insufficient /tmp for the f16 twin"
@@ -1585,8 +1583,7 @@ def main() -> None:
             if not os.path.exists(f"{ivf16p_path}/_DONE"):
                 if not ensure_free(
                     int(N_ANN) * DIM * 2 + 4 * 1024**3,
-                    [f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet",
-                     f"/tmp/laion_bench_10000000x{DIM}_f16.parquet"],
+                    [f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet"],
                     "ivf f16p twin",
                 ):
                     errors["ann768_f16p"] = "skipped: insufficient /tmp for the f16p twin"
@@ -1841,8 +1838,7 @@ def main() -> None:
         if not ensure_free(
             need,
             [f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf256rg8_f16.parquet",
-             f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet",
-             f"/tmp/laion_bench_10000000x{DIM}_f16.parquet"],
+             f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet"],
             "knn768_10m",
         ):
             errors["knn768_10m"] = "skipped: insufficient /tmp space for 30 GB fixture"
