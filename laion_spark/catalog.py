@@ -11593,3 +11593,70 @@ def q144_kendall_tau(spark, sf_dir):
         )
         .orderBy("brand")
     )
+
+
+@query(
+    "q145_kendall_tau_series",
+    oracle="""
+    WITH p AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem WHERE l_orderkey <= 120
+    ), c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p),
+    gx AS (SELECT CAST(COALESCE(sum(cc*(cc-1)),0) AS BIGINT) // 2 AS t
+           FROM (SELECT count(*) AS cc FROM p GROUP BY x)),
+    gy AS (SELECT CAST(COALESCE(sum(cc*(cc-1)),0) AS BIGINT) // 2 AS t
+           FROM (SELECT count(*) AS cc FROM p GROUP BY y)),
+    gxy AS (SELECT CAST(COALESCE(sum(cc*(cc-1)),0) AS BIGINT) // 2 AS t
+            FROM (SELECT count(*) AS cc FROM p GROUP BY x, y)),
+    dd AS (SELECT CAST(count(*) AS BIGINT) AS d
+           FROM p a JOIN p b ON a.x < b.x AND a.y > b.y)
+    SELECT c.n AS n_rows,
+           c.n * (c.n - 1) // 2 AS n_pairs,
+           gx.t AS ties_x, gy.t AS ties_y, gxy.t AS ties_xy,
+           c.n*(c.n-1)//2 - gx.t - gy.t + gxy.t AS comparable,
+           dd.d AS discordant,
+           c.n*(c.n-1)//2 - gx.t - gy.t + gxy.t - 2*dd.d AS s_sum,
+           CAST(floor(CAST((c.n*(c.n-1)//2 - gx.t - gy.t + gxy.t - 2*dd.d)
+                           * 1000000 AS DOUBLE)
+                      / sqrt(CAST((c.n*(c.n-1)//2 - gx.t)
+                                  * (c.n*(c.n-1)//2 - gy.t) AS DOUBLE)))
+                AS BIGINT) AS tau_b_micro
+    FROM c, gx, gy, gxy, dd
+    """,
+    note="kendallTau over ONE series (quantity vs price cents) — the "
+    "q144 aggregate's scale form, run through the BANDED exact "
+    "algorithm (operators/stats.py kendall_tau_b_series): x/y quantile "
+    "bands assigned BY VALUE (band inequality implies strict value "
+    "inequality), discordant pairs split exactly into a cell-grid "
+    "dominance sum + per-x-stripe and per-y-stripe local Fenwick "
+    "counts — no O(n^2) pair step anywhere on the Spark side, while "
+    "the ORACLE brute-forces the same counts id-free through two "
+    "inequality self-joins (each unordered pair matches in exactly one "
+    "orientation) and tie-group arithmetic. What is verified is that "
+    "the O(n log n)-class banded decomposition equals brute force on "
+    "real data at three scales; band boundaries only balance work, "
+    "never change the result. Ties flow as exact integer counts and "
+    "tau ships as floored micros of exact ints (q144 discipline).",
+)
+def q145_kendall_tau_series(spark, sf_dir):
+    from laion_spark.operators.stats import kendall_tau_b_series
+
+    li = t(spark, sf_dir, "lineitem").filter("l_orderkey <= 120").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+    r = kendall_tau_b_series(li, "x", "y", bands=8)
+    cx = F.col("n_pairs") - F.col("ties_x")
+    cy = F.col("n_pairs") - F.col("ties_y")
+    return r.select(
+        "n_rows", "n_pairs", "ties_x", "ties_y", "ties_xy",
+        "comparable", "discordant", "s_sum",
+        F.when(
+            (cx > 0) & (cy > 0),
+            F.floor(
+                (F.col("s_sum") * 1_000_000).cast("double")
+                / F.sqrt((cx * cy).cast("double"))
+            ),
+        ).cast("long").alias("tau_b_micro"),
+    )

@@ -86,3 +86,184 @@ def kendall_tau_b(
             F.col("s_sum").cast("double") / F.sqrt((cx * cy).cast("double")),
         ).alias("tau_b"),
     )
+
+
+def _count_discordant_local(xs, ys) -> int:
+    """Strictly-discordant pair count #{(i,j): x_i < x_j, y_i > y_j}
+    over ONE in-memory stripe, O(m log m): process rows in increasing
+    x, batching equal-x groups (their pairs are x-tied, never
+    discordant), and Fenwick-count already-seen rows with strictly
+    larger y."""
+    import numpy as np
+
+    m = len(xs)
+    if m < 2:
+        return 0
+    xs = np.asarray(xs)
+    ys = np.asarray(ys)
+    order = np.lexsort((ys, xs))  # by x, then y (y-order irrelevant)
+    xs, ys = xs[order], ys[order]
+    # compress y to 1..R ranks for the Fenwick tree
+    uy = np.unique(ys)
+    ry = np.searchsorted(uy, ys) + 1
+    R = len(uy)
+    tree = [0] * (R + 1)
+
+    def add(i):
+        while i <= R:
+            tree[i] += 1
+            i += i & (-i)
+
+    def prefix(i):  # count of inserted with rank <= i
+        s = 0
+        while i > 0:
+            s += tree[i]
+            i -= i & (-i)
+        return s
+
+    d = 0
+    seen = 0
+    lo = 0
+    while lo < m:
+        hi = lo
+        while hi < m and xs[hi] == xs[lo]:
+            hi += 1
+        # query the whole equal-x batch against PRIOR insertions only
+        for j in range(lo, hi):
+            d += seen - prefix(ry[j])  # inserted with y > y_j
+        for j in range(lo, hi):
+            add(ry[j])
+        seen += hi - lo
+        lo = hi
+    return int(d)
+
+
+def kendall_tau_b_series(
+    df: DataFrame,
+    x: str,
+    y: str,
+    bands: int = 32,
+) -> DataFrame:
+    """Exact Kendall tau-b over ONE numeric series — the scale path for
+    an unblocked corpus-wide correlation, with NO O(n^2) pair step
+    anywhere (SURVEY §2.17 G61's banded design, implemented).
+
+    Decomposition: rows are cut into x-bands and y-bands at
+    approxQuantile boundaries (assignment is BY VALUE — equal values
+    always share a band — so band inequality implies strict value
+    inequality). The discordant-pair count D then splits exactly into
+
+    - cross-band cells: for cell pairs with xband_1 < xband_2 AND
+      yband_1 > yband_2, EVERY cross pair is discordant — a dominance
+      double-sum over the <= bands^2 aggregated cell counts (driver
+      arithmetic on a tiny grid);
+    - same-x-band pairs: resolved exactly inside each x-stripe
+      (applyInPandas, O(m log m) Fenwick per stripe);
+    - same-y-band / different-x-band pairs: resolved inside each
+      y-stripe with the SAME kernel on (xband, y) — different x-band
+      already implies strict x order.
+
+    The three terms are disjoint and complete, so D is exact; band
+    boundaries affect only the work split, never the result (any
+    banding gives the same D). Ties enter through exact group counts
+    (sum c*(c-1)/2 per x / y / (x,y) value), S = comparable - 2D, and
+    tau_b = S / sqrt((n0-n1)(n0-n2)).
+
+    Shuffle profile: three map-side-combinable aggregates + two
+    repartitions by band + one tiny cell aggregate — one stripe's rows
+    (~n/bands) is the largest thing any task holds. Output: one row
+    (n_rows, n_pairs, ties_x, ties_y, ties_xy, comparable, discordant,
+    s_sum, tau_b).
+    """
+    spark = df.sparkSession
+    pts = df.select(
+        F.col(x).cast("double").alias("_x"), F.col(y).cast("double").alias("_y")
+    ).where(F.col(x).isNotNull() & F.col(y).isNotNull())
+
+    def tie_pairs(col: str):
+        g = pts.groupBy(col).count()
+        return g.agg(
+            F.coalesce(F.sum(F.col("count") * (F.col("count") - 1)), F.lit(0)).alias("t")
+        ).collect()[0][0] // 2
+
+    n = pts.count()
+    if n < 2:
+        return spark.createDataFrame(
+            [(n, 0, 0, 0, 0, 0, 0, 0, None)],
+            "n_rows long, n_pairs long, ties_x long, ties_y long, ties_xy long, "
+            "comparable long, discordant long, s_sum long, tau_b double",
+        )
+    n1 = tie_pairs("_x")
+    n2 = tie_pairs("_y")
+    n3 = (
+        pts.groupBy("_x", "_y").count()
+        .agg(F.coalesce(F.sum(F.col("count") * (F.col("count") - 1)), F.lit(0)))
+        .collect()[0][0] // 2
+    )
+    n0 = n * (n - 1) // 2
+    comparable = n0 - n1 - n2 + n3
+
+    # value-based band assignment: band = #boundaries strictly below
+    # the value, so equal values always land together and band order
+    # implies strict value order. Boundary quality only balances work.
+    def band_col(col: str, bounds: list):
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        return F.size(F.filter(arr, lambda b: F.col(col) > b))
+
+    probes = [i / bands for i in range(1, bands)]
+    xb_bounds = sorted(set(pts.stat.approxQuantile("_x", probes, 0.001)))
+    yb_bounds = sorted(set(pts.stat.approxQuantile("_y", probes, 0.001)))
+    banded = pts.select(
+        "_x", "_y",
+        band_col("_x", xb_bounds).alias("_xb"),
+        band_col("_y", yb_bounds).alias("_yb"),
+    )
+
+    # term 1: strict cross-band dominance over the aggregated grid
+    cells = banded.groupBy("_xb", "_yb").count().collect()
+    import numpy as np
+
+    d_cells = 0
+    for xb1, yb1, c1 in [(r[0], r[1], r[2]) for r in cells]:
+        for xb2, yb2, c2 in [(r[0], r[1], r[2]) for r in cells]:
+            if xb1 < xb2 and yb1 > yb2:
+                d_cells += c1 * c2
+
+    from laion_spark.session import _ship_package
+
+    _ship_package(spark)
+
+    def stripe_counter(xcol: str, ycol: str):
+        def count(pdf):
+            import pandas as pd
+
+            d = _count_discordant_local(pdf[xcol].to_numpy(), pdf[ycol].to_numpy())
+            return pd.DataFrame({"d": [d]})
+
+        return count
+
+    d_x = (
+        banded.groupBy("_xb")
+        .applyInPandas(stripe_counter("_x", "_y"), "d long")
+        .agg(F.coalesce(F.sum("d"), F.lit(0)))
+        .collect()[0][0]
+    )
+    # same-y-band, different-x-band: the kernel's strict x comparison on
+    # the BAND id excludes same-x-band pairs (already counted in d_x)
+    d_y = (
+        banded.groupBy("_yb")
+        .applyInPandas(stripe_counter("_xb", "_y"), "d long")
+        .agg(F.coalesce(F.sum("d"), F.lit(0)))
+        .collect()[0][0]
+    )
+    d = int(d_cells) + int(d_x) + int(d_y)
+    s = comparable - 2 * d
+    cx, cy = n0 - n1, n0 - n2
+    import math
+
+    tau = s / math.sqrt(cx * cy) if cx > 0 and cy > 0 else None
+    return spark.createDataFrame(
+        [(n, n0, n1, n2, n3, comparable, d, s, tau)],
+        "n_rows long, n_pairs long, ties_x long, ties_y long, ties_xy long, "
+        "comparable long, discordant long, s_sum long, tau_b double",
+    )

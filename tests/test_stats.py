@@ -81,3 +81,72 @@ def test_kendall_matches_pair_loop(spark, blocks):
     # small integer domains force heavy ties — the tau-b correction
     # and the degenerate-block NULL path both get exercised
     _run(spark, blocks)
+
+
+def _series_reference(xs, ys):
+    """Vectorized O(n^2) reference for the single-series form."""
+    import numpy as np
+
+    x = np.asarray(xs)[:, None]
+    y = np.asarray(ys)[:, None]
+    dx = np.sign(x.T - x)
+    dy = np.sign(y.T - y)
+    iu = np.triu_indices(len(xs), k=1)
+    s = int((dx[iu] * dy[iu]).sum())
+    n0 = len(iu[0])
+    tx = int((dx[iu] == 0).sum())
+    ty = int((dy[iu] == 0).sum())
+    txy = int(((dx[iu] == 0) & (dy[iu] == 0)).sum())
+    d = int(((dx[iu] * dy[iu]) == -1).sum())
+    return n0, s, tx, ty, txy, d
+
+
+def _check_series(spark, xs, ys, bands):
+    from laion_spark.operators.stats import kendall_tau_b_series
+
+    df = spark.createDataFrame(list(zip(map(int, xs), map(int, ys))), "x long, y long")
+    r = kendall_tau_b_series(df, "x", "y", bands=bands).collect()[0]
+    n0, s, tx, ty, txy, d = _series_reference(xs, ys)
+    assert (r.n_pairs, r.s_sum, r.ties_x, r.ties_y, r.ties_xy, r.discordant) == (
+        n0, s, tx, ty, txy, d,
+    ), (r, (n0, s, tx, ty, txy, d))
+    if r.tau_b is not None:
+        assert r.tau_b == pytest.approx(s / math.sqrt((n0 - tx) * (n0 - ty)), abs=1e-12)
+
+
+def test_series_matches_bruteforce_random(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    xs = rng.integers(0, 400, size=1500)
+    ys = (xs * 3 + rng.integers(-200, 200, size=1500)) % 500  # correlated + ties
+    _check_series(spark, xs, ys, bands=8)
+
+
+def test_series_heavy_ties_and_few_bands(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    xs = rng.integers(0, 5, size=300)  # 5 distinct values, bands >> values
+    ys = rng.integers(0, 4, size=300)
+    _check_series(spark, xs, ys, bands=16)
+
+
+def test_series_degenerate_and_tiny(spark):
+    from laion_spark.operators.stats import kendall_tau_b_series
+
+    df = spark.createDataFrame([(1, 5), (1, 6), (1, 7)], "x long, y long")
+    r = kendall_tau_b_series(df, "x", "y", bands=4).collect()[0]
+    assert r.tau_b is None and r.discordant == 0  # x all tied
+    one = spark.createDataFrame([(1, 5)], "x long, y long")
+    r1 = kendall_tau_b_series(one, "x", "y").collect()[0]
+    assert r1.n_pairs == 0 and r1.tau_b is None
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(-4, 4), st.integers(-4, 4)), min_size=2, max_size=40),
+    st.integers(2, 6),
+)
+def test_series_matches_pair_loop_hypothesis(spark, pts, bands):
+    _check_series(spark, [p[0] for p in pts], [p[1] for p in pts], bands)
