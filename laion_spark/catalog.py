@@ -11541,8 +11541,9 @@ def q143_array_fill(spark, sf_dir):
       FROM pr GROUP BY brand
     )
     SELECT brand, n_pairs, s_sum, ties_x, ties_y,
-           CAST(floor(CAST(s_sum * 1000000 AS DOUBLE)
-                      / sqrt(CAST((n_pairs - ties_x) * (n_pairs - ties_y) AS DOUBLE)))
+           CAST(floor(CAST(s_sum AS DOUBLE) * 1000000
+                      / sqrt(CAST(n_pairs - ties_x AS DOUBLE)
+                             * CAST(n_pairs - ties_y AS DOUBLE)))
                 AS BIGINT) AS tau_b_micro
     FROM ag
     WHERE n_pairs - ties_x > 0 AND n_pairs - ties_y > 0
@@ -11581,14 +11582,17 @@ def q144_kendall_tau(spark, sf_dir):
     # tau as floored integer micros derived from the helper's EXACT
     # integer components (never its double tau_b) — the cross-engine
     # bit-stability discipline; degenerate blocks filtered like the
-    # oracle's WHERE
+    # oracle's WHERE. Every long casts to double BEFORE any multiply
+    # (ADVICE r10: s_sum*1e6 and cx*cy wrap in int64 on huge blocks);
+    # both engines run the identical double chain, so the floor stays
+    # tie-safe at any scale — exact below 2^53, bit-identical above.
     return (
         ag.filter((cx > 0) & (cy > 0))
         .select(
             "brand", "n_pairs", "s_sum", "ties_x", "ties_y",
             F.floor(
-                (F.col("s_sum") * 1_000_000).cast("double")
-                / F.sqrt((cx * cy).cast("double"))
+                F.col("s_sum").cast("double") * 1_000_000
+                / F.sqrt(cx.cast("double") * cy.cast("double"))
             ).cast("long").alias("tau_b_micro"),
         )
         .orderBy("brand")
@@ -11617,10 +11621,10 @@ def q144_kendall_tau(spark, sf_dir):
            c.n*(c.n-1)//2 - gx.t - gy.t + gxy.t AS comparable,
            dd.d AS discordant,
            c.n*(c.n-1)//2 - gx.t - gy.t + gxy.t - 2*dd.d AS s_sum,
-           CAST(floor(CAST((c.n*(c.n-1)//2 - gx.t - gy.t + gxy.t - 2*dd.d)
-                           * 1000000 AS DOUBLE)
-                      / sqrt(CAST((c.n*(c.n-1)//2 - gx.t)
-                                  * (c.n*(c.n-1)//2 - gy.t) AS DOUBLE)))
+           CAST(floor(CAST(c.n*(c.n-1)//2 - gx.t - gy.t + gxy.t - 2*dd.d
+                           AS DOUBLE) * 1000000
+                      / sqrt(CAST(c.n*(c.n-1)//2 - gx.t AS DOUBLE)
+                             * CAST(c.n*(c.n-1)//2 - gy.t AS DOUBLE)))
                 AS BIGINT) AS tau_b_micro
     FROM c, gx, gy, gxy, dd
     """,
@@ -11654,9 +11658,11 @@ def q145_kendall_tau_series(spark, sf_dir):
         "comparable", "discordant", "s_sum",
         F.when(
             (cx > 0) & (cy > 0),
+            # cast-then-multiply on every long (q144 discipline; the
+            # int64 products wrap on a ~4M-row series otherwise)
             F.floor(
-                (F.col("s_sum") * 1_000_000).cast("double")
-                / F.sqrt((cx * cy).cast("double"))
+                F.col("s_sum").cast("double") * 1_000_000
+                / F.sqrt(cx.cast("double") * cy.cast("double"))
             ),
         ).cast("long").alias("tau_b_micro"),
     )

@@ -56,16 +56,20 @@ def knn_join(
     an oversized query side fails fast instead of OOMing the driver).
 
     ``chunk_queries=True`` lifts the hard cap for serving-scale batches
-    (VERDICT r9 #5): the query side streams through the driver via
+    (VERDICT r9 #5): the query side is pulled through the driver via
     ``toLocalIterator`` in blocks of ``max_queries``, each block gets
     its own Arrow scorer pass, and the per-block top-k results are
     unioned — exact, because each query's k neighbors are computed
     entirely within its own block (qid sets are disjoint across
     blocks). The corpus still never shuffles; it is scanned once per
-    block, so ``max_queries`` becomes the bytes-per-task-closure /
-    scans trade-off knob. The driver holds every block's query matrix
-    across the union plan (~dim x 8 B per query) — for batches beyond
-    driver memory, run blocks as separate jobs.
+    block. What chunking bounds is PER-TASK CLOSURE bytes (one block's
+    query matrix per scorer, never the whole batch) and Row overhead
+    (each block's Rows are condensed to a float matrix before the next
+    block is pulled); it does NOT bound driver-resident query bytes —
+    the returned lazy union necessarily closes over every block's
+    matrix (~dim x 8 B per query), so a batch beyond driver memory
+    must run as separate jobs that persist each block's result before
+    pulling the next (ADVICE r10).
     """
     if metric not in ("l2", "cosine"):
         raise ValueError("metric must be l2|cosine")
@@ -74,23 +78,24 @@ def knn_join(
     _ship_package(corpus.sparkSession)  # scorer closure imports laion_spark on workers
     qid_t = queries.schema[query_id].dataType.simpleString()
     if chunk_queries:
-        blocks: list[list] = []
+        # build each block's plan as soon as its rows arrive: the plan
+        # keeps only the condensed (ids, float-matrix) closure, so raw
+        # Rows (several x the matrix bytes) never accumulate
+        parts: list[DataFrame] = []
         buf: list = []
         for r in queries.select(query_id, query_vec).toLocalIterator():
             buf.append(r)
             if len(buf) >= max_queries:
-                blocks.append(buf)
+                parts.append(_knn_join_block(
+                    corpus, buf, k, corpus_vec, corpus_id, query_id, qid_t, metric
+                ))
                 buf = []
         if buf:
-            blocks.append(buf)
-        if not blocks:
+            parts.append(_knn_join_block(
+                corpus, buf, k, corpus_vec, corpus_id, query_id, qid_t, metric
+            ))
+        if not parts:
             raise ValueError("queries DataFrame is empty")
-        parts = [
-            _knn_join_block(
-                corpus, blk, k, corpus_vec, corpus_id, query_id, qid_t, metric
-            )
-            for blk in blocks
-        ]
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -693,12 +698,16 @@ class IVFIndex:
         against a 100M-row corpus).
 
         ``chunk_queries=True`` lifts the ``max_queries`` cap the same
-        way ``knn_join`` does (r10): the query side streams through the
-        driver in blocks of ``max_queries``, each block runs its own
-        routed join (bytes still bounded by that block's probed
+        way ``knn_join`` does (r10): the query side is pulled through
+        the driver in blocks of ``max_queries``, each block runs its
+        own routed join (bytes still bounded by that block's probed
         clusters), and the per-block top-k results are unioned — exact
         relative to the unchunked join because every query's neighbors
-        are computed entirely within its own block.
+        are computed entirely within its own block. As with
+        ``knn_join``, chunking bounds per-task closure bytes, not
+        driver-resident query bytes: the lazy union closes over every
+        block's matrix, so batches beyond driver memory must persist
+        per-block results as separate jobs (ADVICE r10).
 
         Routing happens driver-side: each query probes its ``nprobe``
         nearest clusters, inverting to cluster -> query set. Each
@@ -724,26 +733,29 @@ class IVFIndex:
         _ship_package(spark)
         if chunk_queries:
             src = queries.select(query_id, query_vec)
-            blocks: list[list] = []
-            buf: list = []
-            for r in src.toLocalIterator():
-                buf.append(r)
-                if len(buf) >= max_queries:
-                    blocks.append(buf)
-                    buf = []
-            if buf:
-                blocks.append(buf)
-            if not blocks:
-                raise ValueError("queries DataFrame is empty")
-            parts = [
-                self.knn_join_parquet(
+
+            def block_plan(blk: list) -> DataFrame:
+                return self.knn_join_parquet(
                     spark, path, spark.createDataFrame(blk, src.schema), k=k,
                     query_id=query_id, query_vec=query_vec, corpus_id=corpus_id,
                     vector_col=vector_col, metric=metric, nprobe=nprobe,
                     max_queries=max_queries, scale_col=scale_col,
                 )
-                for blk in blocks
-            ]
+
+            # plan each block as its rows arrive so raw Rows are
+            # condensed to the routed-join closure before the next
+            # block is pulled (ADVICE r10)
+            parts: list[DataFrame] = []
+            buf: list = []
+            for r in src.toLocalIterator():
+                buf.append(r)
+                if len(buf) >= max_queries:
+                    parts.append(block_plan(buf))
+                    buf = []
+            if buf:
+                parts.append(block_plan(buf))
+            if not parts:
+                raise ValueError("queries DataFrame is empty")
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)

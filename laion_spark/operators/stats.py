@@ -83,7 +83,11 @@ def kendall_tau_b(
         "ties_y",
         F.when(
             (cx > 0) & (cy > 0),
-            F.col("s_sum").cast("double") / F.sqrt((cx * cy).cast("double")),
+            # cast BEFORE multiplying: cx*cy in long arithmetic wraps
+            # past ~9.2e18 (blocks of ~78k+ rows); the double product is
+            # correctly rounded at any block size (ADVICE r10)
+            F.col("s_sum").cast("double")
+            / F.sqrt(cx.cast("double") * cy.cast("double")),
         ).alias("tau_b"),
     )
 
@@ -138,11 +142,23 @@ def _count_discordant_local(xs, ys) -> int:
     return int(d)
 
 
+def _auto_bands(n: int, target_stripe: int = 5_000_000, floor: int = 32) -> int:
+    """Band count for an n-row series: one x-stripe (the largest thing
+    a single applyInPandas task materializes) should hold roughly
+    ``target_stripe`` rows, so the stripe's pandas frame stays ~100 MB
+    at two 8-byte columns. Grows linearly with n (10^9 rows -> 200
+    bands) while the driver-side cell grid stays tiny (bands^2 longs).
+    """
+    import math
+
+    return max(floor, math.ceil(n / target_stripe))
+
+
 def kendall_tau_b_series(
     df: DataFrame,
     x: str,
     y: str,
-    bands: int = 32,
+    bands: int | None = None,
 ) -> DataFrame:
     """Exact Kendall tau-b over ONE numeric series — the scale path for
     an unblocked corpus-wide correlation, with NO O(n^2) pair step
@@ -171,13 +187,31 @@ def kendall_tau_b_series(
 
     Shuffle profile: three map-side-combinable aggregates + two
     repartitions by band + one tiny cell aggregate — one stripe's rows
-    (~n/bands) is the largest thing any task holds. Output: one row
-    (n_rows, n_pairs, ties_x, ties_y, ties_xy, comparable, discordant,
-    s_sum, tau_b).
+    (~n/bands) is the largest thing any task holds. ``bands`` defaults
+    to ``_auto_bands(n)`` (~n/5M, floor 32) so a stripe's pandas frame
+    is bounded regardless of series size; pass it explicitly only to
+    pin the work split (the result never depends on banding). Output:
+    one row (n_rows, n_pairs, ties_x, ties_y, ties_xy, comparable,
+    discordant, s_sum, tau_b).
+
+    Integral inputs stay LONG end-to-end (tie grouping, stripe
+    comparisons): a double cast would collapse distinct int64 values
+    beyond 2^53 into false ties (ADVICE r10). Band boundaries compare
+    through double, which is safe — long->double is monotone, so band
+    inequality still implies strict value inequality; at worst two huge
+    near-equal values share a band and resolve exactly in the stripe.
     """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
     spark = df.sparkSession
+
+    def lossless(col: str) -> str:
+        dt = df.schema[col].dataType
+        return "long" if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)) else "double"
+
     pts = df.select(
-        F.col(x).cast("double").alias("_x"), F.col(y).cast("double").alias("_y")
+        F.col(x).cast(lossless(x)).alias("_x"),
+        F.col(y).cast(lossless(y)).alias("_y"),
     ).where(F.col(x).isNotNull() & F.col(y).isNotNull())
 
     def tie_pairs(col: str):
@@ -187,6 +221,8 @@ def kendall_tau_b_series(
         ).collect()[0][0] // 2
 
     n = pts.count()
+    if bands is None:
+        bands = _auto_bands(n)
     if n < 2:
         return spark.createDataFrame(
             [(n, 0, 0, 0, 0, 0, 0, 0, None)],

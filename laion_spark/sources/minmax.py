@@ -45,7 +45,10 @@ def _file_key_range(path: str, column: str):
             return None
         lo = st.min if lo is None else min(lo, st.min)
         hi = st.max if hi is None else max(hi, st.max)
-    return (lo, hi)
+    # zero row groups (empty part file): no range exists — report "no
+    # stats" so callers keep the file rather than compare against None
+    # (ADVICE r10)
+    return None if lo is None else (lo, hi)
 
 
 def collect_file_stats(
@@ -80,7 +83,10 @@ def collect_file_stats(
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
         n = md.num_rows
         lo = hi = None
-        ok = column in idx
+        # an empty part file (zero row groups) has no key range: it must
+        # come back has_stats=False, or a rollup folding min(int, None)
+        # over a mixed bucket raises (ADVICE r10)
+        ok = column in idx and md.num_row_groups > 0
         if ok:
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(idx[column]).statistics

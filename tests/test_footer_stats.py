@@ -63,6 +63,44 @@ def test_stats_less_file_reported_not_guessed(spark, tmp_path):
         assert rows == [("part=0", 3, None, None, False)], (thr, rows)
 
 
+def test_empty_part_file_reported_statsless(spark, tmp_path):
+    """ADVICE r10: a zero-row-group part file has no key range; it must
+    come back has_stats=False on both paths (a (n=0, None, None, True)
+    row makes a mixed-bucket rollup evaluate min(int, None) and raise),
+    and the pruned-scan path must KEEP such a file, not crash on it."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from laion_spark.sources.minmax import (
+        _file_key_range,
+        collect_file_stats,
+        minmax_pruned_scan,
+    )
+
+    base = tmp_path / "mixed"
+    base.mkdir()
+    full = str(base / "a.parquet")
+    empty = str(base / "b.parquet")
+    pq.write_table(pa.table({"o_orderkey": [5, 1, 9]}), full)
+    # write_table of a 0-row table still emits one row group; a truly
+    # row-group-less footer needs a writer closed without any write
+    pq.ParquetWriter(empty, pa.schema([("o_orderkey", pa.int64())])).close()
+    assert pq.ParquetFile(empty).metadata.num_row_groups == 0  # fixture premise
+
+    tasks = [("part=0", full), ("part=0", empty)]
+    for thr in (10**9, 0):
+        rows = collect_file_stats(spark, tasks, "o_orderkey", distributed_threshold=thr)
+        assert rows[1] == ("part=0", 0, None, None, False), (thr, rows)
+        # the rollup a caller would write must not raise on the bucket
+        stat = [r for r in rows if r[4]]
+        assert min(r[2] for r in stat) == 1 and max(r[3] for r in stat) == 9
+
+    assert _file_key_range(empty, "o_orderkey") is None
+    df, st = minmax_pruned_scan(spark, str(base), "o_orderkey", 4, 6)
+    assert st == {"files_total": 2, "files_scanned": 2}  # empty file kept
+    assert [r[0] for r in df.collect()] == [5]
+
+
 def test_missing_key_column_reported(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq

@@ -150,3 +150,43 @@ def test_series_degenerate_and_tiny(spark):
 )
 def test_series_matches_pair_loop_hypothesis(spark, pts, bands):
     _check_series(spark, [p[0] for p in pts], [p[1] for p in pts], bands)
+
+
+def test_series_int64_beyond_2pow53_no_false_ties(spark):
+    # ADVICE r10: a double cast collapses 2^53 and 2^53+1 into one
+    # value, manufacturing ties; integral inputs must stay long. These
+    # adjacent huge values are strictly increasing in both axes, so
+    # tau_b must be exactly 1 with ZERO ties.
+    base = 2**53
+    xs = [base + i for i in range(6)]
+    ys = [base + 2 * i for i in range(6)]
+    _check_series(spark, xs, ys, bands=3)
+    from laion_spark.operators.stats import kendall_tau_b_series
+
+    df = spark.createDataFrame(list(zip(xs, ys)), "x long, y long")
+    r = kendall_tau_b_series(df, "x", "y", bands=3).collect()[0]
+    assert (r.ties_x, r.ties_y, r.tau_b) == (0, 0, 1.0), r
+
+
+def test_series_fractional_inputs_still_work(spark):
+    # non-integral columns take the double path unchanged
+    from laion_spark.operators.stats import kendall_tau_b_series
+
+    df = spark.createDataFrame(
+        [(0.5, 1.5), (1.5, 0.5), (2.5, 2.5), (2.5, 3.5)], "x double, y double"
+    )
+    r = kendall_tau_b_series(df, "x", "y", bands=2).collect()[0]
+    assert r.n_pairs == 6 and r.ties_x == 1  # the two x=2.5 rows
+
+
+def test_auto_bands_scaling():
+    # VERDICT r10 #2: bands grow with n so one x-stripe (~n/bands rows)
+    # never exceeds the ~5M-row pandas-frame budget
+    from laion_spark.operators.stats import _auto_bands
+
+    assert _auto_bands(1_000) == 32            # floor
+    assert _auto_bands(160_000_000) == 32      # exactly at floor boundary
+    assert _auto_bands(200_000_000) == 40
+    assert _auto_bands(1_000_000_000) == 200   # 10^9 rows -> 200 stripes
+    for n in (10**6, 10**8, 10**9, 10**10):
+        assert n / _auto_bands(n) <= 5_000_000 or _auto_bands(n) == 32
