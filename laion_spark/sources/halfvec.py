@@ -252,3 +252,181 @@ def write_int8_table(
     if n > 1:
         jobs = jobs.repartition(min(n, spark.sparkContext.defaultParallelism))
     return jobs.mapInArrow(conv, "path string, rows long")
+
+
+def write_int8_index(
+    df: DataFrame,
+    dst_path: str,
+    dim: int,
+    vector_col: str = "embedding",
+    cluster_col: str = "ivf_cluster",
+    n_partitions: int | None = None,
+    row_group_bytes: int = 8 * 1024 * 1024,
+    compression: str = "snappy",
+) -> list:
+    """SQ8-quantize and write a partition-pruned ANN table in ONE pass
+    over an already-assigned DataFrame (``cluster_col`` stamped, e.g.
+    ``IVFIndex.build`` output) — the quantize-on-ingest shape for
+    corpora where a float32 copy never exists on disk.
+
+    The map side quantizes each vector to symmetric int8 codes + a
+    per-vector float32 scale (identical math to ``write_int8_table``,
+    including the non-finite raise) BEFORE the cluster exchange, so the
+    shuffle ships ~dim bytes/row — 1/4 of what ``IVFIndex.write_index``
+    + a rewrite would move, with no intermediate f32 table at all.
+    Each reduce task then writes one ``fixed_size_binary(dim)`` parquet
+    file per cluster it holds under ``dst_path/ivf_cluster=K/`` —
+    byte-compatible with ``write_int8_table``'s layout, served by
+    ``knn_search_parquet(..., scale_col=...)`` and
+    ``IVFIndex.search_parquet`` unchanged. ``row_group_bytes`` keeps
+    the probe's (file, row_group) split granularity (see IVFIndex
+    docstring). Hash partitioning on ``cluster_col`` sends every
+    cluster wholly to one task, so each dir gets exactly one file.
+
+    Local paths only, like ``write_int8_table`` (executors open the
+    destination with the posix API; at 100 TB this becomes an
+    object-store multipart writer — the pass structure is unchanged).
+    Returns (cluster_dir, rows) summary tuples.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from laion_spark.session import _ship_package
+
+    if "://" in dst_path:
+        raise NotImplementedError("write_int8_index targets local paths (fixture/bench use)")
+    spark = df.sparkSession
+    _ship_package(spark)
+    names = [f.name for f in df.schema.fields]
+    if vector_col not in names or cluster_col not in names:
+        raise ValueError(f"df must carry {vector_col!r} and {cluster_col!r}")
+    scale_col = f"{vector_col}_scale"
+
+    out_parts = []
+    for f in df.schema.fields:
+        t = "binary" if f.name == vector_col else f.dataType.simpleString()
+        out_parts.append(f"`{f.name}` {t}")
+    out_parts.append(f"`{scale_col}` float")
+    quant_schema = ", ".join(out_parts)
+    out_names = names + [scale_col]
+
+    def quantize(batches):
+        import numpy as np
+
+        from laion_spark.operators.knn import flat_matrix
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            vi = rb.schema.get_field_index(vector_col)
+            mat = flat_matrix(rb.column(vi), dim, np.float32)
+            if not np.isfinite(mat).all():
+                bad = int((~np.isfinite(mat)).sum())
+                raise ValueError(
+                    f"{bad} non-finite element(s) in vector column; SQ8 "
+                    "quantization requires finite inputs"
+                )
+            maxabs = np.abs(mat).max(axis=1)
+            scale = np.where(maxabs > 0, maxabs / 127.0, 1.0).astype(np.float32)
+            codes = np.ascontiguousarray(
+                np.clip(np.rint(mat / scale[:, None]), -127, 127).astype(np.int8)
+            )
+            # variable binary here (Spark has no fixed-width type); the
+            # sink re-types to fixed_size_binary(dim) off the raw buffer
+            offs = np.arange(0, (n + 1) * dim, dim, dtype=np.int32)
+            bin_arr = pa.Array.from_buffers(
+                pa.binary(), n,
+                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(codes.tobytes())],
+            )
+            arrays = [rb.column(i) for i in range(rb.num_columns)]
+            arrays[vi] = bin_arr
+            arrays.append(pa.array(scale, type=pa.float32()))
+            yield pa.RecordBatch.from_arrays(arrays, out_names)
+
+    def sink(batches):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        writers: dict[int, pq.ParquetWriter] = {}
+        pending: dict[int, list] = {}
+        pend_bytes: dict[int, int] = {}
+        rows: dict[int, int] = {}
+
+        def to_fixed(col):
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            if arr.null_count:
+                raise ValueError("NULL vector after quantization")
+            m = len(arr)
+            off = np.frombuffer(
+                arr.buffers()[1], np.int32, count=m + 1, offset=arr.offset * 4
+            )
+            if m and not (np.diff(off) == dim).all():
+                raise ValueError(f"non-uniform code widths (expected {dim} B)")
+            start = int(off[0]) if m else 0
+            buf = pa.py_buffer(memoryview(arr.buffers()[2])[start:start + m * dim])
+            return pa.Array.from_buffers(pa.binary(dim), m, [None, buf])
+
+        def flush(cid):
+            tbl = pa.Table.from_batches(pending[cid])
+            tbl = tbl.remove_column(tbl.schema.get_field_index(cluster_col))
+            vi2 = tbl.schema.get_field_index(vector_col)
+            tbl = tbl.set_column(vi2, vector_col, to_fixed(tbl.column(vector_col)))
+            if cid not in writers:
+                d = os.path.join(dst_path, f"{cluster_col}={cid}")
+                os.makedirs(d, exist_ok=True)
+                from pyspark import TaskContext
+
+                ctx = TaskContext.get()
+                pid = ctx.partitionId() if ctx else 0
+                writers[cid] = pq.ParquetWriter(
+                    os.path.join(d, f"part-{pid:05d}.parquet"),
+                    tbl.schema,
+                    compression=compression,
+                )
+            writers[cid].write_table(tbl)
+            rows[cid] = rows.get(cid, 0) + tbl.num_rows
+            pending[cid] = []
+            pend_bytes[cid] = 0
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ci = rb.schema.get_field_index(cluster_col)
+            cids = rb.column(ci).to_numpy(zero_copy_only=False)
+            order = np.argsort(cids, kind="stable")
+            srb = rb.take(pa.array(order))
+            cids = cids[order]
+            cuts = np.flatnonzero(np.diff(cids))
+            starts = [0, *(int(c) + 1 for c in cuts)]
+            ends = [*(int(c) + 1 for c in cuts), len(cids)]
+            for s, e in zip(starts, ends):
+                cid = int(cids[s])
+                piece = srb.slice(s, e - s)
+                pending.setdefault(cid, []).append(piece)
+                pend_bytes[cid] = pend_bytes.get(cid, 0) + piece.nbytes
+                if pend_bytes[cid] >= row_group_bytes:
+                    flush(cid)
+        for cid, lst in list(pending.items()):
+            if lst:
+                flush(cid)
+        out_paths, out_rows = [], []
+        for cid, w in writers.items():
+            w.close()
+            out_paths.append(os.path.join(dst_path, f"{cluster_col}={cid}"))
+            out_rows.append(rows[cid])
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(out_paths, type=pa.string()), pa.array(out_rows, type=pa.int64())],
+            ["path", "rows"],
+        )
+
+    from pyspark.sql import functions as F
+
+    n_parts = n_partitions or spark.sparkContext.defaultParallelism
+    written = (
+        df.mapInArrow(quantize, quant_schema)
+        .repartition(n_parts, F.col(cluster_col))
+        .mapInArrow(sink, "path string, rows long")
+        .collect()
+    )
+    return [(r.path, r.rows) for r in written]

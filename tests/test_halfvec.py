@@ -220,3 +220,82 @@ def test_select_of_packed_vector_column_returns_binary(spark, sf_dir, tmp_path):
     for r in rows:
         assert isinstance(r.embedding, (bytes, bytearray))
         assert len(r.embedding) == 2 * 64  # packed little-endian float16
+
+
+def test_int8_index_one_pass_matches_rewrite_path(spark, sf_dir, tmp_path):
+    """write_int8_index (quantize-before-shuffle, direct partitioned
+    FLBA write) must produce byte-identical codes/scales and an
+    identical serving surface to the proven two-step path
+    (IVFIndex.write_index f32 table -> write_int8_table rewrite)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from laion_spark.operators.similarity import IVFIndex
+    from laion_spark.sources.halfvec import write_int8_index, write_int8_table
+
+    src = f"{sf_dir}/embeddings.parquet"
+    emb = spark.read.parquet(src).select("vec_id", "embedding")
+    dim = len(emb.first().embedding)
+    idx = IVFIndex(dim=dim, n_clusters=4, n_iters=2, nprobe=2)
+    idx.fit(emb, id_col="vec_id", vector_col="embedding", fit_rows=500)
+
+    # two-step reference: f32 ivf table, then the file-wise rewrite
+    f32_path = str(tmp_path / "ivf_f32")
+    idx.write_index(emb, f32_path, "embedding")
+    two_step = str(tmp_path / "ivf_i8_twostep")
+    write_int8_table(spark, f32_path, two_step, vector_cols=("embedding",)).collect()
+
+    one_pass = str(tmp_path / "ivf_i8_onepass")
+    res = write_int8_index(idx.build(emb, "embedding"), one_pass, dim=dim)
+    assert sum(r[1] for r in res) == emb.count()
+
+    def snap(path):
+        t = pq.read_table(path).sort_by("vec_id")
+        codes = np.frombuffer(b"".join(t.column("embedding").to_pylist()), np.int8)
+        return (
+            t.column("vec_id").to_pylist(),
+            codes.tobytes(),
+            t.column("embedding_scale").to_pylist(),
+            t.column("ivf_cluster").to_pylist(),
+        )
+
+    a, b = snap(two_step), snap(one_pass)
+    assert a[0] == b[0] and a[3] == b[3]          # same rows, same clusters
+    assert a[1] == b[1] and a[2] == b[2]          # byte-identical codes+scales
+
+    # identical serving surface: exact scan with scale_col and the
+    # partition-pruned probe both read the one-pass table unchanged
+    ex = knn_search_parquet(
+        spark, one_pass, QVEC64, k=5, vector_col="embedding",
+        select=["vec_id"], scale_col="embedding_scale",
+    ).collect()
+    ex2 = knn_search_parquet(
+        spark, two_step, QVEC64, k=5, vector_col="embedding",
+        select=["vec_id"], scale_col="embedding_scale",
+    ).collect()
+    assert [r.vec_id for r in ex] == [r.vec_id for r in ex2]
+    pr = idx.search_parquet(
+        spark, one_pass, QVEC64, k=5, vector_col="embedding",
+        select=["vec_id"], scale_col="embedding_scale",
+    ).collect()
+    assert len(pr) == 5
+    # fixed 8 MB-grain layout premise: exactly one file per cluster dir
+    import glob as _g
+
+    for d in _g.glob(one_pass + "/ivf_cluster=*"):
+        assert len(_g.glob(d + "/*.parquet")) == 1, d
+
+
+def test_int8_index_rejects_nonfinite(spark, tmp_path):
+    import math
+
+    import pytest
+
+    from laion_spark.sources.halfvec import write_int8_index
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], 0), (2, [math.inf, 0.0], 1)],
+        "id long, embedding array<float>, ivf_cluster int",
+    )
+    with pytest.raises(Exception, match="non-finite"):
+        write_int8_index(df, str(tmp_path / "bad"), dim=2)
