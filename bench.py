@@ -183,7 +183,7 @@ def disk_probe(extras: dict, path: str, probe_bytes: int = 2 * 1024**3) -> float
         return None
 
 
-def synth_df(spark, n: int, dim: int, clustered: bool = False):
+def synth_df(spark, n: int, dim: int, clustered: bool = False, start: int = 0):
     """Deterministic n x dim float32 vectors (FIXTURES.md §6
     ``laion_bench`` shape) as an UNMATERIALIZED DataFrame — numpy-backed
     mapInArrow (a per-column ``rand()`` expression tree would blow the
@@ -249,8 +249,10 @@ def synth_df(spark, n: int, dim: int, clustered: bool = False):
             yield pa.RecordBatch.from_arrays([ids, emb], ["id", "embedding"])
 
     # contiguous ranges, no shuffle: 64 write-side partitions without a
-    # repartition stage (determinism no longer depends on partitioning)
-    return spark.range(0, n, 1, 64).mapInArrow(gen, "id long, embedding array<float>")
+    # repartition stage (determinism no longer depends on partitioning).
+    # `start` slices the id range for bounded-footprint sliced builds —
+    # every element is a pure function of id, so slices are consistent.
+    return spark.range(start, n, 1, 64).mapInArrow(gen, "id long, embedding array<float>")
 
 
 def synth_vectors(spark, n: int, dim: int, clustered: bool = False):
@@ -1369,7 +1371,7 @@ def main() -> None:
             # the ivf table (2x) instead of 3x with a base parquet.
             raw = int(N_ANN) * DIM * 4
             if not ensure_free(
-                int(raw * 2.2),
+                int(raw * 1.4),  # final table + working margin (slices bound the rest)
                 [
                     f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet",
                     f"/tmp/laion_bench_10000000x{DIM}.parquet",
@@ -1377,16 +1379,37 @@ def main() -> None:
                 "ivf build",
             ):
                 errors["ann768"] = (
-                    f"skipped: ivf build needs ~{raw * 2.2 / 1024**3:.0f} GB free in /tmp"
+                    f"skipped: ivf build needs ~{raw * 1.4 / 1024**3:.0f} GB free in /tmp"
                 )
                 print("  ann768: SKIPPED (disk)", file=sys.stderr)
                 raise _BudgetSkip
             t0 = time.perf_counter()
             gen_df = synth_df(spark, N_ANN, DIM, clustered=True)
             idx.fit(gen_df, id_col="id", vector_col="embedding", fit_rows=200_000)
-            idx.write_index(gen_df, ivf_path, "embedding", row_group_bytes=RG_MB * 1024 * 1024)
+            # sliced write: one pass's transient bytes (cluster shuffle +
+            # sort spill, ~2.2x its raw input) ENOSPC'd the r11 cold
+            # build even though the final table fit — the peak, not the
+            # steady state, is the constraint. Bound it: write disjoint
+            # id ranges in N appending passes sized to the free space
+            # actually left after eviction (each element is a pure
+            # function of id, so slices regenerate consistently).
+            import shutil as _sh2
+
+            headroom = _sh2.disk_usage("/tmp").free - raw - 3 * 1024**3
+            n_slices = max(1, -(-int(raw * 2.2) // max(headroom, 6 * 1024**3)))
+            per = -(-int(N_ANN) // n_slices)
+            for sl in range(n_slices):
+                lo_id, hi_id = sl * per, min((sl + 1) * per, int(N_ANN))
+                idx.write_index(
+                    synth_df(spark, hi_id, DIM, clustered=True, start=lo_id),
+                    ivf_path, "embedding", row_group_bytes=RG_MB * 1024 * 1024,
+                    mode="overwrite" if sl == 0 else "append",
+                )
             json.dump(idx.centroids, open(cent_path, "w"))
-            print(f"  ivf build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+            print(
+                f"  ivf build: {time.perf_counter()-t0:.1f}s ({n_slices} slice(s))",
+                file=sys.stderr,
+            )
         # queries, recall ground truth, and brute-force timing all read
         # the ivf table itself — literally the SAME table both sides
         vecs_c = spark.read.parquet(ivf_path)
@@ -1928,6 +1951,17 @@ def main() -> None:
     except Exception as ex:  # noqa: BLE001
         errors["ann768"] = f"{type(ex).__name__}: {ex}"[:500]
         print(f"  ann768: FAILED {errors['ann768'].splitlines()[0]}", file=sys.stderr)
+        # a failed build leaves a partial table (+ _temporary debris)
+        # that silently starves every later section's ensure_free — the
+        # r11 cascade (ENOSPC ivf build -> 10M and 16M disk-skips).
+        # cent_path is only written on full completion, so its absence
+        # identifies a partial.
+        try:
+            if not os.path.exists(cent_path) and os.path.exists(ivf_path):
+                freed = _rm(ivf_path)
+                print(f"  ann768: removed partial index ({freed/1024**3:.1f} GB)", file=sys.stderr)
+        except NameError:
+            pass
 
     # 10M-row soak (VERDICT r4 missing #3): one measured point at the
     # reference's OWN published brute-force scale (BASELINE.md rows:

@@ -536,14 +536,23 @@ class IVFIndex:
         path: str,
         vector_col: str = "embedding",
         row_group_bytes: int = 32 * 1024 * 1024,
+        mode: str = "overwrite",
     ) -> None:
         """Stamp cluster ids and write the partition-pruned table: one
         parquet dir per cluster, ``row_group_bytes`` row groups (the
-        probe's split granularity — see class docstring)."""
+        probe's split granularity — see class docstring).
+
+        ``mode="append"`` adds this df's rows to an existing layout
+        (each cluster dir gains one more file) — the incremental-ingest
+        shape, and how a build whose transient footprint (cluster
+        shuffle + sort spill + output, ~3x the raw bytes) exceeds free
+        disk runs as bounded slices: N passes over disjoint id ranges
+        keep the in-flight bytes at ~3x raw/N while the table grows to
+        its final size."""
         (
             self.build(df, vector_col)
             .repartition(self.n_clusters, F.col("ivf_cluster"))
-            .write.mode("overwrite")
+            .write.mode(mode)
             .option("parquet.block.size", int(row_group_bytes))
             .partitionBy("ivf_cluster")
             .parquet(path)

@@ -628,3 +628,36 @@ def test_knn_join_parquet_chunked_matches_single(spark, emb, tmp_path):
     ).collect()
     assert [tuple(r) for r in chunked] == [tuple(r) for r in one]
     assert len(chunked) == 15 * 3
+
+
+def test_ivf_write_index_append_slices_equal_single_pass(spark, emb, tmp_path):
+    """mode="append" sliced build (the bounded-transient-footprint cold
+    build path) must produce the same table content and the same probe
+    results as one overwrite pass."""
+    from pyspark.sql import functions as F
+
+    from laion_spark.operators.similarity import IVFIndex
+
+    idx = IVFIndex(dim=64, n_clusters=4, n_iters=2, nprobe=2).fit(
+        emb, id_col="vec_id", vector_col="embedding"
+    )
+    single = str(tmp_path / "ivf_single")
+    idx.write_index(emb, single, "embedding")
+    sliced = str(tmp_path / "ivf_sliced")
+    n = emb.count()
+    cut = n // 2
+    idx.write_index(emb.filter(F.col("vec_id") < cut), sliced, "embedding", mode="overwrite")
+    idx.write_index(emb.filter(F.col("vec_id") >= cut), sliced, "embedding", mode="append")
+
+    def snap(p):
+        return sorted(
+            (r.vec_id, r.ivf_cluster, tuple(round(float(x), 6) for x in r.embedding))
+            for r in spark.read.parquet(p).collect()
+        )
+
+    assert snap(single) == snap(sliced)
+    q = [float(x) for x in emb.first().embedding]
+    a = idx.search_parquet(spark, single, q, k=5, vector_col="embedding", select=["vec_id"]).collect()
+    idx._scan_cache = None  # separate table, fresh listing
+    b = idx.search_parquet(spark, sliced, q, k=5, vector_col="embedding", select=["vec_id"]).collect()
+    assert [r.vec_id for r in a] == [r.vec_id for r in b]
