@@ -1623,8 +1623,8 @@ def main() -> None:
             got_u = cjoin(False)
             pairs = lambda rows: {(r[0], r[1]) for r in rows}
             extras["ann768_cjoin2k_parity"] = int(pairs(got_c) == pairs(got_u))
-            tc = sorted(timed(lambda: cjoin(True)) for _ in range(2))
-            queries["ann768_cjoin2k"] = tc[0]  # 2-run key: best-of-2
+            tc = sorted(timed(lambda: cjoin(True)) for _ in range(1))
+            queries["ann768_cjoin2k"] = tc[0]  # long key: 1 warm + 1 timed
             extras["ann768_cjoin2k_best_sec"] = tc[0]
             extras["ann768_cjoin2k_queries"] = len(cj_src)
             extras["ann768_cjoin2k_blocks"] = -(-len(cj_src) // 512)
@@ -1974,9 +1974,11 @@ def main() -> None:
             print("  knn768_10m: SKIPPED (env)", file=sys.stderr)
             raise _BudgetSkip
         path_10m = f"/tmp/laion_bench_{N_10M}x{DIM}.parquet"
-        # cold fixture build is ~5-8 min of generation + 30 GB write;
-        # require real headroom so the JSON line always prints
-        head = 600 if not os.path.exists(f"{path_10m}/_SUCCESS") else 120
+        # cold fixture build is ~80 s of generation + 30 GB write since
+        # the r10 counter-hash generator (the old 5-8 min estimate kept
+        # a stale 600 s gate that skipped the WHOLE 10M section in the
+        # r11 all-cold run); the full cold section is ~420 s worst case
+        head = 420 if not os.path.exists(f"{path_10m}/_SUCCESS") else 120
         if over_budget(errors, "knn768_10m") or time.perf_counter() - _T_START > BUDGET_S - head:
             if "knn768_10m" not in errors:
                 errors["knn768_10m"] = f"skipped: < {head}s of bench budget left"
@@ -2193,9 +2195,10 @@ def main() -> None:
             errors["knn768_i8_16m"] = "skipped: SPARK_GRAFT_BENCH_SKIP_16M set"
             print("  knn768_i8_16m: SKIPPED (env)", file=sys.stderr)
             raise _BudgetSkip
-        if over_budget(errors, "knn768_i8_16m") or time.perf_counter() - _T_START > BUDGET_S - 420:
+        # measured cost: 290 s one-pass build + ~35 s of rows (r11 run b)
+        if over_budget(errors, "knn768_i8_16m") or time.perf_counter() - _T_START > BUDGET_S - 360:
             if "knn768_i8_16m" not in errors:
-                errors["knn768_i8_16m"] = "skipped: < 420s of bench budget left"
+                errors["knn768_i8_16m"] = "skipped: < 360s of bench budget left"
                 print("  knn768_i8_16m: SKIPPED (headroom)", file=sys.stderr)
             raise _BudgetSkip
         raw_i8 = N_16M * DIM  # codes bytes ~= table bytes (incompressible)
@@ -2311,6 +2314,15 @@ def main() -> None:
         errors["knn768_i8_16m"] = f"{type(ex16).__name__}: {ex16}"[:500]
         print(f"  knn768_i8_16m: FAILED {errors['knn768_i8_16m'].splitlines()[0]}", file=sys.stderr)
 
+    # fallback disk calibration: if the 10M section (the probe's home)
+    # skipped, probe the 1M table so the artifact always carries a
+    # same-run bandwidth fact (run-b lesson: the one run that NEEDS
+    # drift attribution is exactly the one where sections skip)
+    if "disk2g_floor_sec" not in extras:
+        p1m = f"/tmp/laion_bench_{N_VEC}x{DIM}.parquet"
+        if os.path.isdir(p1m):
+            disk_probe(extras, p1m)
+
     total = round(sum(queries.values()), 4)
     out = {
         "metric": "headline_suite_total",
@@ -2408,15 +2420,22 @@ def main() -> None:
     if len(line) > 1900:  # 1) catalog medians to 2 dp
         compact["queries"] = {k: round(v, 2) for k, v in plain_queries.items()}
         line = emit(compact)
-    if len(line) > 1900:  # 2) drop speedup (derivable: exact best / ann best)
+    if len(line) > 1900:  # 2) vec med/best to 2 dp (bfrac/recall untouched)
+        vec = {
+            k: [round(x, 2) if i < 2 and x is not None else x for i, x in enumerate(v)]
+            for k, v in vec.items()
+        }
+        compact["vec"] = vec
+        line = emit(compact)
+    if len(line) > 1900:  # 3) drop speedup (derivable: exact best / ann best)
         compact["vec"] = {k: v[:4] for k, v in vec.items()}
         compact["vec_cols"] = VEC_COLS[:4]
         line = emit(compact)
-    if len(line) > 1900:  # 3) drop best (median stays; detail line has best)
+    if len(line) > 1900:  # 4) drop best (median stays; detail line has best)
         compact["vec"] = {k: v[:1] + v[2:4] for k, v in vec.items()}
         compact["vec_cols"] = [VEC_COLS[0]] + VEC_COLS[2:4]
         line = emit(compact)
-    if len(line) > 1900:  # 4) last resort: the 28 slowest catalog medians
+    if len(line) > 1900:  # 5) last resort: the 28 slowest catalog medians
         compact["queries"] = {
             k: round(v, 2)
             for k, v in sorted(plain_queries.items(), key=lambda kv: -kv[1])[:28]
