@@ -129,17 +129,26 @@ def du(path: str) -> int:
     )
 
 
-def disk_probe(extras: dict, path: str, probe_bytes: int = 2 * 1024**3) -> float | None:
-    """Raw-disk calibration sentinel (VERDICT r10 #1): sequentially read
-    a fixed 2 GiB of ``path``'s own parquet bytes with plain python
-    file IO, dropping those pages from the cache first
-    (posix_fadvise DONTNEED) so the number is the SSD, not the page
-    cache. Stamped as ``disk2g_floor_sec`` (auto-collected into the
-    compact line's floors{}) + ``disk_probe_gbps`` — shared-NVMe
-    neighbor IO moved 10M-scan absolutes ~30% between r9 and r10 with
-    idle CPU, and the attribution lived only in notes prose; now any
-    disk-bound row divides by a same-artifact bandwidth fact. Returns
-    GB/s (None on failure — the sentinel must never cost a row)."""
+def disk_probe(extras: dict, path: str, probe_bytes: int = 512 * 1024**2) -> float | None:
+    """IO calibration sentinel (VERDICT r10 #1): TWO same-artifact
+    bandwidth facts measured on ``path``'s own parquet bytes with plain
+    python file IO over 16 parallel streams (the scan's split shape):
+
+    - COLD device read (sync + posix_fadvise DONTNEED first): this
+      host's backing store reads ~0.16 GiB/s cold (measured r11) — a
+      truly cold 29 GB scan would take minutes, so the sub-4 s scans
+      are page-CACHE-fed (125 GB RAM holds every fixture just written).
+    - WARM cache re-read of the same regions: the bandwidth the scans
+      actually ride. Cross-round drift in scan rows tracks THIS number
+      (host CPU/memory contention), which is what the r9→r10 "+30%
+      with idle CPU" episode needed for attribution.
+
+    Stamped as ``disk2g_floor_sec`` / ``cache2g_floor_sec`` (seconds
+    per 2 GiB at the measured rate — auto-collected into the compact
+    line's floors{}) + ``disk_probe_gbps`` / ``cache_probe_gbps``.
+    Returns the CACHE GiB/s, the calibrator the ``*_disk_ratio``
+    fields divide by (None on failure — the sentinel must never cost a
+    row)."""
     try:
         files = sorted(
             os.path.join(r, f)
@@ -147,38 +156,67 @@ def disk_probe(extras: dict, path: str, probe_bytes: int = 2 * 1024**3) -> float
             for f in fl
             if f.endswith(".parquet")
         )
+        # flush write-back first: probing right after a 30 GB fixture
+        # write, a single cold read crawled at 0.1 GiB/s against the
+        # flusher while the (cache-fed) scan ran 8+ GiB/s — measuring
+        # the wrong thing twice (r11 run c)
+        os.sync()
+        regions = []
         left = probe_bytes
-        # drop cache for exactly the regions we will read
         for fp in files:
             if left <= 0:
                 break
-            take = min(left, os.path.getsize(fp))
+            # cap per-file so the probe spreads over ~16 streams even
+            # when single part files exceed probe_bytes/16
+            take = min(left, os.path.getsize(fp), probe_bytes // 16)
             fd = os.open(fp, os.O_RDONLY)
             try:
                 os.posix_fadvise(fd, 0, take, os.POSIX_FADV_DONTNEED)
             finally:
                 os.close(fd)
+            regions.append((fp, take))
             left -= take
-        read = 0
-        t0 = time.perf_counter()
-        for fp in files:
-            if read >= probe_bytes:
-                break
-            with open(fp, "rb", buffering=0) as fh:
-                while read < probe_bytes:
-                    chunk = fh.read(16 * 1024 * 1024)
-                    if not chunk:
-                        break
-                    read += len(chunk)
-        sec = time.perf_counter() - t0
+        read = probe_bytes - left
         if read < probe_bytes // 2:  # fixture smaller than the probe
             return None
-        gbps = read / sec / 1024**3
-        extras["disk2g_floor_sec"] = round(sec * probe_bytes / read, 4)
-        extras["disk_probe_gbps"] = round(gbps, 2)
-        print(f"  disk probe: {sec:.3f}s for {read/1024**3:.1f} GiB = {gbps:.2f} GiB/s",
-              file=sys.stderr)
-        return gbps
+
+        def pull(region):
+            fp, take = region
+            got = 0
+            with open(fp, "rb", buffering=0) as fh:
+                while got < take:
+                    chunk = fh.read(min(16 * 1024 * 1024, take - got))
+                    if not chunk:
+                        break
+                    got += len(chunk)
+            return got
+
+        # parallel streams, like the scan's splits — a single stream
+        # underreports a device 32 concurrent readers will saturate
+        from concurrent.futures import ThreadPoolExecutor
+
+        two_g = 2 * 1024**3
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=min(16, len(regions))) as pool:
+            read = sum(pool.map(pull, regions))
+        cold_sec = time.perf_counter() - t0
+        cold_gbps = read / cold_sec / 1024**3
+        extras["disk2g_floor_sec"] = round(two_g / max(read / cold_sec, 1), 4)
+        extras["disk_probe_gbps"] = round(cold_gbps, 2)
+        # warm pass over the same regions (now cached by the cold pass)
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=min(16, len(regions))) as pool:
+            read_w = sum(pool.map(pull, regions))
+        warm_sec = time.perf_counter() - t0
+        cache_gbps = read_w / warm_sec / 1024**3
+        extras["cache2g_floor_sec"] = round(two_g / max(read_w / warm_sec, 1), 4)
+        extras["cache_probe_gbps"] = round(cache_gbps, 2)
+        print(
+            f"  io probe: cold {cold_gbps:.2f} GiB/s, cache {cache_gbps:.2f} GiB/s "
+            f"({read/1024**3:.2f} GiB x2)",
+            file=sys.stderr,
+        )
+        return cache_gbps
     except Exception:  # noqa: BLE001
         return None
 
@@ -2014,9 +2052,11 @@ def main() -> None:
         extras["knn768_10m_best_sec"] = ts10[0]
         extras["knn768_10m_rows_per_sec"] = round(N_10M / ts10[0])
         if probe_gbps:
-            # wall-clock as a multiple of pure-disk time for the row's
-            # bytes at the probe's measured bandwidth: ~1 = disk-bound,
-            # stable across NVMe-contention drift even when absolutes move
+            # wall-clock as a multiple of the pure cache-feed time for
+            # the row's bytes at the probe's measured warm bandwidth:
+            # ~1 = IO-feed-bound; stable across host-contention drift
+            # even when absolutes move (the scans are cache-fed on this
+            # host — see disk_probe)
             extras["knn768_10m_disk_ratio"] = round(
                 ts10[0] / (du(path_10m) / 1024**3 / probe_gbps), 2
             )
@@ -2238,10 +2278,26 @@ def main() -> None:
         path16 = f"/tmp/laion_bench_{N_16M}x{DIM}_ivf{C16}i8.parquet"
         t0 = time.perf_counter()
         gen16 = synth_df(spark, N_16M, DIM, clustered=True)
-        write_int8_index(
-            idx16m.build(gen16, "embedding"), path16, dim=DIM,
-            vector_col="embedding", row_group_bytes=RG16 * 1024 * 1024,
-        )
+        # watchdog: run c of r11 saw this build's map stage wedge at
+        # 63/64 tasks for 20+ min (one hung python worker; the same
+        # build completed in 290 s the run before). A hung LAST section
+        # must degrade to its error marker, not take the whole artifact
+        # with it — cancel the job group at 3x the measured build time.
+        import threading
+
+        sc = spark.sparkContext
+        sc.setJobGroup("i8_16m_build", "16M SQ8 index build", interruptOnCancel=True)
+        dog = threading.Timer(900, lambda: sc.cancelJobGroup("i8_16m_build"))
+        dog.daemon = True
+        dog.start()
+        try:
+            write_int8_index(
+                idx16m.build(gen16, "embedding"), path16, dim=DIM,
+                vector_col="embedding", row_group_bytes=RG16 * 1024 * 1024,
+            )
+        finally:
+            dog.cancel()
+            sc.setJobGroup("", "")
         build16 = round(time.perf_counter() - t0, 1)
         extras["knn768_i8_16m_build_sec"] = build16
         print(f"  i8 16m one-pass index build: {build16}s ({du(path16)/1024**3:.1f} GB)",
@@ -2313,6 +2369,11 @@ def main() -> None:
     except Exception as ex16:  # noqa: BLE001
         errors["knn768_i8_16m"] = f"{type(ex16).__name__}: {ex16}"[:500]
         print(f"  knn768_i8_16m: FAILED {errors['knn768_i8_16m'].splitlines()[0]}", file=sys.stderr)
+        try:  # a partial 16M table must not starve the next run's disk
+            if os.path.exists(path16):
+                _rm(path16)
+        except NameError:
+            pass
 
     # fallback disk calibration: if the 10M section (the probe's home)
     # skipped, probe the 1M table so the artifact always carries a
