@@ -2294,6 +2294,7 @@ def main() -> None:
             write_int8_index(
                 idx16m.build(gen16, "embedding"), path16, dim=DIM,
                 vector_col="embedding", row_group_bytes=RG16 * 1024 * 1024,
+                mode="overwrite",  # a crash-orphaned partial must not mix in
             )
         finally:
             dog.cancel()

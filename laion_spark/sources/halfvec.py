@@ -263,6 +263,7 @@ def write_int8_index(
     n_partitions: int | None = None,
     row_group_bytes: int = 8 * 1024 * 1024,
     compression: str = "snappy",
+    mode: str = "error",
 ) -> list:
     """SQ8-quantize and write a partition-pruned ANN table in ONE pass
     over an already-assigned DataFrame (``cluster_col`` stamped, e.g.
@@ -287,7 +288,16 @@ def write_int8_index(
     destination with the posix API; at 100 TB this becomes an
     object-store multipart writer — the pass structure is unchanged).
     Returns (cluster_dir, rows) summary tuples.
+
+    ``mode`` follows Spark save-mode semantics: ``"error"`` (default)
+    raises when ``dst_path`` already has content — writing into a
+    non-empty tree could interleave this build's files with a previous
+    build's (e.g. a crash-orphaned partial written under a different
+    partition count), producing a silently mixed table; ``"overwrite"``
+    removes the existing tree first.
     """
+    import shutil
+
     import numpy as np
     import pyarrow as pa
 
@@ -295,6 +305,15 @@ def write_int8_index(
 
     if "://" in dst_path:
         raise NotImplementedError("write_int8_index targets local paths (fixture/bench use)")
+    if mode not in ("error", "overwrite"):
+        raise ValueError("mode must be 'error' or 'overwrite'")
+    if os.path.isdir(dst_path) and os.listdir(dst_path):
+        if mode == "error":
+            raise FileExistsError(
+                f"{dst_path} is non-empty; pass mode='overwrite' to replace it "
+                "(mixing a new build into an old tree is never safe)"
+            )
+        shutil.rmtree(dst_path)
     spark = df.sparkSession
     _ship_package(spark)
     names = [f.name for f in df.schema.fields]

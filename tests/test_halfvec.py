@@ -299,3 +299,23 @@ def test_int8_index_rejects_nonfinite(spark, tmp_path):
     )
     with pytest.raises(Exception, match="non-finite"):
         write_int8_index(df, str(tmp_path / "bad"), dim=2)
+
+
+def test_int8_index_save_modes(spark, tmp_path):
+    """Default mode errors on a non-empty destination (a new build must
+    never interleave with an orphaned partial); overwrite replaces it."""
+    import pytest
+
+    from laion_spark.sources.halfvec import write_int8_index
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], 0), (2, [3.0, 4.0], 1)],
+        "id long, embedding array<float>, ivf_cluster int",
+    )
+    dst = str(tmp_path / "idx")
+    write_int8_index(df, dst, dim=2)
+    with pytest.raises(FileExistsError, match="non-empty"):
+        write_int8_index(df, dst, dim=2)
+    res = write_int8_index(df, dst, dim=2, mode="overwrite")
+    assert sum(r[1] for r in res) == 2
+    assert spark.read.parquet(dst).count() == 2
