@@ -11666,3 +11666,393 @@ def q145_kendall_tau_series(spark, sf_dir):
             ),
         ).cast("long").alias("tau_b_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-11 additions (SURVEY §2.18): retrieval scoring + tokenizer
+# learning + fuzzy matching — the corpus-curation ops that sit between
+# dedup (d*) and quality filtering (t*) in a training-data pipeline.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t22_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY doc_id
+    ), tf AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+    ), n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    idf AS (
+      SELECT tok, df,
+             CAST(floor(ln(n.n_docs / df) * 1000000) AS BIGINT) AS idf_micro
+      FROM df, n
+    )
+    SELECT t.doc_id, t.tok AS term, t.c AS tf, i.df, i.idf_micro,
+           CAST(floor(CAST(t.c * i.idf_micro AS DOUBLE) / d.n_toks)
+                AS BIGINT) AS tfidf_micro
+    FROM tf t JOIN idf i USING (tok) JOIN dl d USING (doc_id)
+    ORDER BY tfidf_micro DESC, doc_id, term LIMIT 100
+    """,
+    note="TF-IDF term weighting (the classic lexical-relevance score; "
+    "rarity-weighted term importance is also the standard cheap "
+    "keyword-extraction pass over a pretraining corpus). Two "
+    "corpus-scale aggregates (doc lengths, per-doc term counts) plus "
+    "one vocabulary aggregate for document frequencies; the idf map "
+    "is vocabulary-sized so it broadcasts back onto the tf rows — no "
+    "corpus re-shuffle. The t16 integer-micros discipline keeps the "
+    "engines bit-aligned: idf floors ln(N/df) to micros per TERM, "
+    "tf*idf floors the integer product over the doc length — no raw "
+    "double quotient crosses the boundary.",
+)
+def t22_tfidf_top_terms(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    dfq = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    nd = d.agg(F.count("*").cast("double").alias("n_docs"))
+    idf = dfq.crossJoin(F.broadcast(nd)).select(
+        "tok",
+        "df",
+        F.floor(F.log(F.col("n_docs") / F.col("df")) * 1_000_000)
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    return (
+        tf.join(F.broadcast(idf), "tok")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            F.col("tok").alias("term"),
+            F.col("c").alias("tf"),
+            "df",
+            "idf_micro",
+            F.floor((F.col("c") * F.col("idf_micro")).cast("double") / F.col("n_toks"))
+            .cast("long")
+            .alias("tfidf_micro"),
+        )
+        .orderBy(F.desc("tfidf_micro"), "doc_id", "term")
+        .limit(100)
+    )
+
+
+@query(
+    "t23_bm25_rank",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(n_toks) AS DOUBLE) AS total_toks FROM dl
+    ), q AS (SELECT unnest(['dup', 'merge', 'spark']) AS term),
+    hit AS (
+      SELECT t.doc_id, q.term FROM toks t JOIN q ON t.tok = q.term
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM hit GROUP BY term
+    ), idf AS (
+      SELECT term, df, s.n_docs, s.total_toks,
+             CAST(floor(ln(1.0 + (s.n_docs - df + 0.5) / (df + 0.5))
+                        * 1000000) AS BIGINT) AS idf_micro
+      FROM df, stats s
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS c FROM hit GROUP BY doc_id, term
+    ), scored AS (
+      SELECT tf.doc_id,
+        CAST(floor(
+          CAST(i.idf_micro AS DOUBLE) * tf.c * 2.2
+          / (tf.c + 1.2 * (1.0 - 0.75 + 0.75 * d.n_toks
+                           / (i.total_toks / i.n_docs)))
+        ) AS BIGINT) AS term_micro
+      FROM tf JOIN idf i USING (term) JOIN dl d USING (doc_id)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+           CAST(sum(term_micro) AS BIGINT) AS score_micro
+    FROM scored GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id LIMIT 50
+    """,
+    note="Okapi BM25 ranking (k1=1.2, b=0.75) of the corpus against a "
+    "fixed keyword query — full-text relevance search, the retrieval "
+    "twin of t22 and the lexical side of the v01/a* vector search "
+    "family. The query-term table and the per-term idf map broadcast "
+    "(both are query-sized); corpus work is one token scan semi-joined "
+    "down to query-term hits before any aggregation, then doc-length "
+    "normalization joins on the doc key. Cross-engine: idf floors to "
+    "integer micros per term, each per-term BM25 contribution floors "
+    "to micros (an identical double chain over exact ints in both "
+    "engines), and the doc score is a SUM of integer micros — "
+    "order-free, so no float-summation-order risk across partitions.",
+)
+def t23_bm25_rank(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum("n_toks").cast("double").alias("total_toks"),
+    )
+    qterms = spark.range(1).select(
+        F.explode(F.array(F.lit("dup"), F.lit("merge"), F.lit("spark"))).alias("term")
+    )
+    hit = toks.join(F.broadcast(qterms), toks["tok"] == qterms["term"]).select(
+        "doc_id", "term"
+    )
+    dfq = hit.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    idf = dfq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "df",
+        "n_docs",
+        "total_toks",
+        F.floor(
+            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    tf = hit.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            F.floor(
+                F.col("idf_micro").cast("double") * F.col("c") * 2.2
+                / (
+                    F.col("c")
+                    + 1.2
+                    * (
+                        1.0
+                        - 0.75
+                        + 0.75
+                        * F.col("n_toks")
+                        / (F.col("total_toks") / F.col("n_docs"))
+                    )
+                )
+            )
+            .cast("long")
+            .alias("term_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_terms_hit"),
+            F.sum("term_micro").cast("long").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(50)
+    )
+
+
+@query(
+    "t24_bpe_learn_merges",
+    oracle="""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+    w AS (SELECT tok, count(*) AS w FROM toks GROUP BY tok),
+    s0 AS (
+      SELECT tok, w,
+             ' ' || array_to_string([tok[i] for i in
+                                     generate_series(1, len(tok))], ' ')
+                 || ' ' AS seq
+      FROM w
+    ),
+    p1 AS (
+      SELECT pr, CAST(sum(w) AS BIGINT) AS c FROM (
+        SELECT w, unnest([syms[j] || ' ' || syms[j+1]
+                          for j in generate_series(1, len(syms)-1)]) AS pr
+        FROM (SELECT w, string_split(trim(seq), ' ') AS syms FROM s0)
+      ) GROUP BY pr
+    ),
+    b1 AS (SELECT pr, c FROM p1 ORDER BY c DESC, pr LIMIT 1),
+    s1 AS (
+      SELECT tok, w,
+        replace(replace(seq,
+          ' ' || (SELECT pr FROM b1) || ' ',
+          ' ' || replace((SELECT pr FROM b1), ' ', '') || ' '),
+          ' ' || (SELECT pr FROM b1) || ' ',
+          ' ' || replace((SELECT pr FROM b1), ' ', '') || ' ') AS seq
+      FROM s0
+    ),
+    p2 AS (
+      SELECT pr, CAST(sum(w) AS BIGINT) AS c FROM (
+        SELECT w, unnest([syms[j] || ' ' || syms[j+1]
+                          for j in generate_series(1, len(syms)-1)]) AS pr
+        FROM (SELECT w, string_split(trim(seq), ' ') AS syms FROM s1)
+      ) GROUP BY pr
+    ),
+    b2 AS (SELECT pr, c FROM p2 ORDER BY c DESC, pr LIMIT 1),
+    s2 AS (
+      SELECT tok, w,
+        replace(replace(seq,
+          ' ' || (SELECT pr FROM b2) || ' ',
+          ' ' || replace((SELECT pr FROM b2), ' ', '') || ' '),
+          ' ' || (SELECT pr FROM b2) || ' ',
+          ' ' || replace((SELECT pr FROM b2), ' ', '') || ' ') AS seq
+      FROM s1
+    ),
+    p3 AS (
+      SELECT pr, CAST(sum(w) AS BIGINT) AS c FROM (
+        SELECT w, unnest([syms[j] || ' ' || syms[j+1]
+                          for j in generate_series(1, len(syms)-1)]) AS pr
+        FROM (SELECT w, string_split(trim(seq), ' ') AS syms FROM s2)
+      ) GROUP BY pr
+    ),
+    b3 AS (SELECT pr, c FROM p3 ORDER BY c DESC, pr LIMIT 1)
+    SELECT * FROM (
+      SELECT 1 AS merge_round, pr AS pair,
+             replace(pr, ' ', '') AS merged, c AS pair_count FROM b1
+      UNION ALL
+      SELECT 2, pr, replace(pr, ' ', ''), c FROM b2
+      UNION ALL
+      SELECT 3, pr, replace(pr, ' ', ''), c FROM b3
+    ) ORDER BY merge_round
+    """,
+    note="BPE merge learning — three unrolled rounds of the classic "
+    "byte-pair-encoding training loop (count adjacent symbol pairs "
+    "weighted by corpus word frequency, merge the argmax, repeat) as "
+    "an exactly-oracled iterative-algorithm entry alongside sgd "
+    "(e19-class). The only corpus-scale pass is the word-frequency "
+    "aggregate; every merge round then runs on the VOCABULARY table "
+    "(Zipf: vocab tokens are orders of magnitude fewer than corpus "
+    "tokens at 100 TB), with the 1-row argmax broadcast back via "
+    "crossJoin. Merge application is a two-pass space-delimited "
+    "replace — pass one takes alternating occurrences in an 'a a a' "
+    "run (the match consumes the middle delimiter), pass two the "
+    "now-isolated rest — equivalent to BPE's greedy left-to-right "
+    "merge and, critically, the IDENTICAL deterministic chain in both "
+    "engines (Spark replace and DuckDB replace are both "
+    "left-to-right non-overlapping). Ties on pair count break "
+    "lexicographically in both argmaxes.",
+)
+def t24_bpe_learn_merges(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    w = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("w"))
+    )
+    # one symbol per character, space-delimited, with sentinel spaces at
+    # both ends so a merge pattern ' a b ' can only match at symbol
+    # boundaries (multi-char symbols make raw 'a b' substring matches
+    # ambiguous otherwise)
+    chars = F.regexp_extract_all(F.col("tok"), F.lit("."), 0)
+    cur = w.select(
+        "tok",
+        "w",
+        F.concat(F.lit(" "), F.concat_ws(" ", chars), F.lit(" ")).alias("seq"),
+    )
+
+    def best_pair(frame):
+        syms = F.split(F.trim(F.col("seq")), " ")
+        idx = F.sequence(F.lit(1), F.size(syms) - 1)
+        prs = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                idx,
+                lambda i: F.concat(
+                    F.element_at(syms, i), F.lit(" "), F.element_at(syms, i + 1)
+                ),
+            ),
+            # sequence(1, m<1) counts DOWN (the ngrams() guard)
+        ).otherwise(F.array().cast("array<string>"))
+        return (
+            frame.select("w", F.explode(prs).alias("pr"))
+            .groupBy("pr")
+            .agg(F.sum("w").cast("long").alias("c"))
+            .orderBy(F.desc("c"), "pr")
+            .limit(1)
+        )
+
+    def apply_merge(frame, best):
+        pat = F.concat(F.lit(" "), F.col("pr"), F.lit(" "))
+        rep = F.concat(
+            F.lit(" "), F.replace(F.col("pr"), F.lit(" "), F.lit("")), F.lit(" ")
+        )
+        seq2 = F.replace(F.replace(F.col("seq"), pat, rep), pat, rep)
+        return frame.crossJoin(F.broadcast(best)).select("tok", "w", seq2.alias("seq"))
+
+    rows = []
+    for rnd in (1, 2, 3):
+        b = best_pair(cur)
+        rows.append(
+            b.select(
+                F.lit(rnd).alias("merge_round"),
+                F.col("pr").alias("pair"),
+                F.replace(F.col("pr"), F.lit(" "), F.lit("")).alias("merged"),
+                F.col("c").alias("pair_count"),
+            )
+        )
+        cur = apply_merge(cur, b)
+    return rows[0].unionAll(rows[1]).unionAll(rows[2]).orderBy("merge_round")
+
+
+@query(
+    "q146_jaro_winkler_match",
+    oracle="""
+    WITH dv AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS doc_word FROM documents
+    ), pv AS (
+      SELECT DISTINCT unnest(string_split(p_name, ' ')) AS part_word FROM part
+    ), cand AS (
+      SELECT part_word, doc_word FROM dv JOIN pv
+        ON substr(part_word, 1, 1) = substr(doc_word, 1, 1)
+       AND abs(length(part_word) - length(doc_word)) <= 2
+    )
+    SELECT part_word, doc_word,
+           CAST(floor(jaro_winkler_similarity(part_word, doc_word) * 1000000)
+                AS BIGINT) AS jw_micro
+    FROM cand
+    WHERE jaro_winkler_similarity(part_word, doc_word) >= 0.7
+    ORDER BY jw_micro DESC, part_word, doc_word
+    """,
+    note="Jaro-Winkler fuzzy dictionary match (entity resolution / "
+    "record linkage): the part-attribute vocabulary fuzzy-joined "
+    "against the corpus token vocabulary through BLOCKING keys (equal "
+    "first character + length band <= 2) so candidate generation is an "
+    "equi-join with a range residual, never all-pairs — the small "
+    "dictionary side broadcasts. Scoring is the documented Arrow "
+    "slow path (functions/fuzzy.py pandas UDF): per-character match "
+    "bookkeeping has no Catalyst form, and it runs only over the "
+    "blocked candidates (vocabulary-sized, not corpus-sized). The "
+    "Python scorer is pinned bit-identical to DuckDB's builtin "
+    "jaro_winkler_similarity (classic Winkler: half transpositions, "
+    "prefix bonus l<=4, p=0.1, boost threshold 0.7) by "
+    "tests/test_fuzzy.py, so the >= 0.7 gate and the floored micros "
+    "cannot straddle engines.",
+)
+def q146_jaro_winkler_match(spark, sf_dir):
+    from laion_spark.functions.fuzzy import jaro_winkler_similarity
+
+    dv = (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("doc_word"))
+        .distinct()
+    )
+    pv = (
+        t(spark, sf_dir, "part")
+        .select(F.explode(F.split("p_name", " ")).alias("part_word"))
+        .distinct()
+    )
+    cand = dv.join(
+        F.broadcast(pv),
+        (F.substring("part_word", 1, 1) == F.substring("doc_word", 1, 1))
+        & (F.abs(F.length("part_word") - F.length("doc_word")) <= 2),
+    )
+    jw = jaro_winkler_similarity("part_word", "doc_word")
+    return (
+        cand.select("part_word", "doc_word", jw.alias("jw"))
+        .filter(F.col("jw") >= 0.7)
+        .select(
+            "part_word",
+            "doc_word",
+            F.floor(F.col("jw") * 1_000_000).cast("long").alias("jw_micro"),
+        )
+        .orderBy(F.desc("jw_micro"), "part_word", "doc_word")
+    )

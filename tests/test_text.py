@@ -101,3 +101,40 @@ def test_sequence_packing_conserves_tokens(spark, sf_dir):
     ).collect():
         assert r.lo == 0 and r.n == r.hi + 1, r  # dense bins
     out.unpersist()
+
+
+def test_bpe_two_pass_merge_semantics(spark):
+    """t24's merge application (two-pass space-delimited replace) must
+    equal greedy left-to-right BPE merging on runs — 'a a a' merges the
+    FIRST pair only, 'a b a b' merges both — and DuckDB's replace chain
+    must produce the identical strings (the oracle runs the same two
+    passes)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    cases = [
+        (" a a a ", "a a", " aa a "),
+        (" a b a b ", "a b", " ab ab "),
+        (" a b a b a b ", "a b", " ab ab ab "),
+        (" x a b b y ", "a b", " x ab b y "),
+        (" a a a a ", "a a", " aa aa "),
+    ]
+    df = spark.createDataFrame(cases, "seq string, pr string, want string")
+    pat = F.concat(F.lit(" "), F.col("pr"), F.lit(" "))
+    rep = F.concat(
+        F.lit(" "), F.replace(F.col("pr"), F.lit(" "), F.lit("")), F.lit(" ")
+    )
+    got = df.select(
+        "want", F.replace(F.replace(F.col("seq"), pat, rep), pat, rep).alias("got")
+    ).collect()
+    for r in got:
+        assert r.got == r.want
+
+    con = duckdb.connect()
+    for seq, pr, want in cases:
+        merged = pr.replace(" ", "")
+        (out,) = con.execute(
+            "SELECT replace(replace(?, ?, ?), ?, ?)",
+            [seq, f" {pr} ", f" {merged} ", f" {pr} ", f" {merged} "],
+        ).fetchone()
+        assert out == want
