@@ -11790,6 +11790,19 @@ def t22_tfidf_top_terms(spark, sf_dir):
     "order-free, so no float-summation-order risk across partitions.",
 )
 def t23_bm25_rank(spark, sf_dir):
+    return (
+        _bm25_doc_scores(spark, sf_dir)
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(50)
+    )
+
+
+def _bm25_doc_scores(spark, sf_dir):
+    """Okapi BM25 (k1=1.2, b=0.75) of every document against the fixed
+    query terms — the shared scoring pipeline behind t23 (ranking) and
+    v14 (RRF hybrid fusion). Returns (doc_id, n_terms_hit, score_micro)
+    unordered; see t23's note for the shuffle/broadcast shape and the
+    integer-micros cross-engine discipline."""
     d = t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     dl = toks.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
@@ -11840,14 +11853,9 @@ def t23_bm25_rank(spark, sf_dir):
             .alias("term_micro"),
         )
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count("*").cast("long").alias("n_terms_hit"),
-            F.sum("term_micro").cast("long").alias("score_micro"),
-        )
-        .orderBy(F.desc("score_micro"), "doc_id")
-        .limit(50)
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_terms_hit"),
+        F.sum("term_micro").cast("long").alias("score_micro"),
     )
 
 
@@ -12056,3 +12064,124 @@ def q146_jaro_winkler_match(spark, sf_dir):
         )
         .orderBy(F.desc("jw_micro"), "part_word", "doc_word")
     )
+
+
+_BM25_SCORED_CTES = """
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(n_toks) AS DOUBLE) AS total_toks FROM dl
+    ), q AS (SELECT unnest(['dup', 'merge', 'spark']) AS term),
+    hit AS (
+      SELECT t.doc_id, q.term FROM toks t JOIN q ON t.tok = q.term
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM hit GROUP BY term
+    ), idf AS (
+      SELECT term, df, s.n_docs, s.total_toks,
+             CAST(floor(ln(1.0 + (s.n_docs - df + 0.5) / (df + 0.5))
+                        * 1000000) AS BIGINT) AS idf_micro
+      FROM df, stats s
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS c FROM hit GROUP BY doc_id, term
+    ), scored AS (
+      SELECT tf.doc_id,
+        CAST(floor(
+          CAST(i.idf_micro AS DOUBLE) * tf.c * 2.2
+          / (tf.c + 1.2 * (1.0 - 0.75 + 0.75 * d.n_toks
+                           / (i.total_toks / i.n_docs)))
+        ) AS BIGINT) AS term_micro
+      FROM tf JOIN idf i USING (term) JOIN dl d USING (doc_id)
+    )
+"""
+
+
+@query(
+    "v14_rrf_hybrid_search",
+    oracle=f"""
+    WITH {_BM25_SCORED_CTES},
+    bm25 AS (
+      SELECT doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro
+      FROM scored GROUP BY doc_id
+    ),
+    lex_top AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+                  AS BIGINT) AS r_lex
+      FROM bm25 ORDER BY score_micro DESC, doc_id LIMIT 100
+    ),
+    vec AS (SELECT vec_id, {_L2_EMB} AS dist FROM embeddings),
+    vec_top AS (
+      SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY dist, vec_id)
+                  AS BIGINT) AS r_vec
+      FROM vec ORDER BY dist, vec_id LIMIT 100
+    ),
+    fused AS (
+      SELECT coalesce(l.doc_id, v.vec_id) AS doc_id, l.r_lex, v.r_vec,
+             coalesce(CAST(floor(1000000.0 / (60 + l.r_lex)) AS BIGINT), 0)
+           + coalesce(CAST(floor(1000000.0 / (60 + v.r_vec)) AS BIGINT), 0)
+             AS rrf_micro
+      FROM lex_top l FULL OUTER JOIN vec_top v ON l.doc_id = v.vec_id
+    )
+    SELECT doc_id, r_lex, r_vec, rrf_micro
+    FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 20
+    """,
+    note="Reciprocal-rank-fusion hybrid search (RRF, k=60): the t23 "
+    "BM25 lexical ranking fused with the v01-family vector ranking "
+    "(L2 against the shared QVEC64 query, doc_id ≡ vec_id) — the "
+    "modern hybrid-retrieval composite every lexical+vector engine "
+    "ships. Each leg is a corpus-scale sort+limit (TakeOrdered — no "
+    "full sort), and ONLY then a row_number over the bounded top-100 "
+    "list (a 100-row single-partition window at any corpus size, by "
+    "construction); the two bounded lists meet in a full outer join "
+    "so a doc ranked by one leg only still scores. Per-leg RRF "
+    "contributions floor 1e6/(60+rank) to integer micros from "
+    "integer ranks — identical double division both engines, and the "
+    "fused score is an int sum, so no float-order risk. Ranks of "
+    "absent legs surface as NULL (the driver canon agrees on NULL "
+    "through pandas on both sides).",
+)
+def v14_rrf_hybrid_search(spark, sf_dir):
+    lex = (
+        _bm25_doc_scores(spark, sf_dir)
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(100)
+    )
+    lex_r = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("score_micro"), "doc_id"))
+        .cast("long")
+        .alias("r_lex"),
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    vec = (
+        emb.select(
+            "vec_id", l2_distance_sq("embedding", vec_lit(QVEC64)).alias("dist")
+        )
+        .orderBy("dist", "vec_id")
+        .limit(100)
+    )
+    vec_r = vec.select(
+        F.col("vec_id").alias("vid"),
+        F.row_number().over(W.orderBy("dist", "vec_id")).cast("long").alias("r_vec"),
+    )
+
+    def leg_micro(rank: Column) -> Column:
+        return F.floor(F.lit(1_000_000.0) / (F.lit(60) + rank)).cast("long")
+
+    fused = lex_r.join(vec_r, lex_r["doc_id"] == vec_r["vid"], "full_outer").select(
+        F.coalesce("doc_id", "vid").alias("doc_id"),
+        "r_lex",
+        "r_vec",
+        (
+            F.coalesce(leg_micro(F.col("r_lex")), F.lit(0))
+            + F.coalesce(leg_micro(F.col("r_vec")), F.lit(0))
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+    )
+    return fused.orderBy(F.desc("rrf_micro"), "doc_id").limit(20)

@@ -905,3 +905,19 @@ def test_q144_kendall_pairs_meet_in_brand_blocks(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "Python" not in p, p
+
+
+def test_v14_rrf_legs_are_take_ordered(spark, sf_dir):
+    """v14's two retrieval legs must reach the corpus as sort+limit
+    (TakeOrdered), with row_number applied only to the bounded top-100
+    lists — a full global Sort before the limit would be the
+    100 TB-scale bug the note rules out. The BM25/tfidf legs stay
+    JVM-side (no Python stage anywhere in v14/t22/t23/t24)."""
+    from laion_spark.catalog import REGISTRY
+
+    p = plan_str(REGISTRY["v14_rrf_hybrid_search"].fn(spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in p, p
+    assert "Python" not in p, p
+    for name in ["t22_tfidf_top_terms", "t23_bm25_rank", "t24_bpe_learn_merges"]:
+        q = plan_str(REGISTRY[name].fn(spark, sf_dir), "simple")
+        assert "Python" not in q, (name, q)
