@@ -12185,3 +12185,72 @@ def v14_rrf_hybrid_search(spark, sf_dir):
         .alias("rrf_micro"),
     )
     return fused.orderBy(F.desc("rrf_micro"), "doc_id").limit(20)
+
+
+#: portable Soundex as an expression chain (the DuckDB oracle side of
+#: q147): H/W-transparency + vowel separators + run collapse WITHOUT
+#: regex backreferences (RE2 has none; Spark $1-vs-\1 differs) — seven
+#: per-digit run collapses instead. tests/test_fuzzy.py pins Spark's
+#: builtin soundex() == this chain on the canonical vectors (Ashcraft
+#: A261, Pfister P236, Tymczak T522, Honeyman H555) and both vocabs.
+_SOUNDEX_MAP = "01230120022455012623010202"
+
+
+def _soundex_sql(col: str) -> str:
+    collapsed = f"translate(substr(upper({col}),1,1) || regexp_replace(substr(upper({col}),2), '[HW]', '', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '{_SOUNDEX_MAP}')"
+    for d in "0123456":
+        collapsed = f"regexp_replace({collapsed}, '{d}+', '{d}', 'g')"
+    return (
+        f"substr(upper({col}),1,1) || "
+        f"substr(replace(substr({collapsed},2), '0', '') || '000', 1, 3)"
+    )
+
+
+@query(
+    "q147_soundex_blocking",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT DISTINCT w FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        UNION
+        SELECT unnest(string_split(p_name, ' ')) FROM part
+      )
+    ), sdx AS (
+      SELECT w, {_soundex_sql('w')} AS code FROM vocab
+    )
+    SELECT code, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_cand_pairs,
+           string_agg(w, ',' ORDER BY w) AS members
+    FROM sdx GROUP BY code ORDER BY code
+    """,
+    note="Soundex phonetic blocking (the classic record-linkage "
+    "blocking key — the production upgrade of q146's first-char "
+    "block): bucket statistics over the union vocabulary, with the "
+    "within-bucket candidate-pair count n(n-1)/2 — the blocking-cost "
+    "metric that decides whether a fuzzy-match pass is feasible at "
+    "scale. Spark side uses the JVM builtin soundex() (pure Catalyst, "
+    "constant-fold-free single scan); the oracle expands the IDENTICAL "
+    "convention as a portable expression chain (H/W transparency, "
+    "vowel separators, per-digit run collapse with NO regex "
+    "backreferences — RE2 lacks them and $1-vs-\\\\1 differs), pinned "
+    "equal on the canonical genealogy vectors and both vocabularies "
+    "by tests/test_fuzzy.py. Members ship as a sorted joined string "
+    "(arrays would crash the driver canon).",
+)
+def q147_soundex_blocking(spark, sf_dir):
+    dv = t(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    pv = t(spark, sf_dir, "part").select(F.explode(F.split("p_name", " ")).alias("w"))
+    vocab = dv.union(pv).distinct()
+    sdx = vocab.select("w", F.soundex("w").alias("code"))
+    c = F.count("*")
+    return (
+        sdx.groupBy("code")
+        .agg(
+            c.cast("long").alias("n_words"),
+            ((c * (c - 1)) / 2).cast("long").alias("n_cand_pairs"),
+            F.array_join(F.sort_array(F.collect_list("w")), ",").alias("members"),
+        )
+        .orderBy("code")
+    )

@@ -85,3 +85,38 @@ def test_spark_udf_and_plan(spark, sf_dir):
     got = [r.s for r in nulls.collect()]
     assert got[0] is None and got[1] is None
     assert got[2] == pytest.approx(_jaro_winkler("abc", "abd"))
+
+
+def test_soundex_builtin_matches_oracle_chain(spark):
+    """q147's two sides: Spark's builtin soundex() and the portable
+    no-backref expression chain the DuckDB oracle runs must agree — on
+    the canonical genealogy vectors (incl. the H/W-transparency cases),
+    on words STARTING with H/W, and on both testdata vocabularies."""
+    from pyspark.sql import functions as F
+
+    from laion_spark.catalog import _soundex_sql
+
+    words = [
+        "robert", "rupert", "ashcraft", "ashcroft", "tymczak", "pfister",
+        "honeyman", "white", "wheel", "whale", "hwang",
+    ]
+    con = duckdb.connect()
+    vocab = [
+        r[0]
+        for r in con.execute(
+            "SELECT DISTINCT w FROM ("
+            "  SELECT unnest(string_split(text, ' ')) AS w"
+            "  FROM '/root/testdata/sf0.001/documents.parquet'"
+            "  UNION"
+            "  SELECT unnest(string_split(p_name, ' '))"
+            "  FROM '/root/testdata/sf0.001/part.parquet')"
+        ).fetchall()
+    ]
+    words += vocab
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r.w: r.code for r in df.select("w", F.soundex("w").alias("code")).collect()}
+    chain = _soundex_sql("?")
+    nparams = chain.count("?")
+    for w in words:
+        (want,) = con.execute(f"SELECT {chain}", [w] * nparams).fetchone()
+        assert got[w] == want, (w, got[w], want)
