@@ -12254,3 +12254,64 @@ def q147_soundex_blocking(spark, sf_dir):
         )
         .orderBy("code")
     )
+
+
+@query(
+    "v15_gram_matrix",
+    oracle="""
+    WITH m AS (
+      SELECT [CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT)
+              for e in embedding] AS q
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.i, b.j
+      FROM (SELECT unnest(range(1, 65)) AS i) a,
+           (SELECT unnest(range(1, 65)) AS j) b
+      WHERE b.j >= a.i
+    )
+    SELECT p.i - 1 AS i, p.j - 1 AS j,
+           CAST(sum(CAST(m.q[p.i] * m.q[p.j] AS DECIMAL(38,0))) AS DOUBLE)
+             AS gram_micro2
+    FROM m, pairs p
+    GROUP BY p.i, p.j
+    ORDER BY i, j
+    """,
+    note="Embedding Gram matrix X'X (upper triangle, d=64 -> 2080 "
+    "cells) — the PCA / whitening / covariance prep pass an embedding "
+    "pipeline runs before SemDeDup-style clustering; the distributed "
+    "shape is MLlib's Gramian: per-row pair products fan out "
+    "map-locally (the broadcast pair grid costs d(d+1)/2 per row, "
+    "never a corpus self-join), then a map-side-combined hash agg "
+    "ships only d^2 partials per task — corpus vectors cross no "
+    "shuffle. Cross-engine exactness: elements quantize to integer "
+    "micros (round of a float32-exact double never lands on a decimal "
+    "tie, and both engines round half-away-from-zero anyway), "
+    "products accumulate in DECIMAL(38,0) (exact at any corpus size, "
+    "immune to the int64 ~1e19 ceiling), and the final cast of the "
+    "exact integer to double is correctly rounded identically in "
+    "both engines.",
+)
+def v15_gram_matrix(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    m = emb.select(
+        F.transform(
+            as_double("embedding"), lambda x: F.round(x * 1_000_000, 0).cast("long")
+        ).alias("q")
+    )
+    pairs = (
+        spark.range(1, 65)
+        .select(F.col("id").alias("i"))
+        .join(spark.range(1, 65).select(F.col("id").alias("j")), F.col("i") <= F.col("j"))
+    )
+    joined = m.crossJoin(F.broadcast(pairs))
+    prod = (F.element_at("q", F.col("i").cast("int")) * F.element_at("q", F.col("j").cast("int"))).cast(
+        "decimal(38,0)"
+    )
+    return (
+        joined.select(
+            (F.col("i") - 1).alias("i"), (F.col("j") - 1).alias("j"), prod.alias("p")
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("p").cast("double").alias("gram_micro2"))
+        .orderBy("i", "j")
+    )
