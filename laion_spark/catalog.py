@@ -11937,7 +11937,11 @@ def _bm25_doc_scores(spark, sf_dir):
     "merge and, critically, the IDENTICAL deterministic chain in both "
     "engines (Spark replace and DuckDB replace are both "
     "left-to-right non-overlapping). Ties on pair count break "
-    "lexicographically in both argmaxes.",
+    "lexicographically in both argmaxes. One honest plan caveat: the "
+    "lazily unrolled plan embeds each prior round's subtree in the "
+    "next (the round-R tree contains round-1 ~2^R times) — free at 3 "
+    "rounds over a vocab table, but a deeper trainer must persist() "
+    "or checkpoint each round's vocab frame to keep the plan linear.",
 )
 def t24_bpe_learn_merges(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
