@@ -12319,3 +12319,197 @@ def v15_gram_matrix(spark, sf_dir):
         .agg(F.sum("p").cast("double").alias("gram_micro2"))
         .orderBy("i", "j")
     )
+
+
+def _lnm(c) -> Column:
+    """floor(ln(x) * 1e6) as long — the t16 integer-micros quantization
+    of ln over exact integer counts (both engines' ln is correctly
+    rounded on these inputs; the floor lands every term on an int)."""
+    x = F.col(c) if isinstance(c, str) else c
+    return F.floor(F.log(x) * 1_000_000).cast("long")
+
+
+@query(
+    "t25_keyness_llr",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), cts AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS o11
+      FROM toks GROUP BY source, tok
+    ), ct AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c_t FROM toks GROUP BY tok
+    ), ns AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM toks GROUP BY source
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+    cells AS (
+      SELECT c.source, c.tok, c.o11,
+             t.c_t - c.o11 AS o12,
+             s.n_s - c.o11 AS o21,
+             n.n - s.n_s - (t.c_t - c.o11) AS o22,
+             t.c_t, s.n_s, n.n
+      FROM cts c JOIN ct t USING (tok) JOIN ns s USING (source), n
+    )
+    SELECT source, tok AS term, o11,
+      CAST(floor(2 * (
+        CASE WHEN o11 > 0 THEN CAST(o11 AS DOUBLE)
+          * (CAST(floor(ln(o11)*1000000) AS BIGINT)
+           + CAST(floor(ln(n)*1000000) AS BIGINT)
+           - CAST(floor(ln(n_s)*1000000) AS BIGINT)
+           - CAST(floor(ln(c_t)*1000000) AS BIGINT)) ELSE 0 END
+      + CASE WHEN o12 > 0 THEN CAST(o12 AS DOUBLE)
+          * (CAST(floor(ln(o12)*1000000) AS BIGINT)
+           + CAST(floor(ln(n)*1000000) AS BIGINT)
+           - CAST(floor(ln(n - n_s)*1000000) AS BIGINT)
+           - CAST(floor(ln(c_t)*1000000) AS BIGINT)) ELSE 0 END
+      + CASE WHEN o21 > 0 THEN CAST(o21 AS DOUBLE)
+          * (CAST(floor(ln(o21)*1000000) AS BIGINT)
+           + CAST(floor(ln(n)*1000000) AS BIGINT)
+           - CAST(floor(ln(n_s)*1000000) AS BIGINT)
+           - CAST(floor(ln(n - c_t)*1000000) AS BIGINT)) ELSE 0 END
+      + CASE WHEN o22 > 0 THEN CAST(o22 AS DOUBLE)
+          * (CAST(floor(ln(o22)*1000000) AS BIGINT)
+           + CAST(floor(ln(n)*1000000) AS BIGINT)
+           - CAST(floor(ln(n - n_s)*1000000) AS BIGINT)
+           - CAST(floor(ln(n - c_t)*1000000) AS BIGINT)) ELSE 0 END
+      )) AS BIGINT) AS g2_micro
+    FROM cells
+    ORDER BY g2_micro DESC, source, term LIMIT 20
+    """,
+    note="Dunning log-likelihood keyness (the G2 keyword-extraction "
+    "statistic of corpus linguistics): which terms are "
+    "DISTINCTIVELY frequent in one source vs the rest — the "
+    "per-domain vocabulary drift monitor of a multi-source "
+    "pretraining mix (t20's mixture weights tell you how much of "
+    "each source; this tells you what each source is made of). "
+    "Aggregation shape: one corpus token scan feeds three hash "
+    "aggregates — (source, term), term, source — and the two "
+    "marginal maps broadcast back onto the (source, term) cells; "
+    "nothing corpus-sized shuffles twice. Cross-engine: every 2x2 "
+    "cell is an exact int; each ln quantizes to floored int micros "
+    "(t16 discipline) so each G2 term is an int-valued product "
+    "(exact below 2^53) and the 4-term sum is order-free; the final "
+    "floor+cast is exact on int-valued doubles in both engines "
+    "(DuckDB CAST rounds, Spark truncates — floor first makes them "
+    "agree even past 2^53).",
+)
+def t25_keyness_llr(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    cts = toks.groupBy("source", "tok").agg(F.count("*").alias("o11"))
+    ct = toks.groupBy("tok").agg(F.count("*").alias("c_t"))
+    ns = toks.groupBy("source").agg(F.count("*").alias("n_s"))
+    n = toks.agg(F.count("*").alias("n"))
+    cells = (
+        cts.join(F.broadcast(ct), "tok")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source", "tok", "o11",
+            (F.col("c_t") - F.col("o11")).alias("o12"),
+            (F.col("n_s") - F.col("o11")).alias("o21"),
+            (F.col("n") - F.col("n_s") - (F.col("c_t") - F.col("o11"))).alias("o22"),
+            "c_t", "n_s", "n",
+        )
+    )
+
+    def g2_term(o: str, row_m: Column, col_m: Column) -> Column:
+        return F.when(
+            F.col(o) > 0,
+            F.col(o).cast("double")
+            * (_lnm(o) + _lnm("n") - row_m - col_m).cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    rest = (F.col("n") - F.col("n_s"))
+    notc = (F.col("n") - F.col("c_t"))
+    g2 = (
+        g2_term("o11", _lnm("n_s"), _lnm("c_t"))
+        + g2_term("o12", _lnm(rest), _lnm("c_t"))
+        + g2_term("o21", _lnm("n_s"), _lnm(notc))
+        + g2_term("o22", _lnm(rest), _lnm(notc))
+    )
+    return (
+        cells.select(
+            "source", F.col("tok").alias("term"), "o11",
+            F.floor(F.lit(2) * g2).cast("long").alias("g2_micro"),
+        )
+        .orderBy(F.desc("g2_micro"), "source", "term")
+        .limit(20)
+    )
+
+
+@query(
+    "t26_pmi_collocations",
+    oracle="""
+    WITH b AS (
+      SELECT string_split(text, ' ') AS toks FROM documents
+    ), uni AS (
+      SELECT unnest(toks) AS tok FROM b
+    ), ucnt AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY tok
+    ), nu AS (SELECT CAST(count(*) AS BIGINT) AS n_u FROM uni),
+    bg AS (
+      SELECT unnest([struct_pack(x := toks[i], y := toks[i+1])
+                     for i in generate_series(1, len(toks)-1)]) AS g
+      FROM b
+    ), bcnt AS (
+      SELECT g.x AS x, g.y AS y, CAST(count(*) AS BIGINT) AS c_xy
+      FROM bg GROUP BY g.x, g.y
+    ), nb AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_b FROM bcnt)
+    SELECT x, y, c_xy,
+           CAST(floor(ln(c_xy)*1000000) AS BIGINT)
+         - CAST(floor(ln(n_b)*1000000) AS BIGINT)
+         - CAST(floor(ln(cx.c)*1000000) AS BIGINT)
+         - CAST(floor(ln(cy.c)*1000000) AS BIGINT)
+         + 2 * CAST(floor(ln(n_u)*1000000) AS BIGINT) AS pmi_micro
+    FROM bcnt JOIN ucnt cx ON bcnt.x = cx.tok
+              JOIN ucnt cy ON bcnt.y = cy.tok, nu, nb
+    WHERE c_xy >= 5
+    ORDER BY pmi_micro DESC, x, y LIMIT 20
+    """,
+    note="Pointwise mutual information collocations — the classic "
+    "corpus-linguistics association measure (t18's bigram surprisal "
+    "is the CONDITIONAL -ln p(y|x); PMI is the symmetric "
+    "ln p(xy)/(p(x)p(y)) with a min-support gate, the standard "
+    "multiword-expression extractor). One scan builds bigram and "
+    "unigram counts (bigrams via the bound-once ngrams HOF); the "
+    "unigram map is vocab-sized and broadcasts onto the bigram "
+    "counts twice (left and right word). Cross-engine: counts are "
+    "exact ints, each ln floors to int micros (t16 discipline), and "
+    "pmi_micro is pure int arithmetic — order-free, no double ever "
+    "crosses the boundary.",
+)
+def t26_pmi_collocations(spark, sf_dir):
+    from laion_spark.functions.text import ngrams
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    ucnt = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    nu = toks.agg(F.count("*").alias("n_u"))
+    bg = d.select(F.explode(ngrams("text", 2, lowercase=False)).alias("gram"))
+    bcnt = bg.groupBy("gram").agg(F.count("*").alias("c_xy"))
+    nb = bcnt.agg(F.sum("c_xy").alias("n_b"))
+    parts = F.split("gram", " ")
+    pairs = bcnt.select(
+        F.element_at(parts, 1).alias("x"),
+        F.element_at(parts, 2).alias("y"),
+        "c_xy",
+    )
+    ux = ucnt.select(F.col("tok").alias("x"), F.col("c").alias("cx"))
+    uy = ucnt.select(F.col("tok").alias("y"), F.col("c").alias("cy"))
+    j = (
+        pairs.join(F.broadcast(ux), "x")
+        .join(F.broadcast(uy), "y")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+    )
+    pmi = (
+        _lnm("c_xy") - _lnm("n_b") - _lnm("cx") - _lnm("cy")
+        + F.lit(2) * _lnm("n_u")
+    )
+    return (
+        j.filter(F.col("c_xy") >= 5)
+        .select("x", "y", "c_xy", pmi.alias("pmi_micro"))
+        .orderBy(F.desc("pmi_micro"), "x", "y")
+        .limit(20)
+    )
