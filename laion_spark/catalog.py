@@ -12513,3 +12513,67 @@ def t26_pmi_collocations(spark, sf_dir):
         .orderBy(F.desc("pmi_micro"), "x", "y")
         .limit(20)
     )
+
+
+@query(
+    "t27_feature_hashing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id % 17 = 0
+    ), h AS (
+      SELECT doc_id,
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            [CAST(unicode(tok[i]) AS BIGINT)
+             for i in generate_series(1, len(tok))]),
+          (a, b) -> (a * 31 + b) % 2147483647) AS hv
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(hv & 63 AS BIGINT) AS bucket,
+           CAST(sum(CASE WHEN (hv & 64) = 0 THEN 1 ELSE -1 END) AS BIGINT)
+             AS feat,
+           CAST(count(*) AS BIGINT) AS n_toks
+    FROM h GROUP BY doc_id, hv & 63
+    ORDER BY doc_id, bucket
+    """,
+    note="Feature hashing (the Weinberger hashing-trick vectorizer): "
+    "tokens hash into K=64 buckets with an independent sign bit, so "
+    "every document becomes a fixed-width signed count vector with no "
+    "vocabulary table at all — the streaming-friendly featurizer for "
+    "corpus-scale classifiers/dedup sketches. The string hash extends "
+    "sample.py's portable-hash contract to strings: a (h*31 + code) "
+    "mod (2^31 - 1) fold over codepoints, exact int64 arithmetic any "
+    "engine replays bit-identically (Spark aggregate HOF == DuckDB "
+    "list_reduce; pinned by this oracle). Shape at 100 TB: the "
+    "per-token hash is map-local scan work, the (doc, bucket) agg is "
+    "map-side combinable, and output width is bounded by K per doc — "
+    "bucket and sign read DISJOINT hash bits (low 6 vs bit 6), the "
+    "detail that keeps the sign unbiased within a bucket.",
+)
+def t27_feature_hashing(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").filter("doc_id % 17 = 0")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    codes = F.transform(
+        F.regexp_extract_all(F.col("tok"), F.lit("."), 0),
+        lambda c: F.ascii(c).cast("long"),
+    )
+    hv = F.aggregate(
+        codes, F.lit(0).cast("long"), lambda a, x: (a * 31 + x) % 2147483647
+    )
+    hh = toks.select("doc_id", hv.alias("hv")).select(
+        "doc_id",
+        F.col("hv").bitwiseAND(F.lit(63)).alias("bucket"),
+        F.when(F.col("hv").bitwiseAND(F.lit(64)) == 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+    )
+    return (
+        hh.groupBy("doc_id", "bucket")
+        .agg(
+            F.sum("sgn").cast("long").alias("feat"),
+            F.count("*").cast("long").alias("n_toks"),
+        )
+        .orderBy("doc_id", "bucket")
+    )
