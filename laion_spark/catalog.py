@@ -12577,3 +12577,127 @@ def t27_feature_hashing(spark, sf_dir):
         )
         .orderBy("doc_id", "bucket")
     )
+
+
+@query(
+    "e33_sax_symbols",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) - 1 AS idx,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    ), f AS (SELECT * FROM e WHERE n >= 16),
+    segd AS (
+      SELECT user_id, n, (idx * 8) // n AS seg, cents FROM f
+    ), segs AS (
+      SELECT user_id, seg, CAST(sum(cents) AS BIGINT) AS ssum,
+             CAST(count(*) AS BIGINT) AS scnt
+      FROM segd GROUP BY user_id, seg
+    ), tot AS (
+      SELECT user_id, CAST(sum(cents) AS BIGINT) AS sx,
+             CAST(sum(cents * cents) AS BIGINT) AS sxx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM f GROUP BY user_id
+    ), z AS (
+      SELECT s.user_id, s.seg, t.n,
+        CASE WHEN CAST(t.sxx AS DOUBLE) / t.n
+                  - (CAST(t.sx AS DOUBLE) / t.n) * (CAST(t.sx AS DOUBLE) / t.n)
+                  > 0
+          THEN (CAST(s.ssum AS DOUBLE) / s.scnt - CAST(t.sx AS DOUBLE) / t.n)
+               / sqrt(CAST(t.sxx AS DOUBLE) / t.n
+                      - (CAST(t.sx AS DOUBLE) / t.n)
+                        * (CAST(t.sx AS DOUBLE) / t.n))
+          ELSE 0.0 END AS pz
+      FROM segs s JOIN tot t USING (user_id)
+    ), sym AS (
+      SELECT user_id, n, seg,
+        CASE WHEN pz < -0.6745 THEN 'a' WHEN pz < 0.0 THEN 'b'
+             WHEN pz < 0.6745 THEN 'c' ELSE 'd' END AS sym
+      FROM z
+    )
+    SELECT user_id, n AS n_events, string_agg(sym, '' ORDER BY seg) AS sax
+    FROM sym GROUP BY user_id, n ORDER BY user_id
+    """,
+    note="SAX time-series symbolization (Lin/Keogh PAA + symbolic "
+    "mapping, w=8 segments, alphabet {a,b,c,d} at the standard "
+    "N(0,1) breakpoints ±0.6745/0): per-user value series z-normalize "
+    "and compress to an 8-letter word — the motif/anomaly-index "
+    "representation that completes the time-series family after LTTB "
+    "(e18) and seasonal decompose (e21). Shape: one window pass "
+    "assigns positions (the same user-key window every e-entry "
+    "shuffles on), then two map-side-combinable aggregates (segment "
+    "sums, user moments); nothing re-sorts wide rows. Cross-engine: "
+    "values quantize to exact cents; segment assignment is "
+    "(idx*8)//n int arithmetic (the floor sits >= 1/n from any "
+    "boundary — q140's argument); mean/std/PAA z-scores are "
+    "IDENTICAL double chains over exact ints in both engines, so the "
+    "breakpoint CASE branches agree bitwise; zero-variance series "
+    "degrade to all-'b' by the same guard.",
+)
+def e33_sax_symbols(spark, sf_dir):
+    e = ev(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    wu = W.partitionBy("user_id")
+    pos = e.select(
+        "user_id",
+        "cents",
+        (F.row_number().over(wu.orderBy("ts_us", "event_id")) - 1).alias("idx"),
+        F.count("*").over(wu).alias("n"),
+    ).filter(F.col("n") >= 16)
+    segd = pos.select(
+        "user_id",
+        "n",
+        F.floor((F.col("idx") * 8) / F.col("n")).cast("long").alias("seg"),
+        "cents",
+    )
+    segs = segd.groupBy("user_id", "seg").agg(
+        F.sum("cents").alias("ssum"), F.count("*").alias("scnt")
+    )
+    tot = segd.groupBy("user_id").agg(
+        F.sum("cents").alias("sx"),
+        F.sum(F.col("cents") * F.col("cents")).alias("sxx"),
+        F.count("*").alias("n"),
+    )
+    mean = F.col("sx").cast("double") / F.col("n")
+    var = F.col("sxx").cast("double") / F.col("n") - mean * mean
+    z = segs.join(tot, "user_id").select(
+        "user_id",
+        "seg",
+        "n",
+        F.when(
+            var > 0,
+            (F.col("ssum").cast("double") / F.col("scnt") - mean) / F.sqrt(var),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pz"),
+    )
+    sym = z.select(
+        "user_id",
+        "n",
+        "seg",
+        F.when(F.col("pz") < -0.6745, "a")
+        .when(F.col("pz") < 0.0, "b")
+        .when(F.col("pz") < 0.6745, "c")
+        .otherwise("d")
+        .alias("sym"),
+    )
+    return (
+        sym.groupBy("user_id", "n")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seg", "sym"))),
+                    lambda x: x["sym"],
+                ),
+                "",
+            ).alias("sax")
+        )
+        .select("user_id", F.col("n").alias("n_events"), "sax")
+        .orderBy("user_id")
+    )
