@@ -12701,3 +12701,78 @@ def e33_sax_symbols(spark, sf_dir):
         .select("user_id", F.col("n").alias("n_events"), "sax")
         .orderBy("user_id")
     )
+
+
+@query(
+    "q148_window_value_family",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             ts
+      FROM events WHERE user_id < 10
+    )
+    SELECT user_id, event_id, cents,
+      first_value(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_cents,
+      nth_value(cents, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_cents,
+      CAST(median(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS med5
+    FROM e
+    ORDER BY user_id, event_id
+    """,
+    note="Window value-function family — first_value / nth_value(3) / "
+    "an EXACT 5-row moving median — closing the window surface after "
+    "lag/lead (q11), frames (q12/q90), ntile (q105) and "
+    "percent_rank/cume_dist (q140). The moving median has no Spark "
+    "builtin: it is a sorted collect over the explicit 5-row frame "
+    "(bounded allocation per row at any scale — the frame is ROWS, "
+    "never a growing RANGE) with the DuckDB median interpolation "
+    "convention for even prefixes ((a+b)/2, exact in double for "
+    "integer cents). Frames are written out explicitly in BOTH "
+    "engines so no default-frame convention is trusted. One user-key "
+    "window shuffle total; values are exact integer cents.",
+)
+def q148_window_value_family(spark, sf_dir):
+    e = ev(spark, sf_dir).filter("user_id < 10").select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w5 = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-4, W.currentRow)
+    )
+    arr = F.sort_array(F.collect_list("cents").over(w5))
+    n = F.size(arr)
+    med5 = (
+        F.when(
+            n % 2 == 1,
+            F.element_at(arr, ((n + 1) / 2).cast("int")).cast("double"),
+        ).otherwise(
+            (
+                F.element_at(arr, (n / 2).cast("int"))
+                + F.element_at(arr, (n / 2 + 1).cast("int"))
+            ).cast("double")
+            / 2.0
+        )
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            "cents",
+            F.first("cents").over(w).alias("first_cents"),
+            F.nth_value("cents", 3).over(w).alias("third_cents"),
+            med5.alias("med5"),
+        )
+        .orderBy("user_id", "event_id")
+    )
