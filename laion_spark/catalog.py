@@ -12776,3 +12776,69 @@ def q148_window_value_family(spark, sf_dir):
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "t28_char_entropy",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, replace(text, ' ', '') AS s
+      FROM documents WHERE doc_id % 13 = 0
+    ), ch AS (
+      SELECT doc_id, unnest([s[i] for i in generate_series(1, len(s))]) AS c
+      FROM d
+    ), cnt AS (
+      SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k FROM ch GROUP BY doc_id, c
+    ), tot AS (
+      SELECT doc_id, CAST(sum(k) AS BIGINT) AS n FROM cnt GROUP BY doc_id
+    ), h AS (
+      SELECT c.doc_id, t.n,
+        CAST(floor(CAST(sum(k * (CAST(floor(ln(t.n)*1000000) AS BIGINT)
+                                - CAST(floor(ln(k)*1000000) AS BIGINT)))
+                        AS DOUBLE) / t.n) AS BIGINT) AS entropy_micro
+      FROM cnt c JOIN tot t USING (doc_id)
+      GROUP BY c.doc_id, t.n
+    )
+    SELECT doc_id, n AS n_chars, entropy_micro FROM h
+    ORDER BY entropy_micro DESC, doc_id LIMIT 50
+    """,
+    note="Per-document character-level Shannon entropy — the gibberish "
+    "/ encoding-noise / low-information gate (random byte soup scores "
+    "high, single-char runs score near zero; real text sits in a "
+    "predictable band) that curation stacks run beside the word-level "
+    "t03/t13 signals. Shape: the char explode is scan-local map work "
+    "feeding a (doc, char) map-side-combinable agg whose width is "
+    "bounded by the alphabet per doc; nothing corpus-sized shuffles "
+    "twice. Cross-engine: H = sum k*(ln n - ln k)/n computed entirely "
+    "in the t16 integer-micros discipline — each ln floors to int "
+    "micros, the weighted sum is exact int arithmetic (order-free), "
+    "and the single final divide floors over the exact int — no raw "
+    "double quotient crosses the boundary.",
+)
+def t28_char_entropy(spark, sf_dir):
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter("doc_id % 13 = 0")
+        .select("doc_id", F.replace(F.col("text"), F.lit(" "), F.lit("")).alias("s"))
+    )
+    ch = d.select(
+        "doc_id", F.explode(F.regexp_extract_all(F.col("s"), F.lit("."), 0)).alias("c")
+    )
+    cnt = ch.groupBy("doc_id", "c").agg(F.count("*").alias("k"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("k").alias("n"))
+    lnm_n = F.floor(F.log("n") * 1_000_000).cast("long")
+    lnm_k = F.floor(F.log("k") * 1_000_000).cast("long")
+    return (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.floor(
+                F.sum(F.col("k") * (lnm_n - lnm_k)).cast("double") / F.col("n")
+            )
+            .cast("long")
+            .alias("entropy_micro")
+        )
+        .select("doc_id", F.col("n").alias("n_chars"), "entropy_micro")
+        .orderBy(F.desc("entropy_micro"), "doc_id")
+        .limit(50)
+    )
