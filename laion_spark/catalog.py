@@ -12842,3 +12842,81 @@ def t28_char_entropy(spark, sf_dir):
         .orderBy(F.desc("entropy_micro"), "doc_id")
         .limit(50)
     )
+
+
+_COS_AB = """
+    (list_aggregate(list_transform(range(1,65),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+     / (sqrt(list_aggregate(list_transform(range(1,65),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum'))
+      * sqrt(list_aggregate(list_transform(range(1,65),
+          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))))
+"""
+
+
+@query(
+    "d19_semdedup",
+    oracle=f"""
+    WITH p AS (
+      SELECT a.label AS label, b.vec_id AS idb
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round({_COS_AB}, 6) >= 0.38
+    ), dropped AS (
+      SELECT DISTINCT label, idb FROM p
+    ), base AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+      FROM embeddings GROUP BY label
+    ), drops AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_dropped
+      FROM dropped GROUP BY label
+    )
+    SELECT b.label, b.n_vecs,
+           COALESCE(d.n_dropped, 0) AS n_dropped,
+           b.n_vecs - COALESCE(d.n_dropped, 0) AS n_kept
+    FROM base b LEFT JOIN drops d USING (label)
+    ORDER BY label
+    """,
+    note="SemDeDup (Abbas et al. 2023): semantic dedup WITHIN embedding "
+    "clusters — pairwise cosine above tau inside each cluster, greedy "
+    "keep-lowest-id survivor rule (any vector similar to a "
+    "smaller-id clustermate drops), per-cluster retention ledger. "
+    "Here the deterministic `label` column stands in for the cluster "
+    "assignment; the production path is identical with "
+    "IVFIndex.build's ivf_cluster column (similarity.py) as the "
+    "block key, which is exactly how the paper scales: the self-join "
+    "is CLUSTER-blocked (corpus all-pairs never happens; block sizes "
+    "are the K-means balance knob), and past ~10^5-row clusters the "
+    "d07 LSH candidate pass prunes within the block too. Cosine is "
+    "the d06-pinned identical chain (left-to-right fold dot and "
+    "norms), rounded to 6dp before the threshold on both sides.",
+)
+def d19_semdedup(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("e")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = cosine_similarity(F.col("a.e"), F.col("b.e"))
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(F.round(cos, 6) >= 0.38)
+        .select(F.col("a.label").alias("label"), F.col("b.vec_id").alias("idb"))
+        .distinct()
+    )
+    base = emb.groupBy("label").agg(F.count("*").cast("long").alias("n_vecs"))
+    drops = dropped.groupBy("label").agg(F.count("*").cast("long").alias("n_dropped"))
+    nd = F.coalesce(F.col("n_dropped"), F.lit(0).cast("long"))
+    return (
+        base.join(drops, "label", "left")
+        .select(
+            "label",
+            "n_vecs",
+            nd.alias("n_dropped"),
+            (F.col("n_vecs") - nd).alias("n_kept"),
+        )
+        .orderBy("label")
+    )
