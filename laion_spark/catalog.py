@@ -12920,3 +12920,69 @@ def d19_semdedup(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+@query(
+    "m05_frame_sampling",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents WHERE doc_id % 9 = 0
+    ), idx AS (
+      SELECT doc_id, unnest(range(0, (n_bytes + 31) // 32, 2)) AS frame_idx
+      FROM d
+    )
+    SELECT i.doc_id, CAST(i.frame_idx AS BIGINT) AS frame_idx,
+           CAST(octet_length(encode(substring(d.text,
+                CAST(i.frame_idx * 32 + 1 AS BIGINT), 32))) AS BIGINT)
+             AS frame_bytes,
+           md5(substring(d.text, CAST(i.frame_idx * 32 + 1 AS BIGINT), 32))
+             AS frame_md5
+    FROM idx i JOIN d USING (doc_id)
+    ORDER BY doc_id, frame_idx
+    """,
+    note="Q27 frame sampling, the hash-matched half (the m02 pattern "
+    "applied to sources/multimodal.py sample_frames): payloads are "
+    "sliced into fixed 32-byte frames and every 2nd frame is emitted "
+    "as (index, size, digest) — exactly the 1-row-in/N-frame-rows-out "
+    "shape of video frame extraction, with the deterministic slicing "
+    "standing in for the codec (sample_frames's mapInPandas plumbing "
+    "is the codec-backed twin, unit-tested rows-only; real decode is "
+    "env-gated on pyav/ffmpeg). The frame index grid is a row-local "
+    "sequence explode bounded by payload size — frames of one payload "
+    "never shuffle; the blob is projected away before any join. Text "
+    "bytes stand in for the blob (ASCII: byte slicing == char "
+    "slicing; DuckDB v1.0 has no BLOB substring), and the digests "
+    "hash-match the engines against each other.",
+)
+def m05_frame_sampling(spark, sf_dir):
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter("doc_id % 9 = 0")
+        .select(
+            "doc_id",
+            F.col("text").alias("payload"),
+            F.length(F.col("text").cast("binary")).cast("long").alias("n_bytes"),
+        )
+    )
+    n_frames = ((F.col("n_bytes") + 31) / 32).cast("long")
+    idx = d.select(
+        "doc_id",
+        "payload",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), n_frames - 1, F.lit(2).cast("long"))
+        ).alias("frame_idx"),
+    )
+    frame = F.col("payload").substr(
+        (F.col("frame_idx") * 32 + 1).cast("int"), F.lit(32)
+    )
+    return (
+        idx.select(
+            "doc_id",
+            "frame_idx",
+            F.length(frame.cast("binary")).cast("long").alias("frame_bytes"),
+            F.md5(frame.cast("binary")).alias("frame_md5"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    )
