@@ -12986,3 +12986,71 @@ def m05_frame_sampling(spark, sf_dir):
         )
         .orderBy("doc_id", "frame_idx")
     )
+
+
+@query(
+    "e34_transition_matrix",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n_pair
+      FROM s WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ), fromtot AS (
+      SELECT from_type, CAST(sum(n_pair) AS BIGINT) AS n_from
+      FROM pairs GROUP BY from_type
+    )
+    SELECT p.from_type, p.to_type, p.n_pair, f.n_from,
+           CAST(floor(CAST(p.n_pair AS DOUBLE) * 1000000 / f.n_from)
+                AS BIGINT) AS p_micro
+    FROM pairs p JOIN fromtot f USING (from_type)
+    ORDER BY from_type, to_type
+    """,
+    note="User-journey transition matrix — per-user event sequences "
+    "reduced to first-order Markov transition counts and conditional "
+    "probabilities P(to|from) (the path-analysis aggregate beside "
+    "windowFunnel/retention/seqNextNode: funnels answer 'did the "
+    "chain complete', this answers 'where do users actually go "
+    "next'). One user-key window pass produces the lag pairs (the "
+    "same shuffle key every e-entry uses), then a hash agg whose "
+    "output is bounded by |event_type|^2 at any corpus size; the "
+    "from-marginals join is a broadcast of that tiny matrix onto "
+    "itself. Probabilities ship as floored integer micros of exact "
+    "int counts — the identical double divide in both engines; no "
+    "raw quotient crosses the boundary. Ordering rides canonical "
+    "ts_us micros (hostile-timezone safe).",
+)
+def e34_transition_matrix(spark, sf_dir):
+    e = ev(spark, sf_dir)
+    s = e.select(
+        "event_type",
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts_us", "event_id"))
+        .alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = (
+        s.groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n_pair"))
+    )
+    fromtot = pairs.groupBy("from_type").agg(F.sum("n_pair").alias("n_from"))
+    return (
+        pairs.join(F.broadcast(fromtot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n_pair",
+            "n_from",
+            F.floor(F.col("n_pair").cast("double") * 1_000_000 / F.col("n_from"))
+            .cast("long")
+            .alias("p_micro"),
+        )
+        .orderBy("from_type", "to_type")
+    )
