@@ -13054,3 +13054,71 @@ def e34_transition_matrix(spark, sf_dir):
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@query(
+    "x16_incremental_manifest_scan",
+    oracle="""
+    SELECT source, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents WHERE doc_id % 3 = 0
+    GROUP BY source ORDER BY source
+    """,
+    note="Incremental ingest by FILE-MANIFEST diff — the production "
+    "pattern for tailing an object-store dataset (a checkpointed "
+    "manifest of already-processed files; each run lists the "
+    "directory, anti-joins against the manifest, and reads ONLY the "
+    "new files — immune to the mtime races and late-arriving-file "
+    "holes a timestamp watermark has). Here: batch 1 (doc_id%3<>0) "
+    "lands and its file list is checkpointed; batch 2 (doc_id%3=0) "
+    "then lands in the same directory tree; the incremental pass "
+    "must produce EXACTLY batch 2 — which is what the oracle states "
+    "from the pre-write table (the x05 round-trip discipline). The "
+    "manifest diff is metadata-sized driver work (file NAMES, never "
+    "data); read cost is proportional to new bytes only — at 100 TB "
+    "standing + 1 TB/day arriving, the daily pass reads 1 TB. The "
+    "manifest itself persists as parquet (restart-safe), and the "
+    "explicit file-list read keeps partition discovery off the old "
+    "batches entirely.",
+)
+def x16_incremental_manifest_scan(spark, sf_dir):
+    import os
+    import tempfile
+
+    tune_session(spark)
+    d = t(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="laion_incr_")
+    data_dir = os.path.join(base, "data")
+    manifest_path = os.path.join(base, "manifest")
+
+    # batch 1 lands; the pipeline checkpoint records its files
+    d.filter("doc_id % 3 <> 0").write.mode("overwrite").parquet(data_dir)
+    batch1 = [
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    ]
+    spark.createDataFrame(
+        [(p,) for p in batch1], "file_path string"
+    ).write.mode("overwrite").parquet(manifest_path)
+
+    # batch 2 arrives later into the SAME directory tree
+    d.filter("doc_id % 3 = 0").write.mode("append").parquet(data_dir)
+
+    # incremental pass: list -> anti-join the checkpointed manifest ->
+    # explicit-file read of only the new files
+    seen = {
+        r.file_path for r in spark.read.parquet(manifest_path).collect()
+    }
+    now = [
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    ]
+    new_files = sorted(set(now) - seen)
+    return (
+        spark.read.parquet(*new_files)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+        .orderBy("source")
+    )
