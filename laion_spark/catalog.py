@@ -13122,3 +13122,39 @@ def x16_incremental_manifest_scan(spark, sf_dir):
         .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
         .orderBy("source")
     )
+
+
+@query(
+    "q149_unpivot_roundtrip",
+    oracle="""
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE user_id < 20
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+    note="UNPIVOT / stack — the inverse of the q-entry pivot (wide "
+    "conditional aggregation), closing the reshaping pair: per-user "
+    "event counts pivot to one column per event type, then stack "
+    "back to (user_id, event_type, n) long form, and the round trip "
+    "must equal the straight GROUP BY from the source table (the "
+    "x05 round-trip discipline applied to reshaping — what is "
+    "verified is pivot-then-unpivot = identity, not just that "
+    "stack() parses). Absent (user, type) combos are NULL in the "
+    "wide form and are dropped on the way back, matching the "
+    "source aggregate exactly. Both reshapes are one hash-agg wide; "
+    "the stack expression is a row-local expansion of exactly "
+    "|event_type| cells — no shuffle beyond the original groupBy.",
+)
+def q149_unpivot_roundtrip(spark, sf_dir):
+    types = ["click", "view", "purchase", "signup", "error"]
+    e = t(spark, sf_dir, "events").filter("user_id < 20")
+    wide = e.groupBy("user_id").pivot("event_type", types).count()
+    stack_expr = "stack({}, {}) as (event_type, n)".format(
+        len(types), ", ".join(f"'{c}', `{c}`" for c in types)
+    )
+    return (
+        wide.select("user_id", F.expr(stack_expr))
+        .filter(F.col("n").isNotNull())
+        .select("user_id", "event_type", F.col("n").cast("long").alias("n"))
+        .orderBy("user_id", "event_type")
+    )
