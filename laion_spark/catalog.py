@@ -11933,10 +11933,16 @@ def _bm25_doc_scores(spark, sf_dir):
     "crossJoin. Merge application is a two-pass space-delimited "
     "replace — pass one takes alternating occurrences in an 'a a a' "
     "run (the match consumes the middle delimiter), pass two the "
-    "now-isolated rest — equivalent to BPE's greedy left-to-right "
-    "merge and, critically, the IDENTICAL deterministic chain in both "
-    "engines (Spark replace and DuckDB replace are both "
-    "left-to-right non-overlapping). Ties on pair count break "
+    "now-isolated rest. NOTE these are ALTERNATING-OCCURRENCE "
+    "semantics, not canonical greedy BPE: they agree on same-symbol "
+    "runs up to length 4, but a run of 5 yields 'aa a aa' here vs "
+    "'aa aa a' under greedy left-to-right (pinned in "
+    "test_bpe_two_pass_merge_semantics), so later rounds count pairs "
+    "over a segmentation that can diverge from a canonical trainer's "
+    "(ADVICE r11). What the entry guarantees is a DETERMINISTIC, "
+    "IDENTICAL chain in both engines (Spark replace and DuckDB "
+    "replace are both left-to-right non-overlapping) — the "
+    "cross-engine property the oracle pins. Ties on pair count break "
     "lexicographically in both argmaxes. One honest plan caveat: the "
     "lazily unrolled plan embeds each prior round's subtree in the "
     "next (the round-R tree contains round-1 ~2^R times) — free at 3 "
@@ -11954,7 +11960,11 @@ def t24_bpe_learn_merges(spark, sf_dir):
     # both ends so a merge pattern ' a b ' can only match at symbol
     # boundaries (multi-char symbols make raw 'a b' substring matches
     # ambiguous otherwise)
-    chars = F.regexp_extract_all(F.col("tok"), F.lit("."), 0)
+    # (?s) so '.' matches control chars too (ADVICE r11: the DuckDB
+    # oracle's s[i] indexing sees every character; a bare '.' silently
+    # drops \n — a latent hash divergence the current no-newline
+    # testdata masks)
+    chars = F.regexp_extract_all(F.col("tok"), F.lit("(?s)."), 0)
     cur = w.select(
         "tok",
         "w",
@@ -12274,7 +12284,8 @@ def q147_soundex_blocking(spark, sf_dir):
       WHERE b.j >= a.i
     )
     SELECT p.i - 1 AS i, p.j - 1 AS j,
-           CAST(sum(CAST(m.q[p.i] * m.q[p.j] AS DECIMAL(38,0))) AS DOUBLE)
+           CAST(sum(CAST(m.q[p.i] AS DECIMAL(19,0))
+                    * CAST(m.q[p.j] AS DECIMAL(19,0))) AS DOUBLE)
              AS gram_micro2
     FROM m, pairs p
     GROUP BY p.i, p.j
@@ -12289,9 +12300,12 @@ def q147_soundex_blocking(spark, sf_dir):
     "ships only d^2 partials per task — corpus vectors cross no "
     "shuffle. Cross-engine exactness: elements quantize to integer "
     "micros (round of a float32-exact double never lands on a decimal "
-    "tie, and both engines round half-away-from-zero anyway), "
-    "products accumulate in DECIMAL(38,0) (exact at any corpus size, "
-    "immune to the int64 ~1e19 ceiling), and the final cast of the "
+    "tie, and both engines round half-away-from-zero anyway), each "
+    "ELEMENT is cast to DECIMAL(19,0) before the multiply (ADVICE "
+    "r11: a long*long product would overflow int64 silently for "
+    "|element| > ~3e3 pre-quantization; 19+19 digits fits decimal 38 "
+    "exactly in both engines), products and the sum stay DECIMAL "
+    "(38,0) (exact at any corpus size), and the final cast of the "
     "exact integer to double is correctly rounded identically in "
     "both engines.",
 )
@@ -12308,9 +12322,12 @@ def v15_gram_matrix(spark, sf_dir):
         .join(spark.range(1, 65).select(F.col("id").alias("j")), F.col("i") <= F.col("j"))
     )
     joined = m.crossJoin(F.broadcast(pairs))
-    prod = (F.element_at("q", F.col("i").cast("int")) * F.element_at("q", F.col("j").cast("int"))).cast(
-        "decimal(38,0)"
-    )
+    # cast EACH element to decimal before multiplying: long*long wraps
+    # silently past ~9.2e18 (ADVICE r11); decimal(19,0) x decimal(19,0)
+    # -> decimal(38,0) is exact for any pair of int64-ranged micros
+    prod = F.element_at("q", F.col("i").cast("int")).cast(
+        "decimal(19,0)"
+    ) * F.element_at("q", F.col("j").cast("int")).cast("decimal(19,0)")
     return (
         joined.select(
             (F.col("i") - 1).alias("i"), (F.col("j") - 1).alias("j"), prod.alias("p")
@@ -12556,7 +12573,9 @@ def t27_feature_hashing(spark, sf_dir):
     d = t(spark, sf_dir, "documents").filter("doc_id % 17 = 0")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     codes = F.transform(
-        F.regexp_extract_all(F.col("tok"), F.lit("."), 0),
+        # (?s): every character, including \n (ADVICE r11 — the oracle's
+        # codepoint fold sees control chars; bare '.' would skip them)
+        F.regexp_extract_all(F.col("tok"), F.lit("(?s)."), 0),
         lambda c: F.ascii(c).cast("long"),
     )
     hv = F.aggregate(
@@ -12822,7 +12841,10 @@ def t28_char_entropy(spark, sf_dir):
         .select("doc_id", F.replace(F.col("text"), F.lit(" "), F.lit("")).alias("s"))
     )
     ch = d.select(
-        "doc_id", F.explode(F.regexp_extract_all(F.col("s"), F.lit("."), 0)).alias("c")
+        # (?s): count \n/\t as characters too, like the oracle's s[i]
+        # indexing (ADVICE r11)
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.col("s"), F.lit("(?s)."), 0)).alias("c"),
     )
     cnt = ch.groupBy("doc_id", "c").agg(F.count("*").alias("k"))
     tot = cnt.groupBy("doc_id").agg(F.sum("k").alias("n"))
@@ -12970,8 +12992,16 @@ def m05_frame_sampling(spark, sf_dir):
     idx = d.select(
         "doc_id",
         "payload",
+        # empty payloads (n_frames = 0) must yield zero frames like the
+        # oracle's range(0, 0, 2) — an unguarded sequence(0, -1, step 2)
+        # raises at runtime (ADVICE r11; same guard as t24's ngrams)
         F.explode(
-            F.sequence(F.lit(0).cast("long"), n_frames - 1, F.lit(2).cast("long"))
+            F.when(
+                n_frames > 0,
+                F.sequence(
+                    F.lit(0).cast("long"), n_frames - 1, F.lit(2).cast("long")
+                ),
+            ).otherwise(F.array().cast("array<long>"))
         ).alias("frame_idx"),
     )
     frame = F.col("payload").substr(
@@ -13074,10 +13104,16 @@ def e34_transition_matrix(spark, sf_dir):
     "then lands in the same directory tree; the incremental pass "
     "must produce EXACTLY batch 2 — which is what the oracle states "
     "from the pre-write table (the x05 round-trip discipline). The "
-    "manifest diff is metadata-sized driver work (file NAMES, never "
-    "data); read cost is proportional to new bytes only — at 100 TB "
-    "standing + 1 TB/day arriving, the daily pass reads 1 TB. The "
-    "manifest itself persists as parquet (restart-safe), and the "
+    "diff is a Spark LEFT ANTI join of the listing against the "
+    "manifest — the checkpoint is never collected, so a 100M-file "
+    "manifest costs one join, not driver RAM; only the DELTA (the "
+    "day's arrivals, metadata-sized by definition) comes back to the "
+    "driver, because spark.read needs literal paths. After the read, "
+    "the processed delta is APPENDED to the manifest and a second "
+    "anti-join must come back empty — the checkpoint-update half of "
+    "the contract. Read cost is proportional to new bytes only — at "
+    "100 TB standing + 1 TB/day arriving, the daily pass reads 1 TB. "
+    "The manifest itself persists as parquet (restart-safe), and the "
     "explicit file-list read keeps partition discovery off the old "
     "batches entirely.",
 )
@@ -13105,17 +13141,35 @@ def x16_incremental_manifest_scan(spark, sf_dir):
     # batch 2 arrives later into the SAME directory tree
     d.filter("doc_id % 3 = 0").write.mode("append").parquet(data_dir)
 
-    # incremental pass: list -> anti-join the checkpointed manifest ->
-    # explicit-file read of only the new files
-    seen = {
-        r.file_path for r in spark.read.parquet(manifest_path).collect()
-    }
-    now = [
-        os.path.join(data_dir, f)
-        for f in os.listdir(data_dir)
-        if f.endswith(".parquet")
-    ]
-    new_files = sorted(set(now) - seen)
+    # incremental pass: list -> LEFT ANTI join against the checkpointed
+    # manifest -> explicit-file read of only the new files. The diff is
+    # a Spark job: the manifest is never collected, so its size is
+    # unbounded; only the DELTA (new file names — metadata-sized by
+    # definition, it is the day's arrivals) reaches the driver, because
+    # spark.read needs literal paths.
+    listing = spark.createDataFrame(
+        [
+            (os.path.join(data_dir, f),)
+            for f in sorted(os.listdir(data_dir))
+            if f.endswith(".parquet")
+        ],
+        "file_path string",
+    )
+    manifest = spark.read.parquet(manifest_path)
+    new_df = listing.join(manifest, "file_path", "left_anti")
+    new_files = sorted(r.file_path for r in new_df.collect())
+
+    # checkpoint update — the other half of the contract: append the
+    # processed delta to the manifest, then prove the next incremental
+    # pass sees nothing new (an anti-join that must come back empty)
+    new_df.write.mode("append").parquet(manifest_path)
+    leftover = listing.join(
+        spark.read.parquet(manifest_path), "file_path", "left_anti"
+    ).count()
+    if leftover:
+        raise AssertionError(
+            f"manifest append left {leftover} files unrecorded"
+        )
     return (
         spark.read.parquet(*new_files)
         .groupBy("source")

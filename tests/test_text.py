@@ -104,11 +104,16 @@ def test_sequence_packing_conserves_tokens(spark, sf_dir):
 
 
 def test_bpe_two_pass_merge_semantics(spark):
-    """t24's merge application (two-pass space-delimited replace) must
-    equal greedy left-to-right BPE merging on runs — 'a a a' merges the
-    FIRST pair only, 'a b a b' merges both — and DuckDB's replace chain
-    must produce the identical strings (the oracle runs the same two
-    passes)."""
+    """t24's merge application is a two-pass space-delimited replace
+    with ALTERNATING-OCCURRENCE semantics: pass one takes every other
+    occurrence in a same-symbol run (the match consumes the middle
+    delimiter), pass two the now-isolated rest. This agrees with greedy
+    left-to-right BPE on runs up to length 4 but DIVERGES at 5
+    (' a a a a a ' -> ' aa a aa ' here vs ' aa aa a ' under canonical
+    greedy — ADVICE r11, pinned below). The contract the entry makes is
+    not greedy-BPE equivalence but a deterministic chain that DuckDB's
+    replace reproduces bit-identically (both engines' replace is
+    left-to-right non-overlapping)."""
     import duckdb
     from pyspark.sql import functions as F
 
@@ -118,6 +123,9 @@ def test_bpe_two_pass_merge_semantics(spark):
         (" a b a b a b ", "a b", " ab ab ab "),
         (" x a b b y ", "a b", " x ab b y "),
         (" a a a a ", "a a", " aa aa "),
+        # run of 5: the first case where alternating-occurrence (this)
+        # and greedy BPE (' aa aa a ') disagree — the chosen semantics
+        (" a a a a a ", "a a", " aa a aa "),
     ]
     df = spark.createDataFrame(cases, "seq string, pr string, want string")
     pat = F.concat(F.lit(" "), F.col("pr"), F.lit(" "))
