@@ -148,7 +148,8 @@ def disk_probe(extras: dict, path: str, probe_bytes: int = 512 * 1024**2) -> flo
     line's floors{}) + ``disk_probe_gbps`` / ``cache_probe_gbps``.
     Returns the CACHE GiB/s, the calibrator the ``*_disk_ratio``
     fields divide by (None on failure — the sentinel must never cost a
-    row)."""
+    row, but a failure always stamps ``extras["probe_error"]`` with
+    the reason: VERDICT r11 #2)."""
     try:
         files = sorted(
             os.path.join(r, f)
@@ -178,6 +179,11 @@ def disk_probe(extras: dict, path: str, probe_bytes: int = 512 * 1024**2) -> flo
             left -= take
         read = probe_bytes - left
         if read < probe_bytes // 2:  # fixture smaller than the probe
+            extras["probe_error"] = (
+                f"fixture smaller than probe ({read / 1024**2:.0f} MB "
+                f"< {probe_bytes // 2 / 1024**2:.0f} MB at {path})"
+            )
+            print(f"  io probe: SKIPPED {extras['probe_error']}", file=sys.stderr)
             return None
 
         def pull(region):
@@ -217,7 +223,13 @@ def disk_probe(extras: dict, path: str, probe_bytes: int = 512 * 1024**2) -> flo
             file=sys.stderr,
         )
         return cache_gbps
-    except Exception:  # noqa: BLE001
+    except Exception as ex:  # noqa: BLE001
+        # LOUD failure (VERDICT r11 #2): the r11 artifact shipped with
+        # no disk/cache floors and no recorded reason because this
+        # handler silently returned None — a probe may fail, but never
+        # invisibly
+        extras["probe_error"] = f"{type(ex).__name__}: {ex}"[:300]
+        print(f"  io probe: FAILED {extras['probe_error']}", file=sys.stderr)
         return None
 
 
@@ -714,21 +726,36 @@ def dedup_family(spark, queries: dict, extras: dict, errors: dict) -> None:
         print(f"  contain4m: FAILED {errors['contain4m'].splitlines()[0]}", file=sys.stderr)
 
 
-def _run_dedup_family_isolated(queries: dict, extras: dict, errors: dict) -> None:
-    """Run the dedup family in a child process (fresh JVM), merging its
+def _run_family_isolated(
+    flag: str,
+    family_fn,
+    label: str,
+    queries: dict,
+    extras: dict,
+    errors: dict,
+    cap: float,
+) -> None:
+    """Run a bench family in a child process (fresh JVM), merging its
     results; fall back to in-process on any child failure so the rows
     are never lost. Fixtures cache in /tmp so the child's build is
-    shared with reruns."""
+    shared with reruns. ``cap`` bounds the child's share of whatever
+    budget remains (dedup: the 900s of r6 plus headroom for the
+    dedup10m decade; tail: catalog + events + streaming + ETL, ~450s
+    warm)."""
     import subprocess
 
     remaining = max(0.0, BUDGET_S - (time.perf_counter() - _T_START))
-    # 1100s cap: the 900s of r6 plus headroom for the dedup10m decade
-    # (fixture build + warm + 2 timed runs on a warm /tmp)
-    child_budget = min(remaining, 1100.0)
+    child_budget = min(remaining, cap)
+    if child_budget < 30:
+        errors[label] = (
+            f"skipped: < 30s of bench budget left for the {label} child"
+        )
+        print(f"  {label}: SKIPPED (budget)", file=sys.stderr)
+        return
     env = dict(os.environ, SPARK_GRAFT_BENCH_BUDGET_S=str(child_budget))
     try:
         r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--dedup-family"],
+            [sys.executable, os.path.abspath(__file__), flag],
             capture_output=True,
             text=True,
             timeout=child_budget + 240,  # JVM startup + fixture-build headroom
@@ -739,68 +766,32 @@ def _run_dedup_family_isolated(queries: dict, extras: dict, errors: dict) -> Non
         queries.update(payload["queries"])
         extras.update(payload["extras"])
         errors.update(payload["errors"])
-        extras["dedup_family_isolated_jvm"] = 1
+        extras[f"{label}_isolated_jvm"] = 1
         return
     except Exception as ex:  # noqa: BLE001
         print(
-            f"  dedup-family child failed ({type(ex).__name__}: {str(ex)[:200]}); "
+            f"  {label} child failed ({type(ex).__name__}: {str(ex)[:200]}); "
             "falling back to in-process",
             file=sys.stderr,
         )
+    extras[f"{label}_isolated_jvm"] = 0
     spark = get_session("laion_spark_bench")
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
-    dedup_family(spark, queries, extras, errors)
+    family_fn(spark, queries, extras, errors)
 
 
-def main() -> None:
-    if "--dedup-family" in sys.argv:
-        # child mode: pristine JVM, family only, one JSON line out
-        spark = get_session("laion_spark_bench_dedup")
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
-        q: dict[str, float] = {}
-        x: dict[str, float | int] = {}
-        e: dict[str, str] = {}
-        dedup_family(spark, q, x, e)
-        print(json.dumps({"queries": q, "extras": x, "errors": e}))
-        return
+def tail_family(spark, queries: dict, extras: dict, errors: dict) -> None:
+    """Catalog headliners + 10M-event stress/streaming + shard ETL.
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    queries: dict[str, float] = {}
-    extras: dict[str, float | int] = {}
-    #: per-query failures — a red query yields an errors entry, never a
-    #: dead bench (round-3 lesson: one broken warm-up zeroed BENCH_r03)
-    errors: dict[str, str] = {}
-
-    # reclaim superseded fixture generations BEFORE anything runs (the
-    # dedup child sees the freed disk too). 256/8 mirror the ANN
-    # section's C/RG_MB constants.
-    fixture_sweep(
-        {
-            f"/tmp/laion_bench_{N_VEC}x{DIM}.parquet",
-            f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet",
-            f"/tmp/laion_bench_{N_VEC}x{DIM}_f16p.parquet",
-            f"/tmp/laion_bench_{N_VEC}x{DIM}_i8.parquet",
-            f"/tmp/laion_bench_{N_10M}x{DIM}.parquet",
-            f"/tmp/laion_bench_{N_10M}x{DIM}_f16p.parquet",
-            f"/tmp/laion_bench_{N_10M}x{DIM}_i8.parquet",
-            f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf256rg8.parquet",
-            f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf256rg8_f16.parquet",
-            f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf256rg8_centroids.json",
-            "/tmp/laion_docs_1m.parquet",
-            "/tmp/laion_docs_4m.parquet",
-            "/tmp/laion_docs_10m.parquet",
-            "/tmp/laion_events_10000000.parquet",
-            "/tmp/laion_events_10000000_tsorted.parquet",
-            f"/tmp/laion_etl_32x16384x{DIM}",
-        }
-    )
-
-    # dedup family first (its fixtures take the /tmp build cost), in an
-    # isolated JVM so its collect_* JIT profile pollution can't touch
-    # the headliner JVM — and vice versa (see dedup_family docstring)
-    _run_dedup_family_isolated(queries, extras, errors)
-
-    spark = get_session("laion_spark_bench")
+    Run in its OWN JVM (child process, see main): these families are
+    sensitive to the allocator/GC/JIT state the vector sections' ~60 GB
+    of Arrow scans leave behind (measured: etl_shards 8.7 s in a fresh
+    JVM vs 32.7 s after the ann/f16/10M blocks — same code, same
+    fixture). The vector sections now run FIRST so the BASELINE
+    comparables can never be the rows a budget squeeze drops (VERDICT
+    r11 #1); process isolation — not suite order — is what keeps these
+    rows honest now.
+    """
     # local-bench parallelism: testdata tables are single small files;
     # 128MB splits would give 1-3 tasks for a 25MB table. On a real
     # cluster the default (128MB ~ one row group) is correct.
@@ -844,11 +835,11 @@ def main() -> None:
             errors[name] = f"{type(ex).__name__}: {ex}"[:500]
             print(f"  {name}: FAILED {errors[name].splitlines()[0]}", file=sys.stderr)
 
-    # Stress runs BEFORE the vector sections on purpose: after ~60 GB of
-    # Arrow scans the shared JVM's allocator/GC state inflates the
-    # HOF-heavy dedup pipelines ~2-3x (measured: winnow1m 4.8 s in a
-    # fresh session vs 17 s after the ann/f16/10M blocks) — ordering
-    # records each family's honest number.
+    # This family runs in the tail child's FRESH JVM: after ~60 GB of
+    # Arrow scans a shared JVM's allocator/GC state inflates HOF-heavy
+    # pipelines ~2-3x (measured: winnow1m 4.8 s in a fresh session vs
+    # 17 s after the ann/f16/10M blocks) — isolation records each
+    # family's honest number.
     # Pipeline-operator stress: the LLM-data-pipeline operators at 10M
     # events / 1M users — two orders of magnitude over the sf0.1 star
     # schema. Their catalog entries prove CORRECTNESS at sf0.01; this
@@ -1086,12 +1077,12 @@ def main() -> None:
         print(f"  events10m: FAILED {errors['events10m'].splitlines()[0]}", file=sys.stderr)
 
 
-    # ETL runs BEFORE the vector sections for the same reason the
+    # ETL runs in the tail child's fresh JVM for the same reason the
     # stress family does: the generic JVM sink is sensitive to the
     # allocator/GC state the ~60 GB of Arrow scans leave behind
     # (measured: 8.7 s before the ann/f16 blocks vs 32.7 s after —
     # same fixture, same code; the in-task direct sink moves 4.1 s
-    # -> 4.1 s, immune). Ordering records each family's honest
+    # -> 4.1 s, immune). Isolation records each family's honest
     # number.
     # Shard-ETL throughput (VERDICT r4 missing #4): the reference's
     # process.py is half its codebase (65,536-row batches, one shard
@@ -1200,14 +1191,107 @@ def main() -> None:
         errors["etl_shards"] = f"{type(ex).__name__}: {ex}"[:500]
         print(f"  etl_shards: FAILED {errors['etl_shards'].splitlines()[0]}", file=sys.stderr)
 
+    # layout flag for the compact line (the parent pops it into the
+    # top-level field)
+    extras["layout"] = "managed32" if star_dir != SF_DIR else "raw"
 
-    # BASELINE-comparable: brute-force L2 top-10 over N_VEC x 768.
-    # Back to default 128MB splits here: the synthetic table is ~600 MB
-    # and 4MB splits (set above for the small star tables) would mean
-    # 192 tasks x per-task overhead for a 32-core scan.
+
+def main() -> None:
+    if "--dedup-family" in sys.argv:
+        # child mode: pristine JVM, family only, one JSON line out
+        spark = get_session("laion_spark_bench_dedup")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+        q: dict[str, float] = {}
+        x: dict[str, float | int] = {}
+        e: dict[str, str] = {}
+        dedup_family(spark, q, x, e)
+        print(json.dumps({"queries": q, "extras": x, "errors": e}))
+        return
+
+    if "--tail-family" in sys.argv:
+        # child mode: pristine JVM for the catalog/events/streaming/ETL
+        # tail (tail_family sets its own split size)
+        spark = get_session("laion_spark_bench_tail")
+        q2: dict[str, float] = {}
+        x2: dict[str, float | int] = {}
+        e2: dict[str, str] = {}
+        tail_family(spark, q2, x2, e2)
+        print(json.dumps({"queries": q2, "extras": x2, "errors": e2}))
+        return
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    queries: dict[str, float] = {}
+    extras: dict[str, float | int] = {}
+    #: per-query failures — a red query yields an errors entry, never a
+    #: dead bench (round-3 lesson: one broken warm-up zeroed BENCH_r03)
+    errors: dict[str, str] = {}
+
+    # reclaim superseded fixture generations BEFORE anything runs (the
+    # dedup child sees the freed disk too). 256/8 mirror the ANN
+    # section's C/RG_MB constants.
+    fixture_sweep(
+        {
+            f"/tmp/laion_bench_{N_VEC}x{DIM}.parquet",
+            f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet",
+            f"/tmp/laion_bench_{N_VEC}x{DIM}_f16p.parquet",
+            f"/tmp/laion_bench_{N_VEC}x{DIM}_i8.parquet",
+            f"/tmp/laion_bench_{N_10M}x{DIM}.parquet",
+            f"/tmp/laion_bench_{N_10M}x{DIM}_f16p.parquet",
+            f"/tmp/laion_bench_{N_10M}x{DIM}_i8.parquet",
+            f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf256rg8.parquet",
+            f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf256rg8_f16.parquet",
+            f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf256rg8_centroids.json",
+            "/tmp/laion_docs_1m.parquet",
+            "/tmp/laion_docs_4m.parquet",
+            "/tmp/laion_docs_10m.parquet",
+            "/tmp/laion_events_10000000.parquet",
+            "/tmp/laion_events_10000000_tsorted.parquet",
+            f"/tmp/laion_etl_32x16384x{DIM}",
+        }
+    )
+
+    spark = get_session("laion_spark_bench")
+    # the parent JVM runs only the vector sections: synthetic tables are
+    # 3-30 GB, so default-sized 128MB splits are right (the 4MB
+    # small-table override lives with the catalog family in the tail
+    # child)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+
+    # BASELINE-comparable anchor shapes: brute-force L2 top-10 over
+    # N_VEC x 768; qvec is the shared out-of-distribution pattern query
     qvec = [round(((j * 13) % 17 - 8) / 8.0, 6) for j in range(DIM)]
     bench_path = f"/tmp/laion_bench_{N_VEC}x{DIM}.parquet"
+
+    # suite-start IO probe (VERDICT r11 #1/#2): stamped FIRST, on the 1M
+    # fixture's own bytes, so the artifact always carries disk2g/cache2g
+    # floors (or a recorded probe_error) no matter which sections later
+    # skip. The 10M section re-probes on the 29 GB it actually scans.
+    try:
+        t0 = time.perf_counter()
+        synth_vectors(spark, N_VEC, DIM)
+        print(f"  synth_vectors({N_VEC}x{DIM}): {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        disk_probe(extras, bench_path)
+    except Exception as ex:  # noqa: BLE001
+        extras.setdefault("probe_error", f"{type(ex).__name__}: {ex}"[:300])
+        print(f"  io probe: FAILED {extras['probe_error']}", file=sys.stderr)
+
+    # pure-CPU contention sentinel (VERDICT r11 #8): a fixed JVM-side
+    # hash+sum over 2e8 longs — no IO, no Python workers, whole-stage
+    # codegen. Cross-round drift HERE isolates host CPU contention from
+    # the IO contention the disk/cache floors attribute.
+    try:
+        def _cpu_job():
+            # bit_xor, not sum: the ANSI session raises on the int64
+            # overflow a 2e8-term hash sum is guaranteed to hit
+            spark.range(0, 200_000_000, 1, 32).select(
+                F.expr("bit_xor(xxhash64(id))")
+            ).collect()
+
+        _cpu_job()  # warm (codegen compile)
+        extras["cpu2e8_floor_sec"] = min(timed(_cpu_job) for _ in range(3))
+        print(f"  cpu floor: {extras['cpu2e8_floor_sec']}s", file=sys.stderr)
+    except Exception as ex:  # noqa: BLE001
+        print(f"  cpu floor: FAILED {type(ex).__name__}: {ex}", file=sys.stderr)
 
     try:
         if over_budget(errors, "knn768"):
@@ -1247,6 +1331,240 @@ def main() -> None:
     except Exception as ex:  # noqa: BLE001
         errors["knn768"] = f"{type(ex).__name__}: {ex}"[:500]
         print(f"  knn768: FAILED {errors['knn768'].splitlines()[0]}", file=sys.stderr)
+
+    # 10M-row soak (VERDICT r4 missing #3): one measured point at the
+    # reference's OWN published brute-force scale (BASELINE.md rows:
+    # 10M x 768 in 3.747-10.272 s server-side) — turns the "linear in
+    # rows x dim" claim into data. ~30 GB fixture: gated on free disk
+    # as well as the wall-clock budget.
+    try:
+        if os.environ.get("SPARK_GRAFT_BENCH_SKIP_10M"):
+            errors["knn768_10m"] = "skipped: SPARK_GRAFT_BENCH_SKIP_10M set (smoke run)"
+            print("  knn768_10m: SKIPPED (env)", file=sys.stderr)
+            raise _BudgetSkip
+        path_10m = f"/tmp/laion_bench_{N_10M}x{DIM}.parquet"
+        # cold fixture build is ~80 s of generation + 30 GB write since
+        # the r10 counter-hash generator (the old 5-8 min estimate kept
+        # a stale 600 s gate that skipped the WHOLE 10M section in the
+        # r11 all-cold run); the full cold section is ~420 s worst case
+        head = 420 if not os.path.exists(f"{path_10m}/_SUCCESS") else 120
+        if over_budget(errors, "knn768_10m") or time.perf_counter() - _T_START > BUDGET_S - head:
+            if "knn768_10m" not in errors:
+                errors["knn768_10m"] = f"skipped: < {head}s of bench budget left"
+                print("  knn768_10m: SKIPPED (headroom)", file=sys.stderr)
+            raise _BudgetSkip
+        need = 36 * 1024**3 if not os.path.exists(f"{path_10m}/_SUCCESS") else 2 * 1024**3
+        # eviction order: leftover transient twins first, then the
+        # tail/dedup-family fixtures — those families run AFTER this
+        # section in their own child JVMs and rebuild lazily (~30-60s
+        # each), so early eviction is safe
+        if not ensure_free(
+            need,
+            [f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf256rg8_f16.parquet",
+             f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet",
+             f"/tmp/laion_bench_{N_VEC}x{DIM}_f16p.parquet",
+             f"/tmp/laion_bench_{N_VEC}x{DIM}_i8.parquet",
+             f"/tmp/laion_etl_32x16384x{DIM}",
+             "/tmp/laion_events_10000000_tsorted.parquet",
+             "/tmp/laion_docs_4m.parquet",
+             "/tmp/laion_docs_10m.parquet"],
+            "knn768_10m",
+        ):
+            errors["knn768_10m"] = "skipped: insufficient /tmp space for 30 GB fixture"
+            print("  knn768_10m: SKIPPED (disk)", file=sys.stderr)
+            raise _BudgetSkip
+        t0 = time.perf_counter()
+        synth_vectors(spark, N_10M, DIM)
+        print(f"  synth_vectors({N_10M}x{DIM}): {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        # in-artifact disk calibration, measured on the very bytes the
+        # 10M scans read (VERDICT r10 #1)
+        probe_gbps = disk_probe(extras, path_10m)
+
+        def run_10m():
+            return knn_search_parquet(
+                spark, path_10m, qvec, k=10, vector_col="embedding", select=["id"]
+            ).collect()
+
+        truth_10m = {r.id for r in run_10m()}  # warm (page cache will NOT
+        # hold 30 GB — this is a disk-bound scan, closest in spirit to the
+        # reference's NVMe runs); the ids double as the i8 row's recall truth
+        ts10 = sorted(timed(run_10m) for _ in range(3))
+        queries["knn768_10m"] = ts10[1]
+        extras["knn768_10m_best_sec"] = ts10[0]
+        extras["knn768_10m_rows_per_sec"] = round(N_10M / ts10[0])
+        if probe_gbps:
+            # wall-clock as a multiple of the pure cache-feed time for
+            # the row's bytes at the probe's measured warm bandwidth:
+            # ~1 = IO-feed-bound; stable across host-contention drift
+            # even when absolutes move (the scans are cache-fed on this
+            # host — see disk_probe)
+            extras["knn768_10m_disk_ratio"] = round(
+                ts10[0] / (du(path_10m) / 1024**3 / probe_gbps), 2
+            )
+        print(f"  knn768_10m: {ts10}", file=sys.stderr)
+
+        # concept math at the reference's OWN published scale: BASELINE
+        # row 4 is `(Cubism + Surrealism) / 2` over laion_10m in
+        # 8.837 s — this is the direct same-row-count comparison (the
+        # 1M concept768 row is the scaled one). Constant folding makes
+        # it one brute-force scan, so the target is "equals knn768_10m".
+        # Own failure domain + own headroom gate: 4 more 30 GB scans
+        # must neither relabel a completed knn768_10m nor start so late
+        # that the harness timeout kills the JSON line.
+        try:
+            if time.perf_counter() - _T_START > BUDGET_S - 120:
+                errors["concept768_10m"] = "skipped: < 120s of bench budget left"
+                print("  concept768_10m: SKIPPED (headroom)", file=sys.stderr)
+                raise _BudgetSkip
+            from laion_spark.functions.encoder import HashEncoder
+            from laion_spark.plans.concept import eval_concept
+
+            cvec10 = eval_concept("(cubism + surrealism) / 2", HashEncoder(DIM))
+
+            def run_c10m():
+                return knn_search_parquet(
+                    spark, path_10m, cvec10, k=10, vector_col="embedding", select=["id"]
+                ).collect()
+
+            run_c10m()
+            tc10 = sorted(timed(run_c10m) for _ in range(3))
+            queries["concept768_10m"] = tc10[1]
+            extras["concept768_10m_best_sec"] = tc10[0]
+            print(f"  concept768_10m: {tc10} (reference laion_10m: 8.837s)", file=sys.stderr)
+        except _BudgetSkip:
+            pass
+        except Exception as cex:  # noqa: BLE001
+            errors["concept768_10m"] = f"{type(cex).__name__}: {cex}"[:500]
+            print(f"  concept768_10m: FAILED {errors['concept768_10m'].splitlines()[0]}", file=sys.stderr)
+
+        # knn768_f16_10m (list<f16> at 10M) RETIRED in r10 (VERDICT r9
+        # #1): the list layout is FLBA(2) per-value decode-bound — 5.19 s
+        # best at 10M, 3.05x the bfloat16 anchor, failing the 2x contract
+        # by construction. The packed twin below carries the half-width
+        # point at scale (1.72 s, 1.01x); the 1M list row (knn768_f16)
+        # stays as the legacy-parity evidence of WHY packed is default.
+        try:
+            # packed twin at 10M — the layout that actually converts
+            # halved bytes into halved scan time (list<f16> is FLBA(2)
+            # per-value decode-bound; see halfvec.write_half_table)
+            if time.perf_counter() - _T_START > BUDGET_S - 240:
+                errors["knn768_f16p_10m"] = "skipped: < 240s of bench budget left"
+                print("  knn768_f16p_10m: SKIPPED (headroom)", file=sys.stderr)
+                raise _BudgetSkip
+            packed_10m = f"/tmp/laion_bench_{N_10M}x{DIM}_f16p.parquet"
+            if not os.path.exists(f"{packed_10m}/_DONE"):
+                if not ensure_free(
+                    N_10M * DIM * 2 + 2 * 1024**3,
+                    [f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf256rg8_f16.parquet",
+                     f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet",
+                     f"/tmp/laion_bench_{N_VEC}x{DIM}_f16p.parquet",
+                     f"/tmp/laion_bench_{N_VEC}x{DIM}_i8.parquet",
+                     f"/tmp/laion_etl_32x16384x{DIM}",
+                     "/tmp/laion_events_10000000_tsorted.parquet",
+                     "/tmp/laion_docs_4m.parquet",
+                     "/tmp/laion_docs_10m.parquet"],
+                    "f16p 10m twin",
+                ):
+                    errors["knn768_f16p_10m"] = "skipped: insufficient /tmp for the 15 GB twin"
+                    print("  knn768_f16p_10m: SKIPPED (disk)", file=sys.stderr)
+                    raise _BudgetSkip
+                from laion_spark.sources.halfvec import write_half_table
+
+                t0 = time.perf_counter()
+                write_half_table(
+                    spark, path_10m, packed_10m, vector_cols=("embedding",), layout="packed"
+                ).collect()
+                open(f"{packed_10m}/_DONE", "w").close()
+                print(f"  f16p 10m rewrite: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+            def run_f16p_10m():
+                return knn_search_parquet(
+                    spark, packed_10m, qvec, k=10, vector_col="embedding", select=["id"]
+                ).collect()
+
+            run_f16p_10m()  # warm
+            tsp10 = sorted(timed(run_f16p_10m) for _ in range(3))
+            queries["knn768_f16p_10m"] = tsp10[1]
+            extras["knn768_f16p_10m_best_sec"] = tsp10[0]
+            extras["knn768_f16p_10m_rows_per_sec"] = round(N_10M / tsp10[0])
+            extras["knn768_f16p_10m_bytes_fraction"] = round(du(packed_10m) / du(path_10m), 4)
+            if probe_gbps:
+                extras["knn768_f16p_10m_disk_ratio"] = round(
+                    tsp10[0] / (du(packed_10m) / 1024**3 / probe_gbps), 2
+                )
+            print(
+                f"  knn768_f16p_10m: {tsp10} bytes_frac="
+                f"{extras['knn768_f16p_10m_bytes_fraction']} (reference bf16 scale-eq: ~1.7s)",
+                file=sys.stderr,
+            )
+            _rm(packed_10m)  # transient, like the list twin
+        except _BudgetSkip:
+            pass
+        except Exception as pex_:  # noqa: BLE001
+            errors["knn768_f16p_10m"] = f"{type(pex_).__name__}: {pex_}"[:500]
+            print(f"  knn768_f16p_10m: FAILED {errors['knn768_f16p_10m'].splitlines()[0]}", file=sys.stderr)
+
+        # SQ8 at 10M: 1/4 of the f32 bytes (7.5 GB twin), recall judged
+        # against the f32 scan's own top-10 from this session
+        try:
+            if time.perf_counter() - _T_START > BUDGET_S - 180:
+                errors["knn768_i8_10m"] = "skipped: < 180s of bench budget left"
+                print("  knn768_i8_10m: SKIPPED (headroom)", file=sys.stderr)
+                raise _BudgetSkip
+            i8_10m = f"/tmp/laion_bench_{N_10M}x{DIM}_i8.parquet"
+            if not os.path.exists(f"{i8_10m}/_DONE"):
+                if not ensure_free(
+                    N_10M * DIM + 2 * 1024**3,
+                    [f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf256rg8_f16.parquet",
+                     f"/tmp/laion_etl_32x16384x{DIM}",
+                     "/tmp/laion_events_10000000_tsorted.parquet",
+                     "/tmp/laion_docs_4m.parquet",
+                     "/tmp/laion_docs_10m.parquet"],
+                    "i8 10m twin",
+                ):
+                    errors["knn768_i8_10m"] = "skipped: insufficient /tmp for the 8 GB twin"
+                    print("  knn768_i8_10m: SKIPPED (disk)", file=sys.stderr)
+                    raise _BudgetSkip
+                from laion_spark.sources.halfvec import write_int8_table
+
+                t0 = time.perf_counter()
+                write_int8_table(spark, path_10m, i8_10m, vector_cols=("embedding",)).collect()
+                open(f"{i8_10m}/_DONE", "w").close()
+                print(f"  i8 10m rewrite: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+            def run_i8_10m():
+                return knn_search_parquet(
+                    spark, i8_10m, qvec, k=10, vector_col="embedding", select=["id"],
+                    scale_col="embedding_scale",
+                ).collect()
+
+            i8_ids_10m = {r.id for r in run_i8_10m()}  # warm + recall
+            extras["knn768_i8_10m_recall_at_10"] = round(len(truth_10m & i8_ids_10m) / 10, 2)
+            tsi10 = sorted(timed(run_i8_10m) for _ in range(3))
+            queries["knn768_i8_10m"] = tsi10[1]
+            extras["knn768_i8_10m_best_sec"] = tsi10[0]
+            extras["knn768_i8_10m_rows_per_sec"] = round(N_10M / tsi10[0])
+            extras["knn768_i8_10m_bytes_fraction"] = round(du(i8_10m) / du(path_10m), 4)
+            if probe_gbps:
+                extras["knn768_i8_10m_disk_ratio"] = round(
+                    tsi10[0] / (du(i8_10m) / 1024**3 / probe_gbps), 2
+                )
+            print(
+                f"  knn768_i8_10m: {tsi10} recall={extras['knn768_i8_10m_recall_at_10']} "
+                f"bytes_frac={extras['knn768_i8_10m_bytes_fraction']}",
+                file=sys.stderr,
+            )
+            _rm(i8_10m)  # transient, like the f16 twins
+        except _BudgetSkip:
+            pass
+        except Exception as iex_:  # noqa: BLE001
+            errors["knn768_i8_10m"] = f"{type(iex_).__name__}: {iex_}"[:500]
+            print(f"  knn768_i8_10m: FAILED {errors['knn768_i8_10m'].splitlines()[0]}", file=sys.stderr)
+    except _BudgetSkip:
+        pass
+    except Exception as ex:  # noqa: BLE001
+        errors["knn768_10m"] = f"{type(ex).__name__}: {ex}"[:500]
+        print(f"  knn768_10m: FAILED {errors['knn768_10m'].splitlines()[0]}", file=sys.stderr)
 
     # ANN twin (BASELINE's Annoy row: 8.5x over brute force at 100M
     # rows): a clustered copy of the table (real CLIP embeddings are
@@ -1412,6 +1730,14 @@ def main() -> None:
                 int(raw * 1.4),  # final table + working margin (slices bound the rest)
                 [
                     f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet",
+                    # tail/dedup fixtures rebuild lazily in their child
+                    # JVMs (which run after this); the 10M base is the
+                    # last resort — its rows are already measured by
+                    # now and it rebuilds in ~80 s
+                    f"/tmp/laion_etl_32x16384x{DIM}",
+                    "/tmp/laion_events_10000000_tsorted.parquet",
+                    "/tmp/laion_docs_4m.parquet",
+                    "/tmp/laion_docs_10m.parquet",
                     f"/tmp/laion_bench_10000000x{DIM}.parquet",
                 ],
                 "ivf build",
@@ -2001,221 +2327,6 @@ def main() -> None:
         except NameError:
             pass
 
-    # 10M-row soak (VERDICT r4 missing #3): one measured point at the
-    # reference's OWN published brute-force scale (BASELINE.md rows:
-    # 10M x 768 in 3.747-10.272 s server-side) — turns the "linear in
-    # rows x dim" claim into data. ~30 GB fixture: gated on free disk
-    # as well as the wall-clock budget.
-    try:
-        if os.environ.get("SPARK_GRAFT_BENCH_SKIP_10M"):
-            errors["knn768_10m"] = "skipped: SPARK_GRAFT_BENCH_SKIP_10M set (smoke run)"
-            print("  knn768_10m: SKIPPED (env)", file=sys.stderr)
-            raise _BudgetSkip
-        path_10m = f"/tmp/laion_bench_{N_10M}x{DIM}.parquet"
-        # cold fixture build is ~80 s of generation + 30 GB write since
-        # the r10 counter-hash generator (the old 5-8 min estimate kept
-        # a stale 600 s gate that skipped the WHOLE 10M section in the
-        # r11 all-cold run); the full cold section is ~420 s worst case
-        head = 420 if not os.path.exists(f"{path_10m}/_SUCCESS") else 120
-        if over_budget(errors, "knn768_10m") or time.perf_counter() - _T_START > BUDGET_S - head:
-            if "knn768_10m" not in errors:
-                errors["knn768_10m"] = f"skipped: < {head}s of bench budget left"
-                print("  knn768_10m: SKIPPED (headroom)", file=sys.stderr)
-            raise _BudgetSkip
-        need = 36 * 1024**3 if not os.path.exists(f"{path_10m}/_SUCCESS") else 2 * 1024**3
-        if not ensure_free(
-            need,
-            [f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf256rg8_f16.parquet",
-             f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet"],
-            "knn768_10m",
-        ):
-            errors["knn768_10m"] = "skipped: insufficient /tmp space for 30 GB fixture"
-            print("  knn768_10m: SKIPPED (disk)", file=sys.stderr)
-            raise _BudgetSkip
-        t0 = time.perf_counter()
-        synth_vectors(spark, N_10M, DIM)
-        print(f"  synth_vectors({N_10M}x{DIM}): {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-        # in-artifact disk calibration, measured on the very bytes the
-        # 10M scans read (VERDICT r10 #1)
-        probe_gbps = disk_probe(extras, path_10m)
-
-        def run_10m():
-            return knn_search_parquet(
-                spark, path_10m, qvec, k=10, vector_col="embedding", select=["id"]
-            ).collect()
-
-        truth_10m = {r.id for r in run_10m()}  # warm (page cache will NOT
-        # hold 30 GB — this is a disk-bound scan, closest in spirit to the
-        # reference's NVMe runs); the ids double as the i8 row's recall truth
-        ts10 = sorted(timed(run_10m) for _ in range(3))
-        queries["knn768_10m"] = ts10[1]
-        extras["knn768_10m_best_sec"] = ts10[0]
-        extras["knn768_10m_rows_per_sec"] = round(N_10M / ts10[0])
-        if probe_gbps:
-            # wall-clock as a multiple of the pure cache-feed time for
-            # the row's bytes at the probe's measured warm bandwidth:
-            # ~1 = IO-feed-bound; stable across host-contention drift
-            # even when absolutes move (the scans are cache-fed on this
-            # host — see disk_probe)
-            extras["knn768_10m_disk_ratio"] = round(
-                ts10[0] / (du(path_10m) / 1024**3 / probe_gbps), 2
-            )
-        print(f"  knn768_10m: {ts10}", file=sys.stderr)
-
-        # concept math at the reference's OWN published scale: BASELINE
-        # row 4 is `(Cubism + Surrealism) / 2` over laion_10m in
-        # 8.837 s — this is the direct same-row-count comparison (the
-        # 1M concept768 row is the scaled one). Constant folding makes
-        # it one brute-force scan, so the target is "equals knn768_10m".
-        # Own failure domain + own headroom gate: 4 more 30 GB scans
-        # must neither relabel a completed knn768_10m nor start so late
-        # that the harness timeout kills the JSON line.
-        try:
-            if time.perf_counter() - _T_START > BUDGET_S - 120:
-                errors["concept768_10m"] = "skipped: < 120s of bench budget left"
-                print("  concept768_10m: SKIPPED (headroom)", file=sys.stderr)
-                raise _BudgetSkip
-            from laion_spark.functions.encoder import HashEncoder
-            from laion_spark.plans.concept import eval_concept
-
-            cvec10 = eval_concept("(cubism + surrealism) / 2", HashEncoder(DIM))
-
-            def run_c10m():
-                return knn_search_parquet(
-                    spark, path_10m, cvec10, k=10, vector_col="embedding", select=["id"]
-                ).collect()
-
-            run_c10m()
-            tc10 = sorted(timed(run_c10m) for _ in range(3))
-            queries["concept768_10m"] = tc10[1]
-            extras["concept768_10m_best_sec"] = tc10[0]
-            print(f"  concept768_10m: {tc10} (reference laion_10m: 8.837s)", file=sys.stderr)
-        except _BudgetSkip:
-            pass
-        except Exception as cex:  # noqa: BLE001
-            errors["concept768_10m"] = f"{type(cex).__name__}: {cex}"[:500]
-            print(f"  concept768_10m: FAILED {errors['concept768_10m'].splitlines()[0]}", file=sys.stderr)
-
-        # knn768_f16_10m (list<f16> at 10M) RETIRED in r10 (VERDICT r9
-        # #1): the list layout is FLBA(2) per-value decode-bound — 5.19 s
-        # best at 10M, 3.05x the bfloat16 anchor, failing the 2x contract
-        # by construction. The packed twin below carries the half-width
-        # point at scale (1.72 s, 1.01x); the 1M list row (knn768_f16)
-        # stays as the legacy-parity evidence of WHY packed is default.
-        try:
-            # packed twin at 10M — the layout that actually converts
-            # halved bytes into halved scan time (list<f16> is FLBA(2)
-            # per-value decode-bound; see halfvec.write_half_table)
-            if time.perf_counter() - _T_START > BUDGET_S - 240:
-                errors["knn768_f16p_10m"] = "skipped: < 240s of bench budget left"
-                print("  knn768_f16p_10m: SKIPPED (headroom)", file=sys.stderr)
-                raise _BudgetSkip
-            packed_10m = f"/tmp/laion_bench_{N_10M}x{DIM}_f16p.parquet"
-            if not os.path.exists(f"{packed_10m}/_DONE"):
-                if not ensure_free(
-                    N_10M * DIM * 2 + 2 * 1024**3,
-                    [f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf256rg8_f16.parquet",
-                     f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet",
-                     f"/tmp/laion_bench_{N_VEC}x{DIM}_f16p.parquet"],
-                    "f16p 10m twin",
-                ):
-                    errors["knn768_f16p_10m"] = "skipped: insufficient /tmp for the 15 GB twin"
-                    print("  knn768_f16p_10m: SKIPPED (disk)", file=sys.stderr)
-                    raise _BudgetSkip
-                from laion_spark.sources.halfvec import write_half_table
-
-                t0 = time.perf_counter()
-                write_half_table(
-                    spark, path_10m, packed_10m, vector_cols=("embedding",), layout="packed"
-                ).collect()
-                open(f"{packed_10m}/_DONE", "w").close()
-                print(f"  f16p 10m rewrite: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-
-            def run_f16p_10m():
-                return knn_search_parquet(
-                    spark, packed_10m, qvec, k=10, vector_col="embedding", select=["id"]
-                ).collect()
-
-            run_f16p_10m()  # warm
-            tsp10 = sorted(timed(run_f16p_10m) for _ in range(3))
-            queries["knn768_f16p_10m"] = tsp10[1]
-            extras["knn768_f16p_10m_best_sec"] = tsp10[0]
-            extras["knn768_f16p_10m_rows_per_sec"] = round(N_10M / tsp10[0])
-            extras["knn768_f16p_10m_bytes_fraction"] = round(du(packed_10m) / du(path_10m), 4)
-            if probe_gbps:
-                extras["knn768_f16p_10m_disk_ratio"] = round(
-                    tsp10[0] / (du(packed_10m) / 1024**3 / probe_gbps), 2
-                )
-            print(
-                f"  knn768_f16p_10m: {tsp10} bytes_frac="
-                f"{extras['knn768_f16p_10m_bytes_fraction']} (reference bf16 scale-eq: ~1.7s)",
-                file=sys.stderr,
-            )
-            _rm(packed_10m)  # transient, like the list twin
-        except _BudgetSkip:
-            pass
-        except Exception as pex_:  # noqa: BLE001
-            errors["knn768_f16p_10m"] = f"{type(pex_).__name__}: {pex_}"[:500]
-            print(f"  knn768_f16p_10m: FAILED {errors['knn768_f16p_10m'].splitlines()[0]}", file=sys.stderr)
-
-        # SQ8 at 10M: 1/4 of the f32 bytes (7.5 GB twin), recall judged
-        # against the f32 scan's own top-10 from this session
-        try:
-            if time.perf_counter() - _T_START > BUDGET_S - 180:
-                errors["knn768_i8_10m"] = "skipped: < 180s of bench budget left"
-                print("  knn768_i8_10m: SKIPPED (headroom)", file=sys.stderr)
-                raise _BudgetSkip
-            i8_10m = f"/tmp/laion_bench_{N_10M}x{DIM}_i8.parquet"
-            if not os.path.exists(f"{i8_10m}/_DONE"):
-                if not ensure_free(
-                    N_10M * DIM + 2 * 1024**3,
-                    [f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf256rg8_f16.parquet"],
-                    "i8 10m twin",
-                ):
-                    errors["knn768_i8_10m"] = "skipped: insufficient /tmp for the 8 GB twin"
-                    print("  knn768_i8_10m: SKIPPED (disk)", file=sys.stderr)
-                    raise _BudgetSkip
-                from laion_spark.sources.halfvec import write_int8_table
-
-                t0 = time.perf_counter()
-                write_int8_table(spark, path_10m, i8_10m, vector_cols=("embedding",)).collect()
-                open(f"{i8_10m}/_DONE", "w").close()
-                print(f"  i8 10m rewrite: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-
-            def run_i8_10m():
-                return knn_search_parquet(
-                    spark, i8_10m, qvec, k=10, vector_col="embedding", select=["id"],
-                    scale_col="embedding_scale",
-                ).collect()
-
-            i8_ids_10m = {r.id for r in run_i8_10m()}  # warm + recall
-            extras["knn768_i8_10m_recall_at_10"] = round(len(truth_10m & i8_ids_10m) / 10, 2)
-            tsi10 = sorted(timed(run_i8_10m) for _ in range(3))
-            queries["knn768_i8_10m"] = tsi10[1]
-            extras["knn768_i8_10m_best_sec"] = tsi10[0]
-            extras["knn768_i8_10m_rows_per_sec"] = round(N_10M / tsi10[0])
-            extras["knn768_i8_10m_bytes_fraction"] = round(du(i8_10m) / du(path_10m), 4)
-            if probe_gbps:
-                extras["knn768_i8_10m_disk_ratio"] = round(
-                    tsi10[0] / (du(i8_10m) / 1024**3 / probe_gbps), 2
-                )
-            print(
-                f"  knn768_i8_10m: {tsi10} recall={extras['knn768_i8_10m_recall_at_10']} "
-                f"bytes_frac={extras['knn768_i8_10m_bytes_fraction']}",
-                file=sys.stderr,
-            )
-            _rm(i8_10m)  # transient, like the f16 twins
-        except _BudgetSkip:
-            pass
-        except Exception as iex_:  # noqa: BLE001
-            errors["knn768_i8_10m"] = f"{type(iex_).__name__}: {iex_}"[:500]
-            print(f"  knn768_i8_10m: FAILED {errors['knn768_i8_10m'].splitlines()[0]}", file=sys.stderr)
-    except _BudgetSkip:
-        pass
-    except Exception as ex:  # noqa: BLE001
-        errors["knn768_10m"] = f"{type(ex).__name__}: {ex}"[:500]
-        print(f"  knn768_10m: FAILED {errors['knn768_10m'].splitlines()[0]}", file=sys.stderr)
-
     # 16M quantize-on-ingest scale point (VERDICT r10 #5): the largest
     # brute-force + ANN pair the disk budget fits. 30M stays out of
     # reach as STANDING evidence — a 23 GB SQ8 table cannot coexist
@@ -2250,6 +2361,12 @@ def main() -> None:
                 f"/tmp/laion_bench_{N_VEC}x{DIM}_i8.parquet",
                 f"/tmp/laion_bench_{N_10M}x{DIM}_f16p.parquet",
                 f"/tmp/laion_bench_{N_10M}x{DIM}_i8.parquet",
+                # tail/dedup fixtures rebuild lazily in the child JVMs
+                # that run after this section
+                f"/tmp/laion_etl_32x16384x{DIM}",
+                "/tmp/laion_events_10000000_tsorted.parquet",
+                "/tmp/laion_docs_4m.parquet",
+                "/tmp/laion_docs_10m.parquet",
                 f"/tmp/laion_bench_{N_10M}x{DIM}.parquet",  # measured; ~80 s rebuild
             ],
             "i8 16m index",
@@ -2376,6 +2493,19 @@ def main() -> None:
         except NameError:
             pass
 
+    # everything below runs in FRESH child JVMs, AFTER the vector
+    # sections: the ~60 GB of Arrow scans above leave allocator/GC/JIT
+    # state that inflates the HOF-heavy dedup pipelines ~2-3x and the
+    # generic ETL sink ~3x (measured r5/r9), so isolation — not suite
+    # order — keeps these rows honest, while the BASELINE headline rows
+    # above kept first claim on the wall-clock budget (VERDICT r11 #1).
+    # These long contention-sensitive families absorb whatever budget
+    # remains; their rows have 11 rounds of green history.
+    _run_family_isolated("--tail-family", tail_family, "tail_family",
+                         queries, extras, errors, cap=900.0)
+    _run_family_isolated("--dedup-family", dedup_family, "dedup_family",
+                         queries, extras, errors, cap=1100.0)
+
     # fallback disk calibration: if the 10M section (the probe's home)
     # skipped, probe the 1M table so the artifact always carries a
     # same-run bandwidth fact (run-b lesson: the one run that NEEDS
@@ -2385,6 +2515,25 @@ def main() -> None:
         if os.path.isdir(p1m):
             disk_probe(extras, p1m)
 
+    # every expected row must be present in queries{} OR carry an error
+    # marker: a section-level skip used to suppress its dependent rows
+    # with no trace (VERDICT r11 #3 — set(expected) - set(present) -
+    # set(errors) must be empty in every artifact)
+    expected_rows = [
+        "dedup1m", "winnow1m", "contain1m", "dedup4m", "dedup10m", "contain4m",
+        *HEADLINERS,
+        "funnel10m", "sessions10m", "topk10m", "ks10m", "stream10m", "stream10m_wm",
+        "etl_shards", "etl_shards_direct",
+        "knn768", "concept768", "knn768_f16", "knn768_f16p", "knn768_i8",
+        "ann768_exact", "ann768", "ann768_batch8", "ann768_cjoin2k",
+        "ann768_f16", "ann768_f16p", "ann768_i8", "ann768_1m", "ann768_4m",
+        "knn768_10m", "concept768_10m", "knn768_f16p_10m", "knn768_i8_10m",
+        "knn768_i8_16m", "ann768_i8_16m",
+    ]
+    for k in expected_rows:
+        if k not in queries and k not in errors:
+            errors[k] = "suppressed: upstream section skipped/failed before this row"
+
     total = round(sum(queries.values()), 4)
     out = {
         "metric": "headline_suite_total",
@@ -2393,7 +2542,8 @@ def main() -> None:
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # headliners run on engine-ingested tables unless ingest failed
-        "layout": "managed32" if star_dir != SF_DIR else "raw",
+        # (stamped by the tail child; absent = the tail family never ran)
+        "layout": extras.pop("layout", "none"),
         "knn768_rows": N_VEC,
         "ann768_rows": N_ANN,
         # queries{} stat policy: median of 3/5 timed runs; long-run keys
@@ -2471,6 +2621,10 @@ def main() -> None:
             compact[f"{ck}_rows"] = extras[f"{ck}_rows"]
     if errors:
         compact["error_keys"] = sorted(errors)
+    if "probe_error" in extras:
+        # the probe's failure reason must survive into the parsed
+        # artifact, not just the detail line (VERDICT r11 #2)
+        compact["probe_error"] = str(extras["probe_error"])[:120]
 
     def emit(c):
         return json.dumps(c, separators=(",", ":"))
@@ -2502,6 +2656,12 @@ def main() -> None:
             k: round(v, 2)
             for k, v in sorted(plain_queries.items(), key=lambda kv: -kv[1])[:28]
         }
+        line = emit(compact)
+    if len(line) > 1900 and len(compact.get("error_keys", [])) > 8:
+        # 6) a catastrophic run can now mark 40+ suppressed rows; keep
+        # the first 8 + a count rather than blow the tail window
+        ek = compact["error_keys"]
+        compact["error_keys"] = ek[:8] + [f"+{len(ek) - 8} more (detail line)"]
         line = emit(compact)
     print(line)
 
