@@ -2193,123 +2193,10 @@ def main() -> None:
         # table + 48 GB build shuffle on an ~80 GB /tmp budget that
         # also holds the 10M brute-force fixture).
 
-        # Same-harness ANN scale curve (VERDICT r9 #3): 1M and 4M points
-        # measured in THIS artifact alongside the 8M headline, so one
-        # BENCH carries the 1M/4M/8M triple. Transient builds — the /tmp
-        # budget persists only the 8M table between rounds; each point
-        # is built (bounded-sample fit + one assign→write pass), tuned,
-        # measured, and deleted before the next.
-        for n_pt in (1_000_000, 4_000_000):
-            key = f"ann768_{n_pt // 1_000_000}m"
-            try:
-                if n_pt >= N_ANN:
-                    continue  # shrunken smoke runs never build above N_ANN
-                if os.environ.get("SPARK_GRAFT_BENCH_SKIP_ANN_CURVE"):
-                    errors[key] = "skipped: SPARK_GRAFT_BENCH_SKIP_ANN_CURVE set"
-                    continue
-                if over_budget(errors, key):
-                    raise _BudgetSkip
-                need_head = 300 if n_pt > 2_000_000 else 150
-                if time.perf_counter() - _T_START > BUDGET_S - need_head:
-                    errors[key] = f"skipped: < {need_head}s of bench budget left"
-                    print(f"  {key}: SKIPPED (headroom)", file=sys.stderr)
-                    raise _BudgetSkip
-                raw_pt = n_pt * DIM * 4
-                pt_path = f"/tmp/laion_bench_{n_pt}x{DIM}_ivf{C}rg{RG_MB}.parquet"
-                # evict cheap 1M fixtures first; the 10M base is the
-                # last resort — it rebuilds in ~60 s (synth_vectors)
-                # while the 4M point is unmeasurable without the room
-                # (r10 first run: 22 GB reachable vs 25 GB needed)
-                if not ensure_free(
-                    int(raw_pt * 2.2),
-                    [
-                        f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet",
-                        f"/tmp/laion_bench_{N_VEC}x{DIM}_f16p.parquet",
-                        f"/tmp/laion_bench_{N_VEC}x{DIM}_i8.parquet",
-                        f"/tmp/laion_bench_{N_VEC}x{DIM}.parquet",
-                        f"/tmp/laion_bench_{N_10M}x{DIM}.parquet",
-                    ],
-                    key,
-                ):
-                    errors[key] = (
-                        f"skipped: ivf curve build needs ~{raw_pt * 2.2 / 1024**3:.0f} GB free"
-                    )
-                    print(f"  {key}: SKIPPED (disk)", file=sys.stderr)
-                    raise _BudgetSkip
-                if idx.centroids is None:
-                    errors[key] = "skipped: no 8M quantizer to share"
-                    raise _BudgetSkip
-                idx_pt = IVFIndex(dim=DIM, n_clusters=C, nprobe=NPROBE)
-                # same quantizer as the 8M headline: the generative
-                # mixture is identical at every scale (centers depend
-                # only on the seed), so sharing centroids isolates the
-                # SCALE variable and skips a redundant ~90 s fit — the
-                # fit-once / index-growing-data serving shape
-                idx_pt.centroids = idx.centroids
-                t0 = time.perf_counter()
-                gen_pt = synth_df(spark, n_pt, DIM, clustered=True)
-                idx_pt.write_index(gen_pt, pt_path, "embedding", row_group_bytes=RG_MB * 1024 * 1024)
-                print(f"  {key} ivf build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-                vec_pt = spark.read.parquet(pt_path)
-                pq_ids = sorted({int(n_pt * f) for f in (0.123457, 0.7777, 0.9991)})
-                pt_rows = {r.id: [float(x) for x in r.embedding]
-                           for r in vec_pt.filter(F.col("id").isin(pq_ids)).collect()}
-                aq_pt = pt_rows[pq_ids[0]]
-
-                def exact_pt(v):
-                    return knn_search_parquet(
-                        spark, pt_path, v, k=10, vector_col="embedding", select=["id"]
-                    ).collect()
-
-                exact_sets_pt = {i: {r.id for r in exact_pt(v)} for i, v in pt_rows.items()}
-
-                def ann_pt(v, np_=None):
-                    return idx_pt.search_parquet(
-                        spark, pt_path, v, k=10, vector_col="embedding",
-                        select=["id"], nprobe=np_,
-                    ).collect()
-
-                # same recall-targeted tuning as the headline point
-                np_pt, rec_pt = NPROBE, 0.0
-                for np_try in (2, 3, NPROBE):
-                    hits = sum(
-                        len(exact_sets_pt[i] & {r.id for r in ann_pt(v, np_try)})
-                        for i, v in pt_rows.items()
-                    )
-                    rec_pt = hits / (10 * len(pt_rows))
-                    if rec_pt >= 0.95 or np_try == NPROBE:
-                        np_pt = np_try
-                        break
-                ets_pt = sorted(timed(lambda: exact_pt(aq_pt)) for _ in range(3))
-                ts_pt = sorted(timed(lambda: ann_pt(aq_pt, np_pt)) for _ in range(5))
-                queries[key] = ts_pt[2]
-                extras[f"{key}_rows"] = n_pt
-                extras[f"{key}_recall_at_10"] = round(rec_pt, 3)
-                extras[f"{key}_nprobe"] = np_pt
-                extras[f"{key}_best_sec"] = ts_pt[0]
-                extras[f"{key}_exact_best_sec"] = ets_pt[0]
-                extras[f"{key}_speedup"] = round(ets_pt[0] / ts_pt[0], 2)
-                tot_pt = du(pt_path)
-                fr_pt = []
-                for i, v in pt_rows.items():
-                    probed = sum(
-                        du(f"{pt_path}/ivf_cluster={p}")
-                        for p in idx_pt.probe_clusters(v, np_pt)
-                        if os.path.isdir(f"{pt_path}/ivf_cluster={p}")
-                    )
-                    fr_pt.append(probed / tot_pt)
-                extras[f"{key}_bytes_fraction"] = round(sum(fr_pt) / len(fr_pt), 4)
-                print(
-                    f"  {key}: {ts_pt} exact={ets_pt} recall={rec_pt:.3f} nprobe={np_pt} "
-                    f"speedup={extras[f'{key}_speedup']} bfrac={extras[f'{key}_bytes_fraction']}",
-                    file=sys.stderr,
-                )
-                _rm(pt_path)  # transient — only the 8M table persists
-            except _BudgetSkip:
-                pass
-            except Exception as cpex:  # noqa: BLE001
-                errors[key] = f"{type(cpex).__name__}: {cpex}"[:500]
-                print(f"  {key}: FAILED {errors[key].splitlines()[0]}", file=sys.stderr)
+        # NOTE (r12): the 1M/4M ANN scale-curve points moved to AFTER the
+        # 16M quantize-on-ingest pair — see below. The 16M pair had never
+        # landed in a frozen artifact (VERDICT r11 #5) while the curve
+        # shipped in r10/r11, so it gets the earlier budget slot.
     except _BudgetSkip:
         pass
     except Exception as ex:  # noqa: BLE001
@@ -2492,6 +2379,138 @@ def main() -> None:
                 _rm(path16)
         except NameError:
             pass
+
+    # Same-harness ANN scale curve (VERDICT r9 #3): 1M and 4M points
+    # measured in THIS artifact alongside the 8M headline, so one BENCH
+    # carries the 1M/4M/8M triple. Transient builds — the /tmp budget
+    # persists only the 8M table between rounds; each point is built
+    # (bounded-sample fit + one assign→write pass), tuned, measured,
+    # and deleted before the next. Runs AFTER the 16M pair since r12
+    # (see the note in the ann section): under IO-hostile rounds the
+    # later slot is the one the budget squeezes, and these points have
+    # two frozen artifacts behind them already.
+    try:
+        # NB: knn_search_parquet is the MODULE-level import — re-importing
+        # it locally here would make the name a local of main() and break
+        # every earlier section that calls it (smoke-caught NameError)
+        from laion_spark.operators.similarity import IVFIndex
+
+        idx.centroids  # NameError when the ann768 section never built the quantizer
+        for n_pt in (1_000_000, 4_000_000):
+            key = f"ann768_{n_pt // 1_000_000}m"
+            try:
+                if n_pt >= N_ANN:
+                    continue  # shrunken smoke runs never build above N_ANN
+                if os.environ.get("SPARK_GRAFT_BENCH_SKIP_ANN_CURVE"):
+                    errors[key] = "skipped: SPARK_GRAFT_BENCH_SKIP_ANN_CURVE set"
+                    continue
+                if over_budget(errors, key):
+                    raise _BudgetSkip
+                need_head = 300 if n_pt > 2_000_000 else 150
+                if time.perf_counter() - _T_START > BUDGET_S - need_head:
+                    errors[key] = f"skipped: < {need_head}s of bench budget left"
+                    print(f"  {key}: SKIPPED (headroom)", file=sys.stderr)
+                    raise _BudgetSkip
+                raw_pt = n_pt * DIM * 4
+                pt_path = f"/tmp/laion_bench_{n_pt}x{DIM}_ivf{C}rg{RG_MB}.parquet"
+                # evict cheap 1M fixtures first; the 10M base is the
+                # last resort — it rebuilds in ~60 s (synth_vectors)
+                # while the 4M point is unmeasurable without the room
+                # (r10 first run: 22 GB reachable vs 25 GB needed)
+                if not ensure_free(
+                    int(raw_pt * 2.2),
+                    [
+                        f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet",
+                        f"/tmp/laion_bench_{N_VEC}x{DIM}_f16p.parquet",
+                        f"/tmp/laion_bench_{N_VEC}x{DIM}_i8.parquet",
+                        f"/tmp/laion_bench_{N_VEC}x{DIM}.parquet",
+                        f"/tmp/laion_bench_{N_10M}x{DIM}.parquet",
+                    ],
+                    key,
+                ):
+                    errors[key] = (
+                        f"skipped: ivf curve build needs ~{raw_pt * 2.2 / 1024**3:.0f} GB free"
+                    )
+                    print(f"  {key}: SKIPPED (disk)", file=sys.stderr)
+                    raise _BudgetSkip
+                if idx.centroids is None:
+                    errors[key] = "skipped: no 8M quantizer to share"
+                    raise _BudgetSkip
+                idx_pt = IVFIndex(dim=DIM, n_clusters=C, nprobe=NPROBE)
+                # same quantizer as the 8M headline: the generative
+                # mixture is identical at every scale (centers depend
+                # only on the seed), so sharing centroids isolates the
+                # SCALE variable and skips a redundant ~90 s fit — the
+                # fit-once / index-growing-data serving shape
+                idx_pt.centroids = idx.centroids
+                t0 = time.perf_counter()
+                gen_pt = synth_df(spark, n_pt, DIM, clustered=True)
+                idx_pt.write_index(gen_pt, pt_path, "embedding", row_group_bytes=RG_MB * 1024 * 1024)
+                print(f"  {key} ivf build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+                vec_pt = spark.read.parquet(pt_path)
+                pq_ids = sorted({int(n_pt * f) for f in (0.123457, 0.7777, 0.9991)})
+                pt_rows = {r.id: [float(x) for x in r.embedding]
+                           for r in vec_pt.filter(F.col("id").isin(pq_ids)).collect()}
+                aq_pt = pt_rows[pq_ids[0]]
+
+                def exact_pt(v):
+                    return knn_search_parquet(
+                        spark, pt_path, v, k=10, vector_col="embedding", select=["id"]
+                    ).collect()
+
+                exact_sets_pt = {i: {r.id for r in exact_pt(v)} for i, v in pt_rows.items()}
+
+                def ann_pt(v, np_=None):
+                    return idx_pt.search_parquet(
+                        spark, pt_path, v, k=10, vector_col="embedding",
+                        select=["id"], nprobe=np_,
+                    ).collect()
+
+                # same recall-targeted tuning as the headline point
+                np_pt, rec_pt = NPROBE, 0.0
+                for np_try in (2, 3, NPROBE):
+                    hits = sum(
+                        len(exact_sets_pt[i] & {r.id for r in ann_pt(v, np_try)})
+                        for i, v in pt_rows.items()
+                    )
+                    rec_pt = hits / (10 * len(pt_rows))
+                    if rec_pt >= 0.95 or np_try == NPROBE:
+                        np_pt = np_try
+                        break
+                ets_pt = sorted(timed(lambda: exact_pt(aq_pt)) for _ in range(3))
+                ts_pt = sorted(timed(lambda: ann_pt(aq_pt, np_pt)) for _ in range(5))
+                queries[key] = ts_pt[2]
+                extras[f"{key}_rows"] = n_pt
+                extras[f"{key}_recall_at_10"] = round(rec_pt, 3)
+                extras[f"{key}_nprobe"] = np_pt
+                extras[f"{key}_best_sec"] = ts_pt[0]
+                extras[f"{key}_exact_best_sec"] = ets_pt[0]
+                extras[f"{key}_speedup"] = round(ets_pt[0] / ts_pt[0], 2)
+                tot_pt = du(pt_path)
+                fr_pt = []
+                for i, v in pt_rows.items():
+                    probed = sum(
+                        du(f"{pt_path}/ivf_cluster={p}")
+                        for p in idx_pt.probe_clusters(v, np_pt)
+                        if os.path.isdir(f"{pt_path}/ivf_cluster={p}")
+                    )
+                    fr_pt.append(probed / tot_pt)
+                extras[f"{key}_bytes_fraction"] = round(sum(fr_pt) / len(fr_pt), 4)
+                print(
+                    f"  {key}: {ts_pt} exact={ets_pt} recall={rec_pt:.3f} nprobe={np_pt} "
+                    f"speedup={extras[f'{key}_speedup']} bfrac={extras[f'{key}_bytes_fraction']}",
+                    file=sys.stderr,
+                )
+                _rm(pt_path)  # transient — only the 8M table persists
+            except _BudgetSkip:
+                pass
+            except Exception as cpex:  # noqa: BLE001
+                errors[key] = f"{type(cpex).__name__}: {cpex}"[:500]
+                print(f"  {key}: FAILED {errors[key].splitlines()[0]}", file=sys.stderr)
+    except NameError:
+        for key in ("ann768_1m", "ann768_4m"):
+            errors.setdefault(key, "skipped: no 8M quantizer (ann768 section failed)")
+            print(f"  {key}: SKIPPED (no quantizer)", file=sys.stderr)
 
     # everything below runs in FRESH child JVMs, AFTER the vector
     # sections: the ~60 GB of Arrow scans above leave allocator/GC/JIT
