@@ -367,12 +367,86 @@ def fixture_sweep(keep: set[str]) -> None:
         print(f"  fixture_sweep: freed {freed / 1024**3:.1f} GB", file=sys.stderr)
 
 
-def ensure_free(need_bytes: int, evict: list[str], label: str = "") -> bool:
-    """True once /tmp has ``need_bytes`` free, evicting the listed
+def _blockmgr_bytes() -> int:
+    """Bytes held by Spark block-manager dirs in /tmp (shuffle files)."""
+    return sum(
+        du(f"/tmp/{n}")
+        for n in os.listdir("/tmp")
+        if n.startswith(("blockmgr-", "spark-"))
+    )
+
+
+def reclaim_shuffle(spark, label: str = "") -> int:
+    """Best-effort in-session shuffle reclaim: System.gc() can let the
+    ContextCleaner drop shuffle files whose ShuffleDependency became
+    unreachable. Measured on this workload it usually frees ~nothing
+    (something in the completed write jobs pins the dependency), so
+    the REAL lever is ``recycle_session`` below — this stays as the
+    cheap first attempt inside ensure_free. Returns bytes freed."""
+    try:
+        before = _blockmgr_bytes()
+        if before < 2 * 1024**3:
+            return 0
+        spark.sparkContext._jvm.System.gc()
+        for _ in range(5):
+            time.sleep(1)
+            if _blockmgr_bytes() < max(before * 0.2, 1024**3):
+                break
+        freed = before - _blockmgr_bytes()
+        if freed > 0:
+            print(
+                f"  reclaim_shuffle[{label}]: freed {freed / 1024**3:.1f} GB "
+                "of dead shuffle files",
+                file=sys.stderr,
+            )
+        return freed
+    except Exception:  # noqa: BLE001 — hygiene must never cost a row
+        return 0
+
+
+def recycle_session(spark, tag: str):
+    """THE shuffle-file reclaim that actually works: in local mode,
+    SparkContext.stop() shuts the DiskBlockManager down and deletes
+    its /tmp/blockmgr-* local dirs (verified: the dead files go to 0),
+    and a fresh context in the SAME JVM keeps the JIT warm. Needed
+    because shuffle files of completed write jobs (the ivf/16M cluster
+    exchanges move ~25-50 GB of incompressible vectors) are never
+    reclaimed by the ContextCleaner in practice — r12's reordered
+    suite accumulated 74 GB of dead shuffle files in one JVM and
+    ENOSPC'd the 16M build even after ensure_free had evicted every
+    fixture it was offered. Called between the heavy vector sections;
+    callers must rebind: ``spark = recycle_session(spark, ...)`` (any
+    DataFrame created before the recycle is dead — sections only share
+    plain-python state: paths, qvec, centroids)."""
+    before = _blockmgr_bytes()
+    try:
+        spark.stop()
+        time.sleep(1)
+    except Exception:  # noqa: BLE001
+        pass
+    s2 = get_session("laion_spark_bench")
+    s2.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    freed = before - _blockmgr_bytes()
+    if freed > 1024**3:
+        print(
+            f"  recycle_session[{tag}]: reclaimed {freed / 1024**3:.1f} GB "
+            "of shuffle files",
+            file=sys.stderr,
+        )
+    return s2
+
+
+def ensure_free(
+    need_bytes: int, evict: list[str], label: str = "", spark=None
+) -> bool:
+    """True once /tmp has ``need_bytes`` free, first reclaiming dead
+    shuffle files (when ``spark`` is given), then evicting the listed
     rebuildable fixtures (in order) as needed. False = still short
-    after evicting everything offered (caller records a skip)."""
+    after everything offered (caller records a skip)."""
     import shutil as _sh
 
+    if _sh.disk_usage("/tmp").free < need_bytes and spark is not None:
+        reclaim_shuffle(spark, label)
     for path in [None, *evict]:
         free = _sh.disk_usage("/tmp").free
         if free >= need_bytes:
@@ -1369,6 +1443,7 @@ def main() -> None:
              "/tmp/laion_docs_4m.parquet",
              "/tmp/laion_docs_10m.parquet"],
             "knn768_10m",
+            spark=spark,
         ):
             errors["knn768_10m"] = "skipped: insufficient /tmp space for 30 GB fixture"
             print("  knn768_10m: SKIPPED (disk)", file=sys.stderr)
@@ -1464,6 +1539,7 @@ def main() -> None:
                      "/tmp/laion_docs_4m.parquet",
                      "/tmp/laion_docs_10m.parquet"],
                     "f16p 10m twin",
+                    spark=spark,
                 ):
                     errors["knn768_f16p_10m"] = "skipped: insufficient /tmp for the 15 GB twin"
                     print("  knn768_f16p_10m: SKIPPED (disk)", file=sys.stderr)
@@ -1521,6 +1597,7 @@ def main() -> None:
                      "/tmp/laion_docs_4m.parquet",
                      "/tmp/laion_docs_10m.parquet"],
                     "i8 10m twin",
+                    spark=spark,
                 ):
                     errors["knn768_i8_10m"] = "skipped: insufficient /tmp for the 8 GB twin"
                     print("  knn768_i8_10m: SKIPPED (disk)", file=sys.stderr)
@@ -1565,6 +1642,10 @@ def main() -> None:
     except Exception as ex:  # noqa: BLE001
         errors["knn768_10m"] = f"{type(ex).__name__}: {ex}"[:500]
         print(f"  knn768_10m: FAILED {errors['knn768_10m'].splitlines()[0]}", file=sys.stderr)
+
+    # drop the 10M section's dead shuffle files before the ANN builds
+    # (recycle_session docstring has the full story)
+    spark = recycle_session(spark, "post_10m")
 
     # ANN twin (BASELINE's Annoy row: 8.5x over brute force at 100M
     # rows): a clustered copy of the table (real CLIP embeddings are
@@ -1741,6 +1822,7 @@ def main() -> None:
                     f"/tmp/laion_bench_10000000x{DIM}.parquet",
                 ],
                 "ivf build",
+                spark=spark,
             ):
                 errors["ann768"] = (
                     f"skipped: ivf build needs ~{raw * 1.4 / 1024**3:.0f} GB free in /tmp"
@@ -2022,6 +2104,7 @@ def main() -> None:
                     int(N_ANN) * DIM * 2 + 4 * 1024**3,
                     [f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet"],
                     "ivf f16 twin",
+                    spark=spark,
                 ):
                     errors["ann768_f16"] = "skipped: insufficient /tmp for the f16 twin"
                     raise _BudgetSkip
@@ -2086,6 +2169,7 @@ def main() -> None:
                     int(N_ANN) * DIM * 2 + 4 * 1024**3,
                     [f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet"],
                     "ivf f16p twin",
+                    spark=spark,
                 ):
                     errors["ann768_f16p"] = "skipped: insufficient /tmp for the f16p twin"
                     raise _BudgetSkip
@@ -2143,6 +2227,7 @@ def main() -> None:
                     int(N_ANN) * DIM + 2 * 1024**3,
                     [f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet"],
                     "ivf i8 twin",
+                    spark=spark,
                 ):
                     errors["ann768_i8"] = "skipped: insufficient /tmp for the i8 twin"
                     raise _BudgetSkip
@@ -2214,6 +2299,10 @@ def main() -> None:
         except NameError:
             pass
 
+    # the ivf build's sliced cluster exchanges are the single biggest
+    # dead-shuffle source (~50 GB at 8M) — reclaim before the 16M build
+    spark = recycle_session(spark, "post_ann")
+
     # 16M quantize-on-ingest scale point (VERDICT r10 #5): the largest
     # brute-force + ANN pair the disk budget fits. 30M stays out of
     # reach as STANDING evidence — a 23 GB SQ8 table cannot coexist
@@ -2257,6 +2346,7 @@ def main() -> None:
                 f"/tmp/laion_bench_{N_10M}x{DIM}.parquet",  # measured; ~80 s rebuild
             ],
             "i8 16m index",
+            spark=spark,
         ):
             errors["knn768_i8_16m"] = (
                 f"skipped: 16M SQ8 index needs ~{raw_i8 * 2.4 / 1024**3:.0f} GB free"
@@ -2380,6 +2470,10 @@ def main() -> None:
         except NameError:
             pass
 
+    # the 16M build's exchange (~30 GB) dies here so the curve's
+    # transient builds start with a clean /tmp
+    spark = recycle_session(spark, "post_16m")
+
     # Same-harness ANN scale curve (VERDICT r9 #3): 1M and 4M points
     # measured in THIS artifact alongside the 8M headline, so one BENCH
     # carries the 1M/4M/8M triple. Transient builds — the /tmp budget
@@ -2427,6 +2521,7 @@ def main() -> None:
                         f"/tmp/laion_bench_{N_10M}x{DIM}.parquet",
                     ],
                     key,
+                    spark=spark,
                 ):
                     errors[key] = (
                         f"skipped: ivf curve build needs ~{raw_pt * 2.2 / 1024**3:.0f} GB free"
@@ -2520,6 +2615,9 @@ def main() -> None:
     # above kept first claim on the wall-clock budget (VERDICT r11 #1).
     # These long contention-sensitive families absorb whatever budget
     # remains; their rows have 11 rounds of green history.
+    # the parent's dead shuffle files would otherwise starve the child
+    # JVMs' fixture rebuilds (74 GB observed before this existed)
+    reclaim_shuffle(spark, "children")
     _run_family_isolated("--tail-family", tail_family, "tail_family",
                          queries, extras, errors, cap=900.0)
     _run_family_isolated("--dedup-family", dedup_family, "dedup_family",
