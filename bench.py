@@ -424,8 +424,48 @@ def recycle_session(spark, tag: str):
         time.sleep(1)
     except Exception:  # noqa: BLE001
         pass
-    s2 = get_session("laion_spark_bench")
-    s2.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+
+    def _fresh():
+        s = get_session("laion_spark_bench")
+        s.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        return s
+
+    try:
+        s2 = _fresh()
+    except Exception as ex:  # noqa: BLE001
+        # the old JVM can die outright (ENOSPC in a shuffle-write thread
+        # trips Spark's uncaught-exception handler), leaving pyspark's
+        # module-global gateway pointing at a dead socket — reset it and
+        # launch a fresh JVM. MUST NOT RAISE either way: an unhandled
+        # error here killed the whole r12 run before the JSON line (the
+        # round-3 no-artifact failure mode).
+        print(
+            f"  recycle_session[{tag}]: gateway dead ({type(ex).__name__}); "
+            "launching a fresh JVM",
+            file=sys.stderr,
+        )
+        try:
+            from pyspark import SparkContext
+            from pyspark.sql import SparkSession as _SS
+
+            try:
+                SparkContext._gateway.shutdown()
+            except Exception:  # noqa: BLE001
+                pass
+            SparkContext._gateway = None
+            SparkContext._jvm = None
+            SparkContext._active_spark_context = None
+            _SS._instantiatedSession = None
+            _SS._activeSession = None
+            s2 = _fresh()
+        except Exception as ex2:  # noqa: BLE001
+            print(
+                f"  recycle_session[{tag}]: fresh JVM failed too "
+                f"({type(ex2).__name__}: {str(ex2)[:200]}); sections after "
+                "this will record errors",
+                file=sys.stderr,
+            )
+            return spark  # dead, but emit needs no session
     freed = before - _blockmgr_bytes()
     if freed > 1024**3:
         print(
@@ -1851,6 +1891,13 @@ def main() -> None:
                     ivf_path, "embedding", row_group_bytes=RG_MB * 1024 * 1024,
                     mode="overwrite" if sl == 0 else "append",
                 )
+                # each slice's cluster exchange leaves its full shuffle
+                # (~raw/n_slices x 2.2) DEAD in /tmp/blockmgr-* — the
+                # accumulation across slices is what ENOSPC'd the r12
+                # cold build (and retroactively explains r11's). The
+                # slice boundary shares only python state, so recycle.
+                if sl + 1 < n_slices:
+                    spark = recycle_session(spark, f"ivf slice {sl + 1}/{n_slices}")
             json.dump(idx.centroids, open(cent_path, "w"))
             print(
                 f"  ivf build: {time.perf_counter()-t0:.1f}s ({n_slices} slice(s))",
