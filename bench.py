@@ -2376,8 +2376,12 @@ def main() -> None:
                 print("  knn768_i8_16m: SKIPPED (headroom)", file=sys.stderr)
             raise _BudgetSkip
         raw_i8 = N_16M * DIM  # codes bytes ~= table bytes (incompressible)
+        # table + ONE slice's shuffle transient (the build is sliced —
+        # see below — so the whole-table 2.4x of r11 is no longer the
+        # peak; today's real /tmp budget is ~51 GB and cannot hold the
+        # 24 GB ivf table plus a 30 GB single-pass build)
         if not ensure_free(
-            int(raw_i8 * 2.4),  # table + int8 shuffle files concurrently
+            int(raw_i8 * 1.35) + 2 * 1024**3,
             [
                 f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet",
                 f"/tmp/laion_bench_{N_VEC}x{DIM}_f16p.parquet",
@@ -2396,7 +2400,7 @@ def main() -> None:
             spark=spark,
         ):
             errors["knn768_i8_16m"] = (
-                f"skipped: 16M SQ8 index needs ~{raw_i8 * 2.4 / 1024**3:.0f} GB free"
+                f"skipped: 16M SQ8 index needs ~{(raw_i8 * 1.35 + 2 * 1024**3) / 1024**3:.0f} GB free"
             )
             print("  knn768_i8_16m: SKIPPED (disk)", file=sys.stderr)
             raise _BudgetSkip
@@ -2418,29 +2422,49 @@ def main() -> None:
             )
         path16 = f"/tmp/laion_bench_{N_16M}x{DIM}_ivf{C16}i8.parquet"
         t0 = time.perf_counter()
-        gen16 = synth_df(spark, N_16M, DIM, clustered=True)
-        # watchdog: run c of r11 saw this build's map stage wedge at
-        # 63/64 tasks for 20+ min (one hung python worker; the same
-        # build completed in 290 s the run before). A hung LAST section
-        # must degrade to its error marker, not take the whole artifact
-        # with it — cancel the job group at 3x the measured build time.
+        # sliced build (r12): one pass's cluster exchange leaves its
+        # full shuffle DEAD in /tmp/blockmgr-* until the session is
+        # recycled, so a single 16M pass peaks at table + whole-table
+        # shuffle (~30 GB) — over today's budget next to the 24 GB ivf
+        # table. Disjoint id slices (elements are pure functions of id)
+        # appended with per-slice file tags keep the peak at table +
+        # ONE slice's shuffle; recycle_session between slices drops
+        # each dead shuffle before the next.
+        import shutil as _sh16
         import threading
 
-        sc = spark.sparkContext
-        sc.setJobGroup("i8_16m_build", "16M SQ8 index build", interruptOnCancel=True)
-        dog = threading.Timer(900, lambda: sc.cancelJobGroup("i8_16m_build"))
-        dog.daemon = True
-        dog.start()
-        try:
-            write_int8_index(
-                idx16m.build(gen16, "embedding"), path16, dim=DIM,
-                vector_col="embedding", row_group_bytes=RG16 * 1024 * 1024,
-                mode="overwrite",  # a crash-orphaned partial must not mix in
-            )
-        finally:
-            dog.cancel()
-            sc.setJobGroup("", "")
+        head16 = _sh16.disk_usage("/tmp").free - raw_i8 - 2 * 1024**3
+        n16 = max(1, -(-int(raw_i8 * 1.2) // max(head16, 4 * 1024**3)))
+        per16 = -(-N_16M // n16)
+        for sl16 in range(n16):
+            lo16, hi16 = sl16 * per16, min((sl16 + 1) * per16, N_16M)
+            gen16 = synth_df(spark, hi16, DIM, clustered=True, start=lo16)
+            # watchdog: run c of r11 saw a build's map stage wedge at
+            # 63/64 tasks for 20+ min (one hung python worker). A hung
+            # LAST section must degrade to its error marker, not take
+            # the whole artifact with it — cancel the job group at ~3x
+            # the measured per-pass build time.
+            sc = spark.sparkContext
+            sc.setJobGroup("i8_16m_build", "16M SQ8 index build", interruptOnCancel=True)
+            dog = threading.Timer(900, lambda sc=sc: sc.cancelJobGroup("i8_16m_build"))
+            dog.daemon = True
+            dog.start()
+            try:
+                write_int8_index(
+                    idx16m.build(gen16, "embedding"), path16, dim=DIM,
+                    vector_col="embedding", row_group_bytes=RG16 * 1024 * 1024,
+                    # slice 0 clears any crash-orphaned partial; later
+                    # slices append with a unique per-pass file tag
+                    mode="overwrite" if sl16 == 0 else "append",
+                    file_tag="" if sl16 == 0 else f"-s{sl16}",
+                )
+            finally:
+                dog.cancel()
+                sc.setJobGroup("", "")
+            if sl16 + 1 < n16:
+                spark = recycle_session(spark, f"16m slice {sl16 + 1}/{n16}")
         build16 = round(time.perf_counter() - t0, 1)
+        extras["knn768_i8_16m_build_slices"] = n16
         extras["knn768_i8_16m_build_sec"] = build16
         print(f"  i8 16m one-pass index build: {build16}s ({du(path16)/1024**3:.1f} GB)",
               file=sys.stderr)

@@ -264,6 +264,7 @@ def write_int8_index(
     row_group_bytes: int = 8 * 1024 * 1024,
     compression: str = "snappy",
     mode: str = "error",
+    file_tag: str = "",
 ) -> list:
     """SQ8-quantize and write a partition-pruned ANN table in ONE pass
     over an already-assigned DataFrame (``cluster_col`` stamped, e.g.
@@ -294,7 +295,15 @@ def write_int8_index(
     non-empty tree could interleave this build's files with a previous
     build's (e.g. a crash-orphaned partial written under a different
     partition count), producing a silently mixed table; ``"overwrite"``
-    removes the existing tree first.
+    removes the existing tree first; ``"append"`` writes into the
+    existing tree and is meant ONLY for sliced writes of the SAME
+    build (same quantizer, same layout — disjoint id ranges appended
+    pass by pass so one pass's shuffle transient, not the whole
+    table's, bounds peak disk). Append callers MUST pass a per-pass
+    unique ``file_tag`` (e.g. ``"-s1"``): task partition ids repeat
+    across passes, so untagged filenames would silently overwrite the
+    previous slice's files. Multiple files per cluster dir are fine —
+    every reader (scan_plans, knn_search_parquet) enumerates the dir.
     """
     import shutil
 
@@ -305,15 +314,22 @@ def write_int8_index(
 
     if "://" in dst_path:
         raise NotImplementedError("write_int8_index targets local paths (fixture/bench use)")
-    if mode not in ("error", "overwrite"):
-        raise ValueError("mode must be 'error' or 'overwrite'")
+    if mode not in ("error", "overwrite", "append"):
+        raise ValueError("mode must be 'error', 'overwrite' or 'append'")
+    if mode == "append" and not file_tag:
+        raise ValueError(
+            "append mode requires a per-pass unique file_tag — partition "
+            "ids repeat across passes, so untagged filenames would "
+            "overwrite the previous slice's files"
+        )
     if os.path.isdir(dst_path) and os.listdir(dst_path):
         if mode == "error":
             raise FileExistsError(
                 f"{dst_path} is non-empty; pass mode='overwrite' to replace it "
                 "(mixing a new build into an old tree is never safe)"
             )
-        shutil.rmtree(dst_path)
+        if mode == "overwrite":
+            shutil.rmtree(dst_path)
     spark = df.sparkSession
     _ship_package(spark)
     names = [f.name for f in df.schema.fields]
@@ -399,7 +415,7 @@ def write_int8_index(
                 ctx = TaskContext.get()
                 pid = ctx.partitionId() if ctx else 0
                 writers[cid] = pq.ParquetWriter(
-                    os.path.join(d, f"part-{pid:05d}.parquet"),
+                    os.path.join(d, f"part-{pid:05d}{file_tag}.parquet"),
                     tbl.schema,
                     compression=compression,
                 )

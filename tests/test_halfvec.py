@@ -319,3 +319,68 @@ def test_int8_index_save_modes(spark, tmp_path):
     res = write_int8_index(df, dst, dim=2, mode="overwrite")
     assert sum(r[1] for r in res) == 2
     assert spark.read.parquet(dst).count() == 2
+
+
+def test_int8_index_sliced_append_matches_one_pass(spark, sf_dir, tmp_path):
+    """A sliced build (disjoint id ranges appended with per-pass file
+    tags — the bounded-peak-disk shape bench.py uses at 16M) must equal
+    the single-pass table byte-for-byte in content and serve the same
+    results. Append without a file_tag must raise (partition ids repeat
+    across passes, so untagged filenames would silently overwrite the
+    previous slice's files)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import pytest
+
+    from laion_spark.operators.similarity import IVFIndex
+    from laion_spark.sources.halfvec import write_int8_index
+
+    src = f"{sf_dir}/embeddings.parquet"
+    emb = spark.read.parquet(src).select("vec_id", "embedding")
+    dim = len(emb.first().embedding)
+    n = emb.count()
+    idx = IVFIndex(dim=dim, n_clusters=4, n_iters=2, nprobe=2)
+    idx.fit(emb, id_col="vec_id", vector_col="embedding", fit_rows=500)
+
+    one = str(tmp_path / "one_pass")
+    write_int8_index(idx.build(emb, "embedding"), one, dim=dim)
+
+    sliced = str(tmp_path / "sliced")
+    cut = int(emb.agg({"vec_id": "max"}).collect()[0][0]) // 2
+    lo = emb.filter(f"vec_id <= {cut}")
+    hi = emb.filter(f"vec_id > {cut}")
+    write_int8_index(idx.build(lo, "embedding"), sliced, dim=dim, mode="overwrite")
+    with pytest.raises(ValueError, match="file_tag"):
+        write_int8_index(idx.build(hi, "embedding"), sliced, dim=dim, mode="append")
+    write_int8_index(
+        idx.build(hi, "embedding"), sliced, dim=dim, mode="append", file_tag="-s1"
+    )
+
+    def snap(path):
+        t = pq.read_table(path).sort_by("vec_id")
+        codes = np.frombuffer(b"".join(t.column("embedding").to_pylist()), np.int8)
+        return (
+            t.column("vec_id").to_pylist(),
+            codes.tobytes(),
+            t.column("embedding_scale").to_pylist(),
+            t.column("ivf_cluster").to_pylist(),
+        )
+
+    assert snap(one) == snap(sliced)
+    assert spark.read.parquet(sliced).count() == n
+
+    got_one = [
+        r.vec_id
+        for r in knn_search_parquet(
+            spark, one, QVEC64, k=5, vector_col="embedding",
+            select=["vec_id"], scale_col="embedding_scale",
+        ).collect()
+    ]
+    got_sliced = [
+        r.vec_id
+        for r in knn_search_parquet(
+            spark, sliced, QVEC64, k=5, vector_col="embedding",
+            select=["vec_id"], scale_col="embedding_scale",
+        ).collect()
+    ]
+    assert got_one == got_sliced
