@@ -75,6 +75,16 @@ N_ANN = int(os.environ.get("SPARK_GRAFT_BENCH_ANN_ROWS", "8000000"))
 N_10M = int(os.environ.get("SPARK_GRAFT_BENCH_10M_ROWS", "10000000"))
 DIM = 768
 
+#: the persisted ANN index table + its quantizer (C=256 clusters, 8 MB
+#: row groups — the ann section's C/RG_MB constants). Module-level so
+#: the 10M section's disk planner can name the table as a LAST-RESORT
+#: eviction: 10M base (30 GB) + ivf table (24 GB) cannot coexist in
+#: the ~52 GB real /tmp budget, and r11/r12 both lost the 10M family
+#: to that conflict. The centroids json (4 MB) is NEVER evicted — a
+#: rebuilt index reuses it and skips the ~90 s k-means fit.
+IVF_PATH = f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf256rg8.parquet"
+IVF_CENT = f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf256rg8_centroids.json"
+
 #: catalog queries worth timing (one per operator family)
 HEADLINERS = [
     "v01_knn_l2_topk",
@@ -354,11 +364,24 @@ def _rm(path: str) -> int:
     return n
 
 
+#: full-scale persistent fixtures a SMOKE run (shrunken env knobs) must
+#: never sweep: they cost minutes to rebuild and the real run's keep-set
+#: wouldn't name them while the knobs are small. Disk pressure against
+#: them is ensure_free's job (ordered eviction), not the sweep's.
+_CANONICAL_KEEP = {
+    f"/tmp/laion_bench_1000000x{DIM}.parquet",
+    f"/tmp/laion_bench_10000000x{DIM}.parquet",
+    f"/tmp/laion_bench_8000000x{DIM}_ivf256rg8.parquet",
+    f"/tmp/laion_bench_8000000x{DIM}_ivf256rg8_centroids.json",
+}
+
+
 def fixture_sweep(keep: set[str]) -> None:
     """Delete bench-owned /tmp entries not in ``keep`` (stale
     generations from earlier parameter choices — e.g. the 4M ANN set
     once N_ANN moved to 8M). Only touches our own prefixes."""
     freed = 0
+    keep = keep | _CANONICAL_KEEP
     for name in os.listdir("/tmp"):
         p = f"/tmp/{name}"
         if any(name.startswith(pre) for pre in _SWEEP_PREFIXES) and p not in keep:
@@ -500,6 +523,202 @@ def ensure_free(
     return _sh.disk_usage("/tmp").free >= need_bytes
 
 
+def disk_plan(extras: dict) -> None:
+    """Suite-start disk budget plan (VERDICT r12 #1): inventory what is
+    on /tmp, what each heavy section needs, and whether the plan FITS —
+    stamped into the artifact so a downgrade or an eviction decision is
+    visible, never silent. The structural fact it encodes: the 10M f32
+    base (30 GB) and the 8M ivf table (24 GB) cannot coexist in the
+    ~52 GB real /tmp budget, so whichever exists at round start, the
+    OTHER section rebuilds after evicting it (the 10M family evicts the
+    ivf table via its ensure_free last resort; the ANN build evicts the
+    10M base via its own). Both rebuilds are bounded: base ~80 s
+    generate+write, ivf ~sliced assign+write reusing kept centroids."""
+    import shutil as _sh
+
+    free = _sh.disk_usage("/tmp").free
+    fixtures = {
+        "ivf8m": IVF_PATH,
+        "base10m": f"/tmp/laion_bench_{N_10M}x{DIM}.parquet",
+        "base1m": f"/tmp/laion_bench_{N_VEC}x{DIM}.parquet",
+        "docs": "/tmp/laion_docs_1m.parquet",
+        "docs4m": "/tmp/laion_docs_4m.parquet",
+        "docs10m": "/tmp/laion_docs_10m.parquet",
+        "events": "/tmp/laion_events_10000000.parquet",
+        "etl": f"/tmp/laion_etl_32x16384x{DIM}",
+    }
+    present = {k: du(p) for k, p in fixtures.items() if os.path.exists(p)}
+    evictable = sum(present.values())
+    need_10m = (
+        0 if "base10m" in present else int(N_10M) * DIM * 4 * 12 // 10 + 2 * 1024**3
+    )
+    need_ivf = 0 if "ivf8m" in present else int(N_ANN) * DIM * 4 * 14 // 10
+    reachable = free + evictable
+    plan = {
+        "free_gb": round(free / 1024**3, 1),
+        "evictable_gb": round(evictable / 1024**3, 1),
+        "present": {k: round(v / 1024**3, 1) for k, v in present.items()},
+        "need_10m_gb": round(need_10m / 1024**3, 1),
+        "need_ivf_gb": round(need_ivf / 1024**3, 1),
+    }
+    if need_10m and reachable < need_10m:
+        plan["action"] = "short_for_10m"  # backstop; should be unreachable
+    elif "ivf8m" in present and need_10m and free + evictable - present["ivf8m"] < need_10m:
+        plan["action"] = "evict_ivf_for_10m"
+    elif "base10m" in present and need_ivf and free + evictable - present["base10m"] < need_ivf:
+        plan["action"] = "evict_base10m_for_ivf"
+    else:
+        plan["action"] = "fits"
+    extras["disk_plan"] = plan
+    print(f"  disk_plan: {json.dumps(plan)}", file=sys.stderr)
+
+
+# ---- shared fixture builders (main-JVM sentinels + child families) ----
+# Cached in /tmp behind _SUCCESS/_DONE markers, so whoever builds first
+# (the sentinel section, early, when budget surely exists) shares the
+# bytes with the child JVMs that re-measure the same keys in isolation.
+
+
+def ensure_docs(spark, n_docs: int):
+    """N-document dedup fixture (1M/4M/10M decades share one recipe):
+    the first n/5 ids are base texts (40 tokens from a 5k-word hash
+    vocabulary), the next n/5 are near-dup variants of those bases (one
+    appended token, Jaccard ~0.95) — n/5 true pairs — and the rest are
+    unique."""
+    base = n_docs // 5
+    dpath = f"/tmp/laion_docs_{n_docs // 1_000_000}m.parquet"
+    if not os.path.exists(f"{dpath}/_SUCCESS"):
+        t0 = time.perf_counter()
+        (
+            spark.range(n_docs)
+            .repartition(64)
+            .selectExpr(
+                "id AS doc_id",
+                f"CASE WHEN id < {2 * base} THEN pmod(id, {base}) ELSE id END AS base_key",
+            )
+            .selectExpr(
+                "doc_id",
+                "concat_ws(' ', transform(sequence(1, 40), "
+                " i -> concat('w', pmod(xxhash64(base_key, i), 5000)))) AS base",
+            )
+            .selectExpr(
+                "doc_id",
+                f"CASE WHEN doc_id >= {base} AND doc_id < {2 * base} "
+                "THEN concat(base, ' x', pmod(doc_id, 97)) ELSE base END AS text",
+            )
+            .write.mode("overwrite")
+            .parquet(dpath)
+        )
+        print(f"  docs{n_docs // 1_000_000}m build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    return spark.read.parquet(dpath)
+
+
+def ensure_events10m(spark) -> str:
+    """10M-event / 1M-user stress fixture (funnel/session/topk/ks/
+    streaming family input); returns the parquet path."""
+    N_EV, N_USERS = 10_000_000, 1_000_000
+    epath = f"/tmp/laion_events_{N_EV}.parquet"
+    if not os.path.exists(f"{epath}/_SUCCESS"):
+        t0 = time.perf_counter()
+        types = F.array(*[F.lit(s) for s in ("view", "click", "purchase", "signup", "error")])
+        (
+            spark.range(N_EV)
+            .repartition(64)
+            .select(
+                F.col("id").alias("event_id"),
+                (F.lit(1_700_000_000_000_000) + F.pmod(F.xxhash64("id", F.lit(1)), F.lit(30 * 86_400_000_000))).alias("ts_us"),
+                F.pmod(F.xxhash64("id", F.lit(2)), F.lit(N_USERS)).alias("user_id"),
+                F.element_at(types, (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(5)) + 1).cast("int")).alias("event_type"),
+                (F.pmod(F.xxhash64("id", F.lit(4)), F.lit(1_000_000)) / 1000.0).alias("value"),
+            )
+            .write.mode("overwrite")
+            .parquet(epath)
+        )
+        print(f"  events10m build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    return epath
+
+
+def ensure_etl_fixture() -> str:
+    """32-shard x 16,384-row x 768-d ETL input set (metadata parquet +
+    row-aligned .npy matrices, shard 13's text matrix missing to
+    exercise S4 zero-fill); returns the input dir."""
+    N_SHARDS, ROWS_PER_SHARD, ETL_DIM = 32, 16_384, DIM
+    etl_in = f"/tmp/laion_etl_{N_SHARDS}x{ROWS_PER_SHARD}x{ETL_DIM}"
+    if not os.path.exists(f"{etl_in}/_DONE"):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t0 = time.perf_counter()
+        for d in ("metadata", "img_emb", "text_emb"):
+            os.makedirs(f"{etl_in}/{d}", exist_ok=True)
+        for sid in range(N_SHARDS):
+            rng = np.random.default_rng(1000 + sid)
+            n = ROWS_PER_SHARD
+            base = sid * n
+            meta = pa.table(
+                {
+                    "key": [f"k{base + i:09d}" for i in range(n)],
+                    "url": [f"https://example.com/{base + i}.jpg" for i in range(n)],
+                    "caption": [f"caption {base + i} ’quoted‘ text" for i in range(n)],
+                    "similarity": pa.array(rng.random(n)),
+                    "width": pa.array(rng.integers(64, 2048, n)),
+                    "height": pa.array(rng.integers(64, 2048, n)),
+                    "original_width": pa.array(rng.integers(64, 4096, n)),
+                    "original_height": pa.array(rng.integers(64, 4096, n)),
+                    "status": ["success"] * n,
+                    "nsfw": ["UNLIKELY"] * n,
+                    "exif_json": ['{"Make": "m", "Model": "x"}'] * n,
+                }
+            )
+            pq.write_table(meta, f"{etl_in}/metadata/metadata_{sid}.parquet")
+            np.save(
+                f"{etl_in}/img_emb/img_emb_{sid}.npy",
+                rng.random((n, ETL_DIM), dtype=np.float32),
+            )
+            if sid != 13:  # one missing matrix exercises S4 zero-fill
+                np.save(
+                    f"{etl_in}/text_emb/text_emb_{sid}.npy",
+                    rng.random((n, ETL_DIM), dtype=np.float32),
+                )
+        open(f"{etl_in}/_DONE", "w").close()
+        print(f"  etl fixture build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    return etl_in
+
+
+def stream10m_once(spark, epath: str) -> None:
+    """One full streaming replay of the 10M-event fixture through the
+    watermarked tumbling-window aggregate into a noop sink (availableNow,
+    fresh checkpoint => every run re-processes all 10M). ONE micro-batch
+    on purpose: the fixture is hash-ordered, so a multi-batch replay
+    would advance the watermark early and silently DROP later rows as
+    late — the timing would measure late-row discarding, not the
+    aggregate (the time-ordered multi-batch variant is stream10m_wm)."""
+    import shutil
+    import tempfile
+
+    from laion_spark.streaming.windows import tumbling_counts
+
+    schema = spark.read.parquet(epath).schema
+    ck = tempfile.mkdtemp(prefix="laion_stream_ck_")
+    try:
+        src = (
+            spark.readStream.schema(schema)
+            .parquet(epath)
+            .withColumn("ts_t", F.timestamp_micros("ts_us"))
+        )
+        q = (
+            tumbling_counts(src, window="1 hour", watermark="30 minutes")
+            .writeStream.format("noop")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+
+
 #: wall-clock budget for the whole bench (seconds). A cold /tmp means
 #: the vector sections rebuild ~25 GB of fixtures (~10 min); if the
 #: harness running us enforces a hard timeout, dying mid-build would
@@ -509,10 +728,14 @@ def ensure_free(
 #: 2100 -> 2500 in r11: the budget was always self-imposed (no external
 #: kill observed in 10 rounds; the longest successful run was 1980 s,
 #: and the only rc!=0 artifact, r3, was a dtype crash, not a timeout).
-#: 2500 funds the 16M quantize-on-ingest leg and keeps the recurrent
-#: cold-10M rebuild path viable; every section still self-skips with a
-#: recorded marker, so the JSON line always prints.
-BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2500"))
+#: 2500 -> 3000 in r13: the ~52 GB real /tmp budget cannot hold the 10M
+#: base AND the 8M ivf table, so a steady-state round now rebuilds one
+#: of them (~80 s base / ~300-500 s sliced ivf from kept centroids),
+#: plus ~3 min of main-JVM family sentinels; the incremental checkpoint
+#: lines (emit_checkpoint) mean even an external kill can no longer
+#: erase completed rows, which is what made the conservative budget
+#: load-bearing. Every section still self-skips with a recorded marker.
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "3000"))
 _T_START = time.perf_counter()
 
 
@@ -590,37 +813,10 @@ def dedup_family(spark, queries: dict, extras: dict, errors: dict) -> None:
     section_floor(spark, extras, "dedup")
 
     def ensure_docs1m():
-        # 1M-document dedup fixture: ids < 200k are base texts (40
-        # tokens from a 5k-word hash vocabulary), 200k-400k are
-        # near-dup variants of those bases (one appended token,
-        # Jaccard ~0.95), the rest unique — ~200k true pairs. Built
-        # lazily INSIDE this guarded section so a slow/failing docs
-        # build can only skip the dedup rows, nothing else.
-        dpath = "/tmp/laion_docs_1m.parquet"
-        if not os.path.exists(f"{dpath}/_SUCCESS"):
-            t0 = time.perf_counter()
-            (
-                spark.range(N_DOCS)
-                .repartition(64)
-                .selectExpr(
-                    "id AS doc_id",
-                    "CASE WHEN id < 400000 THEN pmod(id, 200000) ELSE id END AS base_key",
-                )
-                .selectExpr(
-                    "doc_id",
-                    "concat_ws(' ', transform(sequence(1, 40), "
-                    " i -> concat('w', pmod(xxhash64(base_key, i), 5000)))) AS base",
-                )
-                .selectExpr(
-                    "doc_id",
-                    "CASE WHEN doc_id >= 200000 AND doc_id < 400000 "
-                    "THEN concat(base, ' x', pmod(doc_id, 97)) ELSE base END AS text",
-                )
-                .write.mode("overwrite")
-                .parquet(dpath)
-            )
-            print(f"  docs1m build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-        return spark.read.parquet(dpath)
+        # shared builder (also warmed by the main-JVM sentinel section);
+        # called lazily INSIDE this guarded section so a slow/failing
+        # docs build can only skip the dedup rows, nothing else
+        return ensure_docs(spark, N_DOCS)
 
     def dedup1m():
         from laion_spark.operators.dedup import minhash_lsh_pairs
@@ -690,31 +886,7 @@ def dedup_family(spark, queries: dict, extras: dict, errors: dict) -> None:
                 print("  dedup4m: SKIPPED (headroom)", file=sys.stderr)
             raise _BudgetSkip
         N_DOCS4 = 4_000_000
-        dpath4 = "/tmp/laion_docs_4m.parquet"
-        if not os.path.exists(f"{dpath4}/_SUCCESS"):
-            t0 = time.perf_counter()
-            (
-                spark.range(N_DOCS4)
-                .repartition(64)
-                .selectExpr(
-                    "id AS doc_id",
-                    "CASE WHEN id < 1600000 THEN pmod(id, 800000) ELSE id END AS base_key",
-                )
-                .selectExpr(
-                    "doc_id",
-                    "concat_ws(' ', transform(sequence(1, 40), "
-                    " i -> concat('w', pmod(xxhash64(base_key, i), 5000)))) AS base",
-                )
-                .selectExpr(
-                    "doc_id",
-                    "CASE WHEN doc_id >= 800000 AND doc_id < 1600000 "
-                    "THEN concat(base, ' x', pmod(doc_id, 97)) ELSE base END AS text",
-                )
-                .write.mode("overwrite")
-                .parquet(dpath4)
-            )
-            print(f"  docs4m build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-        docs4m = spark.read.parquet(dpath4)
+        docs4m = ensure_docs(spark, N_DOCS4)
 
         def dedup4m():
             from laion_spark.operators.dedup import minhash_lsh_pairs
@@ -751,35 +923,13 @@ def dedup_family(spark, queries: dict, extras: dict, errors: dict) -> None:
                 print("  dedup10m: SKIPPED (headroom)", file=sys.stderr)
             raise _BudgetSkip
         N_DOCS10 = 10_000_000
-        dpath10 = "/tmp/laion_docs_10m.parquet"
-        if not os.path.exists(f"{dpath10}/_SUCCESS"):
-            if _sh.disk_usage("/tmp").free < 3 * 1024**3:
-                errors["dedup10m"] = "skipped: < 3 GB free in /tmp for the 10M-doc fixture"
-                print("  dedup10m: SKIPPED (disk)", file=sys.stderr)
-                raise _BudgetSkip
-            t0 = time.perf_counter()
-            (
-                spark.range(N_DOCS10)
-                .repartition(64)
-                .selectExpr(
-                    "id AS doc_id",
-                    "CASE WHEN id < 4000000 THEN pmod(id, 2000000) ELSE id END AS base_key",
-                )
-                .selectExpr(
-                    "doc_id",
-                    "concat_ws(' ', transform(sequence(1, 40), "
-                    " i -> concat('w', pmod(xxhash64(base_key, i), 5000)))) AS base",
-                )
-                .selectExpr(
-                    "doc_id",
-                    "CASE WHEN doc_id >= 2000000 AND doc_id < 4000000 "
-                    "THEN concat(base, ' x', pmod(doc_id, 97)) ELSE base END AS text",
-                )
-                .write.mode("overwrite")
-                .parquet(dpath10)
-            )
-            print(f"  docs10m build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-        docs10m = spark.read.parquet(dpath10)
+        if not os.path.exists("/tmp/laion_docs_10m.parquet/_SUCCESS") and (
+            _sh.disk_usage("/tmp").free < 3 * 1024**3
+        ):
+            errors["dedup10m"] = "skipped: < 3 GB free in /tmp for the 10M-doc fixture"
+            print("  dedup10m: SKIPPED (disk)", file=sys.stderr)
+            raise _BudgetSkip
+        docs10m = ensure_docs(spark, N_DOCS10)
 
         def dedup10m():
             from laion_spark.operators.dedup import minhash_lsh_pairs
@@ -838,6 +988,77 @@ def dedup_family(spark, queries: dict, extras: dict, errors: dict) -> None:
     except Exception as ex:  # noqa: BLE001
         errors["contain4m"] = f"{type(ex).__name__}: {ex}"[:500]
         print(f"  contain4m: FAILED {errors['contain4m'].splitlines()[0]}", file=sys.stderr)
+
+
+def family_sentinels(spark, extras: dict, errors: dict, sentinels: dict) -> None:
+    """One representative row per child family, measured EARLY in the
+    main JVM (VERDICT r12 #3): r12's tail/dedup child JVMs landed ZERO
+    rows (IO contention + ENOSPC starved them at the end of the
+    budget), leaving whole families without a frozen number two rounds
+    running. These sentinels run right after the 1M knn headline —
+    before any heavy section can wedge or starve the suite — and are
+    used to FILL GAPS after the children report: a child's isolated
+    number always wins (fresh-JVM isolation is the honest measurement,
+    see dedup_family/tail_family docstrings); the sentinel only stands
+    in when the child produced nothing, marked
+    ``{key}_main_jvm_sentinel: 1`` in the artifact. Fixtures cache in
+    /tmp, so the bytes built here are shared with the children."""
+    section_floor(spark, extras, "sentinel")
+
+    def _measure(key, fn, denom):
+        if over_budget(errors, key):
+            return
+        try:
+            fn()  # warm (includes the lazy fixture build)
+            ts = sorted(timed(fn) for _ in range(2))
+            sentinels[key] = {"sec": ts[0], "rows_per_sec": round(denom / ts[0])}
+            errors.pop(key, None)
+            print(f"  sentinel {key}: {ts}", file=sys.stderr)
+        except Exception as ex:  # noqa: BLE001 — a sentinel must never
+            # cost another row; the child family still gets its chance
+            print(f"  sentinel {key}: FAILED {type(ex).__name__}: {str(ex)[:200]}",
+                  file=sys.stderr)
+
+    def _dedup1m():
+        from laion_spark.operators.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(
+            ensure_docs(spark, 1_000_000), "doc_id", "text",
+            num_hashes=32, bands=8, threshold=0.8,
+        ).count()
+
+    _measure("dedup1m", _dedup1m, 1_000_000)
+
+    def _stream10m():
+        stream10m_once(spark, ensure_events10m(spark))
+
+    _measure("stream10m", _stream10m, 10_000_000)
+
+    def _etl_direct():
+        from laion_spark.sources.npy import etl_shards_to_parquet
+
+        etl_shards_to_parquet(
+            spark, ensure_etl_fixture(), "/tmp/laion_etl_fact_direct.parquet", dim=DIM
+        ).collect()
+
+    _measure("etl_shards_direct", _etl_direct, 32 * 16_384)
+    _rm("/tmp/laion_etl_fact_direct.parquet")  # pure output
+
+
+def apply_sentinel_fallbacks(
+    queries: dict, extras: dict, errors: dict, sentinels: dict
+) -> None:
+    """After the child families report: fill any family key the
+    children never produced from its main-JVM sentinel, with explicit
+    provenance in the artifact."""
+    for key, s in sentinels.items():
+        if key not in queries:
+            queries[key] = s["sec"]
+            extras[f"{key}_best_sec"] = s["sec"]
+            extras[f"{key}_rows_per_sec"] = s["rows_per_sec"]
+            extras[f"{key}_main_jvm_sentinel"] = 1
+            errors.pop(key, None)
+            print(f"  {key}: filled from main-JVM sentinel ({s['sec']}s)", file=sys.stderr)
 
 
 def _run_family_isolated(
@@ -966,25 +1187,8 @@ def tail_family(spark, queries: dict, extras: dict, errors: dict) -> None:
         from laion_spark.operators.topk import topk_approx
 
         section_floor(spark, extras, "events10m")
-        N_EV, N_USERS = 10_000_000, 1_000_000
-        epath = f"/tmp/laion_events_{N_EV}.parquet"
-        if not os.path.exists(f"{epath}/_SUCCESS"):
-            t0 = time.perf_counter()
-            types = F.array(*[F.lit(s) for s in ("view", "click", "purchase", "signup", "error")])
-            (
-                spark.range(N_EV)
-                .repartition(64)
-                .select(
-                    F.col("id").alias("event_id"),
-                    (F.lit(1_700_000_000_000_000) + F.pmod(F.xxhash64("id", F.lit(1)), F.lit(30 * 86_400_000_000))).alias("ts_us"),
-                    F.pmod(F.xxhash64("id", F.lit(2)), F.lit(N_USERS)).alias("user_id"),
-                    F.element_at(types, (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(5)) + 1).cast("int")).alias("event_type"),
-                    (F.pmod(F.xxhash64("id", F.lit(4)), F.lit(1_000_000)) / 1000.0).alias("value"),
-                )
-                .write.mode("overwrite")
-                .parquet(epath)
-            )
-            print(f"  events10m build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        N_EV = 10_000_000
+        epath = ensure_events10m(spark)
         ev10 = spark.read.parquet(epath)
 
         def funnel10m():
@@ -1040,39 +1244,10 @@ def tail_family(spark, queries: dict, extras: dict, errors: dict) -> None:
             )
 
         def stream10m():
-            # Structured-Streaming ingest throughput: the 64-file 10M-event
-            # table replayed as a file stream through the engine's
-            # watermarked tumbling-window aggregate (streaming/windows.py
-            # tumbling_counts) into a noop sink, availableNow trigger —
-            # the analog of the reference's MergeTree ingest+MV path.
-            # Fresh checkpoint per run so every run re-processes all 10M.
-            # ONE micro-batch on purpose: the fixture is hash-ordered, not
-            # time-ordered, so a multi-batch replay (maxFilesPerTrigger)
-            # advances the watermark to ~range-end after batch 1 and
-            # silently DROPS ~75% of later rows as late — the timing
-            # would then measure late-row discarding, not the aggregate.
-            import shutil
-            import tempfile
-
-            from laion_spark.streaming.windows import tumbling_counts
-
-            ck = tempfile.mkdtemp(prefix="laion_stream_ck_")
-            try:
-                src = (
-                    spark.readStream.schema(ev10.schema)
-                    .parquet(epath)
-                    .withColumn("ts_t", F.timestamp_micros("ts_us"))
-                )
-                q = (
-                    tumbling_counts(src, window="1 hour", watermark="30 minutes")
-                    .writeStream.format("noop")
-                    .option("checkpointLocation", ck)
-                    .trigger(availableNow=True)
-                    .start()
-                )
-                q.awaitTermination()
-            finally:
-                shutil.rmtree(ck, ignore_errors=True)
+            # Structured-Streaming ingest throughput — the analog of the
+            # reference's MergeTree ingest+MV path; see stream10m_once
+            # (module level, shared with the main-JVM sentinel section)
+            stream10m_once(spark, epath)
 
         def stream10m_wm(files_per_trigger: int = 16):
             # Watermark-advancing multi-batch replay — the honest
@@ -1220,46 +1395,7 @@ def tail_family(spark, queries: dict, extras: dict, errors: dict) -> None:
         section_floor(spark, extras, "etl")
         # one shard per task: 32 shards fill the 32-core host exactly
         N_SHARDS, ROWS_PER_SHARD, ETL_DIM = 32, 16_384, DIM
-        etl_in = f"/tmp/laion_etl_{N_SHARDS}x{ROWS_PER_SHARD}x{ETL_DIM}"
-        if not os.path.exists(f"{etl_in}/_DONE"):
-            import numpy as np
-            import pyarrow as pa
-            import pyarrow.parquet as pq
-
-            t0 = time.perf_counter()
-            for d in ("metadata", "img_emb", "text_emb"):
-                os.makedirs(f"{etl_in}/{d}", exist_ok=True)
-            for sid in range(N_SHARDS):
-                rng = np.random.default_rng(1000 + sid)
-                n = ROWS_PER_SHARD
-                base = sid * n
-                meta = pa.table(
-                    {
-                        "key": [f"k{base + i:09d}" for i in range(n)],
-                        "url": [f"https://example.com/{base + i}.jpg" for i in range(n)],
-                        "caption": [f"caption {base + i} ’quoted‘ text" for i in range(n)],
-                        "similarity": pa.array(rng.random(n)),
-                        "width": pa.array(rng.integers(64, 2048, n)),
-                        "height": pa.array(rng.integers(64, 2048, n)),
-                        "original_width": pa.array(rng.integers(64, 4096, n)),
-                        "original_height": pa.array(rng.integers(64, 4096, n)),
-                        "status": ["success"] * n,
-                        "nsfw": ["UNLIKELY"] * n,
-                        "exif_json": ['{"Make": "m", "Model": "x"}'] * n,
-                    }
-                )
-                pq.write_table(meta, f"{etl_in}/metadata/metadata_{sid}.parquet")
-                np.save(
-                    f"{etl_in}/img_emb/img_emb_{sid}.npy",
-                    rng.random((n, ETL_DIM), dtype=np.float32),
-                )
-                if sid != 13:  # one missing matrix exercises S4 zero-fill
-                    np.save(
-                        f"{etl_in}/text_emb/text_emb_{sid}.npy",
-                        rng.random((n, ETL_DIM), dtype=np.float32),
-                    )
-            open(f"{etl_in}/_DONE", "w").close()
-            print(f"  etl fixture build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        etl_in = ensure_etl_fixture()
 
         etl_out = "/tmp/laion_etl_fact.parquet"
 
@@ -1310,35 +1446,65 @@ def tail_family(spark, queries: dict, extras: dict, errors: dict) -> None:
     extras["layout"] = "managed32" if star_dir != SF_DIR else "raw"
 
 
+#: transient bytes a child JVM may evict to make room for its own
+#: fixtures (stale twins/outputs the parent's vector sections leave
+#: behind; the 10M base is last — its rows are measured by child time
+#: and it rebuilds in ~80 s)
+_CHILD_EVICT = [
+    f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf256rg8_f16.parquet",
+    f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf256rg8_f16p.parquet",
+    f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf256rg8_i8.parquet",
+    "/tmp/laion_etl_fact.parquet",
+    "/tmp/laion_etl_fact_direct.parquet",
+    f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet",
+    f"/tmp/laion_bench_{N_VEC}x{DIM}_f16p.parquet",
+    f"/tmp/laion_bench_{N_VEC}x{DIM}_i8.parquet",
+    f"/tmp/laion_bench_{N_10M}x{DIM}.parquet",
+]
+
+
 def main() -> None:
     if "--dedup-family" in sys.argv:
-        # child mode: pristine JVM, family only, one JSON line out
+        # child mode: pristine JVM, family only, one JSON line out.
+        # Own disk check first (VERDICT r12 #3): the r12 children
+        # starved on a /tmp the parent's failed sections had filled.
         spark = get_session("laion_spark_bench_dedup")
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
         q: dict[str, float] = {}
         x: dict[str, float | int] = {}
         e: dict[str, str] = {}
-        dedup_family(spark, q, x, e)
+        if not ensure_free(8 * 1024**3, _CHILD_EVICT, "dedup_child", spark=spark):
+            e["dedup_family"] = "skipped: < 8 GB free in /tmp for the dedup child"
+        else:
+            dedup_family(spark, q, x, e)
         print(json.dumps({"queries": q, "extras": x, "errors": e}))
         return
 
     if "--tail-family" in sys.argv:
         # child mode: pristine JVM for the catalog/events/streaming/ETL
-        # tail (tail_family sets its own split size)
+        # tail (tail_family sets its own split size); own disk check
+        # like the dedup child
         spark = get_session("laion_spark_bench_tail")
         q2: dict[str, float] = {}
         x2: dict[str, float | int] = {}
         e2: dict[str, str] = {}
-        tail_family(spark, q2, x2, e2)
+        if not ensure_free(8 * 1024**3, _CHILD_EVICT, "tail_child", spark=spark):
+            e2["tail_family"] = "skipped: < 8 GB free in /tmp for the tail child"
+        else:
+            tail_family(spark, q2, x2, e2)
         print(json.dumps({"queries": q2, "extras": x2, "errors": e2}))
         return
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     queries: dict[str, float] = {}
     extras: dict[str, float | int] = {}
     #: per-query failures — a red query yields an errors entry, never a
     #: dead bench (round-3 lesson: one broken warm-up zeroed BENCH_r03)
     errors: dict[str, str] = {}
+    #: main-JVM per-family representative timings (fallbacks if the
+    #: child JVMs starve — VERDICT r12 #3)
+    sentinels: dict[str, dict] = {}
 
     # reclaim superseded fixture generations BEFORE anything runs (the
     # dedup child sees the freed disk too). 256/8 mirror the ANN
@@ -1370,6 +1536,14 @@ def main() -> None:
     # small-table override lives with the catalog family in the tail
     # child)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+
+    # suite-start disk budget plan (VERDICT r12 #1) — stamped before
+    # anything heavy runs, so the artifact records what was on disk and
+    # which eviction path the run was GOING to take even if it dies
+    try:
+        disk_plan(extras)
+    except Exception as dpex:  # noqa: BLE001 — planning must not cost a row
+        print(f"  disk_plan: FAILED {type(dpex).__name__}: {dpex}", file=sys.stderr)
 
     # BASELINE-comparable anchor shapes: brute-force L2 top-10 over
     # N_VEC x 768; qvec is the shared out-of-distribution pattern query
@@ -1446,6 +1620,14 @@ def main() -> None:
         errors["knn768"] = f"{type(ex).__name__}: {ex}"[:500]
         print(f"  knn768: FAILED {errors['knn768'].splitlines()[0]}", file=sys.stderr)
 
+    emit_checkpoint(queries, extras, errors, sf_val, "knn768")
+
+    # one representative row per child family, while the budget surely
+    # exists (VERDICT r12 #3 — the children landed ZERO rows in r12);
+    # fills gaps after the children report, never overrides them
+    family_sentinels(spark, extras, errors, sentinels)
+    emit_checkpoint(queries, extras, errors, sf_val, "sentinels")
+
     # 10M-row soak (VERDICT r4 missing #3): one measured point at the
     # reference's OWN published brute-force scale (BASELINE.md rows:
     # 10M x 768 in 3.747-10.272 s server-side) — turns the "linear in
@@ -1467,11 +1649,21 @@ def main() -> None:
                 errors["knn768_10m"] = f"skipped: < {head}s of bench budget left"
                 print("  knn768_10m: SKIPPED (headroom)", file=sys.stderr)
             raise _BudgetSkip
-        need = 36 * 1024**3 if not os.path.exists(f"{path_10m}/_SUCCESS") else 2 * 1024**3
+        # scale with N_10M (raw f32 bytes x 1.2 write margin): the old
+        # hardcoded 36 GB mis-skipped env-shrunken smoke runs
+        need = (
+            int(N_10M) * DIM * 4 * 12 // 10 + 2 * 1024**3
+            if not os.path.exists(f"{path_10m}/_SUCCESS")
+            else 2 * 1024**3
+        )
         # eviction order: leftover transient twins first, then the
         # tail/dedup-family fixtures — those families run AFTER this
         # section in their own child JVMs and rebuild lazily (~30-60s
-        # each), so early eviction is safe
+        # each), so early eviction is safe. LAST resort: the persisted
+        # 8M ivf table — it cannot coexist with the 30 GB base on the
+        # ~52 GB real /tmp budget (the r11/r12 10M-family killer), and
+        # it rebuilds from its kept centroids in the ANN section. The
+        # 10M BASELINE rows outrank a cached index.
         if not ensure_free(
             need,
             [f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf256rg8_f16.parquet",
@@ -1481,7 +1673,8 @@ def main() -> None:
              f"/tmp/laion_etl_32x16384x{DIM}",
              "/tmp/laion_events_10000000_tsorted.parquet",
              "/tmp/laion_docs_4m.parquet",
-             "/tmp/laion_docs_10m.parquet"],
+             "/tmp/laion_docs_10m.parquet",
+             IVF_PATH],
             "knn768_10m",
             spark=spark,
         ):
@@ -1577,7 +1770,8 @@ def main() -> None:
                      f"/tmp/laion_etl_32x16384x{DIM}",
                      "/tmp/laion_events_10000000_tsorted.parquet",
                      "/tmp/laion_docs_4m.parquet",
-                     "/tmp/laion_docs_10m.parquet"],
+                     "/tmp/laion_docs_10m.parquet",
+                     IVF_PATH],
                     "f16p 10m twin",
                     spark=spark,
                 ):
@@ -1635,7 +1829,8 @@ def main() -> None:
                      f"/tmp/laion_etl_32x16384x{DIM}",
                      "/tmp/laion_events_10000000_tsorted.parquet",
                      "/tmp/laion_docs_4m.parquet",
-                     "/tmp/laion_docs_10m.parquet"],
+                     "/tmp/laion_docs_10m.parquet",
+                     IVF_PATH],
                     "i8 10m twin",
                     spark=spark,
                 ):
@@ -1682,6 +1877,8 @@ def main() -> None:
     except Exception as ex:  # noqa: BLE001
         errors["knn768_10m"] = f"{type(ex).__name__}: {ex}"[:500]
         print(f"  knn768_10m: FAILED {errors['knn768_10m'].splitlines()[0]}", file=sys.stderr)
+
+    emit_checkpoint(queries, extras, errors, sf_val, "10m_family")
 
     # drop the 10M section's dead shuffle files before the ANN builds
     # (recycle_session docstring has the full story)
@@ -1819,6 +2016,8 @@ def main() -> None:
         errors["knn768_f16"] = f"{type(ex).__name__}: {ex}"[:500]
         print(f"  knn768_f16: FAILED {errors['knn768_f16'].splitlines()[0]}", file=sys.stderr)
 
+    emit_checkpoint(queries, extras, errors, sf_val, "1m_ladder")
+
     try:
         if over_budget(errors, "ann768"):
             raise _BudgetSkip
@@ -1835,8 +2034,7 @@ def main() -> None:
         # probe ~6 splits per probed file (24-48 tasks), and a probe's
         # wall-clock is decode-bound at full width.
         C, NPROBE, RG_MB = 256, 4, 8
-        ivf_path = f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf{C}rg{RG_MB}.parquet"
-        cent_path = f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf{C}rg{RG_MB}_centroids.json"
+        ivf_path, cent_path = IVF_PATH, IVF_CENT  # C/RG_MB are baked into the names
         idx = IVFIndex(dim=DIM, n_clusters=C, n_iters=4, nprobe=NPROBE)
         if os.path.exists(cent_path) and os.path.exists(f"{ivf_path}/_SUCCESS"):
             idx.centroids = json.load(open(cent_path))
@@ -1871,7 +2069,16 @@ def main() -> None:
                 raise _BudgetSkip
             t0 = time.perf_counter()
             gen_df = synth_df(spark, N_ANN, DIM, clustered=True)
-            idx.fit(gen_df, id_col="id", vector_col="embedding", fit_rows=200_000)
+            if os.path.exists(cent_path):
+                # the table was evicted (normally: the 10M family's
+                # last-resort eviction) but the quantizer survives —
+                # reuse it and skip the ~90 s fit; the generator is
+                # deterministic so the centroids still match the data
+                idx.centroids = json.load(open(cent_path))
+                print("  ivf build: reusing persisted centroids (table was evicted)",
+                      file=sys.stderr)
+            else:
+                idx.fit(gen_df, id_col="id", vector_col="embedding", fit_rows=200_000)
             # sliced write: one pass's transient bytes (cluster shuffle +
             # sort spill, ~2.2x its raw input) ENOSPC'd the r11 cold
             # build even though the final table fit — the peak, not the
@@ -2346,6 +2553,8 @@ def main() -> None:
         except NameError:
             pass
 
+    emit_checkpoint(queries, extras, errors, sf_val, "ann768")
+
     # the ivf build's sliced cluster exchanges are the single biggest
     # dead-shuffle source (~50 GB at 8M) — reclaim before the 16M build
     spark = recycle_session(spark, "post_ann")
@@ -2541,6 +2750,8 @@ def main() -> None:
         except NameError:
             pass
 
+    emit_checkpoint(queries, extras, errors, sf_val, "16m_pair")
+
     # the 16M build's exchange (~30 GB) dies here so the curve's
     # transient builds start with a clean /tmp
     spark = recycle_session(spark, "post_16m")
@@ -2686,13 +2897,20 @@ def main() -> None:
     # above kept first claim on the wall-clock budget (VERDICT r11 #1).
     # These long contention-sensitive families absorb whatever budget
     # remains; their rows have 11 rounds of green history.
+    emit_checkpoint(queries, extras, errors, sf_val, "ann_curve")
+
     # the parent's dead shuffle files would otherwise starve the child
     # JVMs' fixture rebuilds (74 GB observed before this existed)
     reclaim_shuffle(spark, "children")
     _run_family_isolated("--tail-family", tail_family, "tail_family",
                          queries, extras, errors, cap=900.0)
+    emit_checkpoint(queries, extras, errors, sf_val, "tail_family")
     _run_family_isolated("--dedup-family", dedup_family, "dedup_family",
                          queries, extras, errors, cap=1100.0)
+
+    # fill any family key the children never produced from its main-JVM
+    # sentinel (VERDICT r12 #3) — explicit provenance in extras
+    apply_sentinel_fallbacks(queries, extras, errors, sentinels)
 
     # fallback disk calibration: if the 10M section (the probe's home)
     # skipped, probe the 1M table so the artifact always carries a
@@ -2731,13 +2949,13 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # headliners run on engine-ingested tables unless ingest failed
         # (stamped by the tail child; absent = the tail family never ran)
-        "layout": extras.pop("layout", "none"),
+        "layout": extras.get("layout", "none"),
         "knn768_rows": N_VEC,
         "ann768_rows": N_ANN,
         # queries{} stat policy: median of 3/5 timed runs; long-run keys
         # (dedup4m, etl_shards, catalog q*) best-of-2 (ADVICE r5)
         "stat_policy": "median-of-3/5; 2-run keys best-of-2",
-        **extras,  # {impl}_best_sec + {impl}_rows_per_sec (best-of-5)
+        **{k: v for k, v in extras.items() if k != "layout"},
     }
     if "knn768" in queries:
         out["knn768_rows_per_sec_median"] = round(N_VEC / queries["knn768"])
@@ -2750,18 +2968,33 @@ def main() -> None:
     # well under the tail capture: queries rounded to 3 dp, extras
     # replaced by a pointer to the detail line.
     detail_line = json.dumps(out)
-    print(detail_line)
+    print(detail_line, flush=True)
     print(detail_line, file=sys.stderr)
-    # Compact final line for the driver's 2000-char tail (VERDICT r9
-    # #2: the truncated tail dropped ann768_rows + per-row recalls from
-    # the machine-readable artifact). Vector/ANN rows now carry their
-    # FULL detail as positional arrays (median, best, bytes_fraction,
-    # recall, speedup — nulls where not applicable) in vec{}; every
-    # other row keeps its median in queries{}. Contention floors stay
-    # (VERDICT r8 #3).
-    # positional legend for vec{} arrays: median sec, best sec, bytes
-    # fraction vs the f32 table, recall@10, speedup vs exact — trailing
-    # nulls are TRIMMED (a 2-element row means "no bfrac/recall/speedup")
+    print(build_compact_line(queries, extras, errors, out["sf"]), flush=True)
+
+
+def build_compact_line(
+    queries: dict, extras: dict, errors: dict, sf, partial: str | None = None
+) -> str:
+    """Compact (<=1900 char) JSON artifact line for the driver's
+    2000-char tail window (VERDICT r9 #2: a truncated tail once dropped
+    ann768_rows + per-row recalls from the machine-readable artifact).
+
+    Vector/ANN rows carry their FULL detail as positional arrays
+    (median, best, bytes_fraction, recall, speedup — trailing nulls
+    trimmed) in vec{}; every other row keeps its median in queries{}.
+    Contention floors stay (VERDICT r8 #3). ``partial`` marks a MID-RUN
+    CHECKPOINT line (VERDICT r12 #4): main() emits one after every
+    heavy section, so a kill between sections leaves the last
+    checkpoint as a parseable artifact holding every completed row —
+    the final full-run line supersedes them all when the run survives.
+
+    Root-error preservation (VERDICT r12 #2): the first non-suppressed
+    failure ships verbatim (truncated text, never dropped) as
+    root_error, and the error_keys trim only ever drops "suppressed:"
+    markers — a failed section's actual cause is always readable from
+    the frozen compact line alone."""
+    total = round(sum(queries.values()), 4)
     VEC_COLS = ["med", "best", "bfrac", "recall", "speedup"]
     vec: dict[str, list] = {}
     plain_queries: dict[str, float] = {}
@@ -2784,11 +3017,11 @@ def main() -> None:
         else:
             plain_queries[k] = round(v, 3)
     compact = {
-        "metric": out["metric"],
+        "metric": "headline_suite_total",
         "value": total,
         "unit": "sec",
-        "sf": out["sf"],
-        "layout": out["layout"],
+        "sf": sf,
+        "layout": extras.get("layout", "none"),
         "knn768_rows": N_VEC,
         "ann768_rows": N_ANN,
         "ann768_nprobe": extras.get("ann768_nprobe"),
@@ -2802,13 +3035,23 @@ def main() -> None:
             if k.endswith("_floor_sec")
         },
     }
+    if partial:
+        compact["partial"] = partial
     if "ann768_nprobe_sweep" in extras:
         compact["nprobe_sweep"] = extras["ann768_nprobe_sweep"]
     for ck in ("ann768_1m", "ann768_4m", "ann768_i8_16m"):
         if f"{ck}_rows" in extras:
             compact[f"{ck}_rows"] = extras[f"{ck}_rows"]
+    dp_action = (extras.get("disk_plan") or {}).get("action")
+    if dp_action and dp_action != "fits":
+        # eviction/downgrade decisions surface in the parsed artifact,
+        # not just the detail line (VERDICT r12 #1: never silent)
+        compact["disk_plan"] = dp_action
     if errors:
         compact["error_keys"] = sorted(errors)
+        root = _pick_root_error(errors)
+        if root:
+            compact["root_error"] = [root[0], root[1][:160]]
     if "probe_error" in extras:
         # the probe's failure reason must survive into the parsed
         # artifact, not just the detail line (VERDICT r11 #2)
@@ -2819,7 +3062,7 @@ def main() -> None:
 
     # measured trim cascade — the driver parses only the FINAL line out
     # of its 2000-char tail, so stay under 1900 with graceful detail
-    # loss (never recall/rows: those were this change's whole point)
+    # loss (never recall/rows/root-cause: those are the artifact's point)
     line = emit(compact)
     if len(line) > 1900:  # 1) catalog medians to 2 dp
         compact["queries"] = {k: round(v, 2) for k, v in plain_queries.items()}
@@ -2846,12 +3089,50 @@ def main() -> None:
         }
         line = emit(compact)
     if len(line) > 1900 and len(compact.get("error_keys", [])) > 8:
-        # 6) a catastrophic run can now mark 40+ suppressed rows; keep
-        # the first 8 + a count rather than blow the tail window
+        # 6) a catastrophic run can mark 40+ rows; drop ONLY the
+        # "suppressed:" markers (VERDICT r12 #2 — r12's trim cut the
+        # actual 10M root cause out of the frozen artifact). Real
+        # failure/skip keys survive, capped at 16 with a count.
         ek = compact["error_keys"]
-        compact["error_keys"] = ek[:8] + [f"+{len(ek) - 8} more (detail line)"]
+        sup = [k for k in ek if str(errors.get(k, "")).startswith("suppressed")]
+        real = [k for k in ek if k not in sup]
+        kept = real[:16] + ([f"+{len(real) - 16} more real (detail line)"] if len(real) > 16 else [])
+        if sup:
+            kept.append(f"+{len(sup)} suppressed (detail line)")
+        compact["error_keys"] = kept
         line = emit(compact)
-    print(line)
+    if len(line) > 1900 and "root_error" in compact:  # 7) shorten, never drop
+        compact["root_error"] = [compact["root_error"][0], compact["root_error"][1][:80]]
+        line = emit(compact)
+    return line
+
+
+def _pick_root_error(errors: dict) -> tuple[str, str] | None:
+    """The first hard failure, else the first skip — the run's root
+    cause in chronological (insertion) order; "suppressed" cascade
+    markers never qualify."""
+    for pred in (
+        lambda v: not v.startswith(("suppressed", "skipped")),
+        lambda v: v.startswith("skipped"),
+    ):
+        for k, v in errors.items():
+            if pred(str(v)):
+                return k, str(v)
+    return None
+
+
+def emit_checkpoint(queries: dict, extras: dict, errors: dict, sf, stage: str) -> None:
+    """Flush a mid-run checkpoint artifact line to stdout (VERDICT r12
+    #4): the driver parses the FINAL JSON line of its tail capture, so
+    each checkpoint supersedes the previous one and a kill -9 between
+    sections still leaves every completed row in a parseable artifact.
+    Must never raise — artifact hygiene cannot cost a row."""
+    try:
+        line = build_compact_line(queries, extras, errors, sf, partial=stage)
+        print(line, flush=True)
+        print(f"  checkpoint[{stage}]: {len(line)}B flushed", file=sys.stderr)
+    except Exception as ex:  # noqa: BLE001
+        print(f"  checkpoint[{stage}] emit failed: {type(ex).__name__}: {ex}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -615,3 +615,87 @@ def shared_window_pairs(
         .filter(F.col("shared") >= min_shared)
         .orderBy(F.col("shared").desc(), "da", "db")
     )
+
+
+def resolve_entities(
+    vocab: DataFrame,
+    word_col: str = "w",
+    freq_col: str = "freq",
+    threshold: float = 0.9,
+    len_band: int = 2,
+    max_iters: int = 25,
+) -> DataFrame:
+    """End-to-end entity resolution over a vocabulary/entity table —
+    the record-linkage composite (VERDICT r11 #7 capstone) built from
+    three independently-verified stages:
+
+      1. BLOCKING (q147's shape): candidate pairs must share a Soundex
+         code (JVM builtin — pure Catalyst) and sit within ``len_band``
+         of each other's length, so candidate generation is an
+         equi-join on the phonetic key with a cheap range residual —
+         never all-pairs. Zipf bounds the input: the vocabulary is
+         orders of magnitude smaller than the corpus it came from.
+      2. SCORING (q146's shape): Jaro-Winkler over the blocked
+         candidates only, via the Arrow pandas UDF pinned bit-identical
+         to DuckDB's builtin (tests/test_fuzzy.py), so a ``>=
+         threshold`` gate can never straddle engines. Matches become
+         undirected edges.
+      3. CLUSTER + SURVIVOR (d11's shape): min-label propagation
+         (``connected_components``) groups transitive matches, then one
+         ``min(struct(-freq, word))`` aggregate per component picks the
+         canonical surface form — highest corpus frequency, ties to the
+         lexicographically smallest word — with no window over the
+         corpus and no self-join.
+
+    Input: one row per distinct entity string with its corpus
+    frequency. Output: one row per entity that matched ANYTHING
+    (members of size->=2 clusters): (word, comp, canon, is_canon,
+    freq), ordered by word. Unmatched entities are their own canon by
+    definition and are left out — callers union them back if needed.
+
+    100 TB shape: every stage is vocabulary-sized. The corpus is
+    touched once (upstream, to build the frequency table); blocking
+    fan-out is bounded by the Soundex bucket sizes (q147 reports the
+    n(n-1)/2 cost metric for exactly this decision); the JW UDF sees
+    only blocked candidates; components iterate on match edges (dup
+    clusters are shallow, O(diameter) rounds).
+    """
+    from laion_spark.functions.fuzzy import jaro_winkler_similarity
+
+    sdx = vocab.select(
+        F.col(word_col).alias("_w"),
+        F.col(freq_col).alias("_f"),
+        F.soundex(word_col).alias("_code"),
+        F.length(word_col).alias("_ln"),
+    )
+    a, b = sdx.alias("a"), sdx.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a._code") == F.col("b._code"))
+        & (F.col("a._w") < F.col("b._w"))
+        & (F.abs(F.col("a._ln") - F.col("b._ln")) <= len_band),
+    )
+    edges = cand.filter(
+        jaro_winkler_similarity(F.col("a._w"), F.col("b._w")) >= threshold
+    ).select(F.col("a._w").alias("wa"), F.col("b._w").alias("wb"))
+    comps = connected_components(edges, "wa", "wb", max_iters=max_iters)
+    labeled = comps.join(
+        vocab.select(F.col(word_col).alias("_w"), F.col(freq_col).alias("_f")),
+        comps.id == F.col("_w"),
+    ).select(F.col("_w").alias(word_col), "comp", F.col("_f").alias(freq_col))
+    surv = labeled.groupBy("comp").agg(
+        F.min(
+            F.struct((-F.col(freq_col)).alias("nf"), F.col(word_col).alias("w"))
+        ).alias("s")
+    )
+    return (
+        labeled.join(surv, "comp")
+        .select(
+            word_col,
+            "comp",
+            F.col("s.w").alias("canon"),
+            (F.col(word_col) == F.col("s.w")).cast("int").alias("is_canon"),
+            F.col(freq_col),
+        )
+        .orderBy(word_col)
+    )
