@@ -728,14 +728,17 @@ def stream10m_once(spark, epath: str) -> None:
 #: 2100 -> 2500 in r11: the budget was always self-imposed (no external
 #: kill observed in 10 rounds; the longest successful run was 1980 s,
 #: and the only rc!=0 artifact, r3, was a dtype crash, not a timeout).
-#: 2500 -> 3000 in r13: the ~52 GB real /tmp budget cannot hold the 10M
-#: base AND the 8M ivf table, so a steady-state round now rebuilds one
-#: of them (~80 s base / ~300-500 s sliced ivf from kept centroids),
-#: plus ~3 min of main-JVM family sentinels; the incremental checkpoint
-#: lines (emit_checkpoint) mean even an external kill can no longer
-#: erase completed rows, which is what made the conservative budget
-#: load-bearing. Every section still self-skips with a recorded marker.
-BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "3000"))
+#: 2500 -> 3600 in r13: the ~52 GB real /tmp budget cannot hold the 10M
+#: base AND the 8M ivf table, so EVERY steady-state run now rebuilds
+#: both (~80-110 s base + ~300-600 s sliced ivf from kept centroids —
+#: the 10M family evicts the table, the ANN build evicts the base),
+#: plus ~3 min of main-JVM family sentinels; section-cost arithmetic
+#: puts the full suite at ~3300-3600 s under that ping-pong. The
+#: incremental checkpoint lines (emit_checkpoint) mean even an
+#: external kill can no longer erase completed rows, which is what
+#: made the conservative budget load-bearing. Every section still
+#: self-skips with a recorded marker.
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "3600"))
 _T_START = time.perf_counter()
 
 
@@ -1664,17 +1667,22 @@ def main() -> None:
         # ~52 GB real /tmp budget (the r11/r12 10M-family killer), and
         # it rebuilds from its kept centroids in the ANN section. The
         # 10M BASELINE rows outrank a cached index.
+        # ivf BEFORE the small family fixtures: its 24 GB almost always
+        # satisfies the need by itself, and evicting etl/docs first was
+        # pure churn — the sentinel section had just built them and the
+        # child JVMs would rebuild them again (a 3.3 GB etl build costs
+        # ~6 min under hostile IO weather, measured r13)
         if not ensure_free(
             need,
             [f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf256rg8_f16.parquet",
              f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet",
              f"/tmp/laion_bench_{N_VEC}x{DIM}_f16p.parquet",
              f"/tmp/laion_bench_{N_VEC}x{DIM}_i8.parquet",
-             f"/tmp/laion_etl_32x16384x{DIM}",
              "/tmp/laion_events_10000000_tsorted.parquet",
+             IVF_PATH,
+             f"/tmp/laion_etl_32x16384x{DIM}",
              "/tmp/laion_docs_4m.parquet",
-             "/tmp/laion_docs_10m.parquet",
-             IVF_PATH],
+             "/tmp/laion_docs_10m.parquet"],
             "knn768_10m",
             spark=spark,
         ):
@@ -2049,15 +2057,17 @@ def main() -> None:
                 int(raw * 1.4),  # final table + working margin (slices bound the rest)
                 [
                     f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet",
-                    # tail/dedup fixtures rebuild lazily in their child
-                    # JVMs (which run after this); the 10M base is the
-                    # last resort — its rows are already measured by
-                    # now and it rebuilds in ~80 s
-                    f"/tmp/laion_etl_32x16384x{DIM}",
+                    # the 10M base BEFORE the small family fixtures:
+                    # its rows are already measured by now, it rebuilds
+                    # in ~80 s, and its 29 GB almost always satisfies
+                    # the need alone — evicting etl/docs first was pure
+                    # churn (the children rebuild them at ~minutes each
+                    # under hostile IO)
+                    f"/tmp/laion_bench_10000000x{DIM}.parquet",
                     "/tmp/laion_events_10000000_tsorted.parquet",
+                    f"/tmp/laion_etl_32x16384x{DIM}",
                     "/tmp/laion_docs_4m.parquet",
                     "/tmp/laion_docs_10m.parquet",
-                    f"/tmp/laion_bench_10000000x{DIM}.parquet",
                 ],
                 "ivf build",
                 spark=spark,
@@ -2597,13 +2607,13 @@ def main() -> None:
                 f"/tmp/laion_bench_{N_VEC}x{DIM}_i8.parquet",
                 f"/tmp/laion_bench_{N_10M}x{DIM}_f16p.parquet",
                 f"/tmp/laion_bench_{N_10M}x{DIM}_i8.parquet",
-                # tail/dedup fixtures rebuild lazily in the child JVMs
-                # that run after this section
-                f"/tmp/laion_etl_32x16384x{DIM}",
+                # base before the small family fixtures (measured rows,
+                # ~80 s rebuild, 29 GB at once — see the ivf-build list)
+                f"/tmp/laion_bench_{N_10M}x{DIM}.parquet",
                 "/tmp/laion_events_10000000_tsorted.parquet",
+                f"/tmp/laion_etl_32x16384x{DIM}",
                 "/tmp/laion_docs_4m.parquet",
                 "/tmp/laion_docs_10m.parquet",
-                f"/tmp/laion_bench_{N_10M}x{DIM}.parquet",  # measured; ~80 s rebuild
             ],
             "i8 16m index",
             spark=spark,
@@ -2902,8 +2912,14 @@ def main() -> None:
     # the parent's dead shuffle files would otherwise starve the child
     # JVMs' fixture rebuilds (74 GB observed before this existed)
     reclaim_shuffle(spark, "children")
+    # the tail child's cap is additionally bounded to 60% of whatever
+    # budget remains, so it can never consume the dedup child's whole
+    # share (a cap is a ceiling, not a reservation — under a squeezed
+    # round the first child used to eat everything left)
+    remaining_c = max(0.0, BUDGET_S - (time.perf_counter() - _T_START))
     _run_family_isolated("--tail-family", tail_family, "tail_family",
-                         queries, extras, errors, cap=900.0)
+                         queries, extras, errors,
+                         cap=min(900.0, 0.6 * remaining_c))
     emit_checkpoint(queries, extras, errors, sf_val, "tail_family")
     _run_family_isolated("--dedup-family", dedup_family, "dedup_family",
                          queries, extras, errors, cap=1100.0)
