@@ -3098,10 +3098,16 @@ def build_compact_line(
         compact["vec"] = {k: v[:1] + v[2:4] for k, v in vec.items()}
         compact["vec_cols"] = [VEC_COLS[0]] + VEC_COLS[2:4]
         line = emit(compact)
-    if len(line) > 1900:  # 5) last resort: the 28 slowest catalog medians
+    # 5) shrink the catalog medians to the N slowest until the line
+    # fits — a fixed "keep 28" stalled at 1901 B in the r13c run (27
+    # queries present, so the cap was a no-op and no later step
+    # applied); the loop actually converges
+    n_keep = len(plain_queries)
+    while len(line) > 1900 and n_keep > 8:
+        n_keep = min(n_keep - 4, 28)
         compact["queries"] = {
             k: round(v, 2)
-            for k, v in sorted(plain_queries.items(), key=lambda kv: -kv[1])[:28]
+            for k, v in sorted(plain_queries.items(), key=lambda kv: -kv[1])[:n_keep]
         }
         line = emit(compact)
     if len(line) > 1900 and len(compact.get("error_keys", [])) > 8:
