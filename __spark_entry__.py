@@ -63,17 +63,23 @@ _SENTINELS = [
     "t01_token_stats",
 ]
 
-def _driver_verified() -> set[str]:
-    """Names with a passing driver CORRECTNESS row in ANY past round —
-    read from the driver's own artifacts so the rotation maintains
-    itself: each round, entries the driver has never checked jump the
-    queue. A rows-only pass (no oracle) counts as verified."""
+def _driver_verified() -> dict[str, int]:
+    """Map of name -> LATEST round with a passing driver CORRECTNESS
+    row — read from the driver's own artifacts so the rotation
+    maintains itself. With all entries verified at least once, bucket 2
+    is ordered least-recently-driver-verified first (VERDICT r13 #1:
+    insertion order froze the window at ~47/50 overlap between rounds,
+    leaving the back catalog's newest driver proof several rounds
+    stale). A rows-only pass (no oracle) counts as verified."""
     import glob
     import json
+    import re
 
-    seen: set[str] = set()
+    seen: dict[str, int] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.load(open(path))
         except (OSError, ValueError):
@@ -84,7 +90,7 @@ def _driver_verified() -> set[str]:
             if not isinstance(r, dict):
                 continue
             if r.get("hash_match") or (r.get("err") == "no_oracle" and r.get("spark_rows") is not None):
-                seen.add(name)
+                seen[name] = max(seen.get(name, 0), rnd)
     return seen
 
 
@@ -93,12 +99,17 @@ def _ordered_registry():
 
     verified = _driver_verified()
 
-    def bucket(name: str) -> int:
+    def key(name: str):
         if name in _SENTINELS:
-            return 0
-        return 2 if name in verified else 1
+            return (0, _SENTINELS.index(name), "")
+        if name not in verified:
+            # never driver-checked: jump the queue, keep registry order
+            return (1, 0, "")
+        # stale-first rotation: oldest driver proof re-verifies soonest;
+        # name tiebreak keeps the order deterministic within a round
+        return (2, verified[name], name)
 
-    names = sorted(REGISTRY, key=lambda n: (bucket(n), _SENTINELS.index(n) if n in _SENTINELS else 0))
+    names = sorted(REGISTRY, key=key)
     return [(n, REGISTRY[n]) for n in names]
 
 

@@ -85,6 +85,31 @@ DIM = 768
 IVF_PATH = f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf256rg8.parquet"
 IVF_CENT = f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf256rg8_centroids.json"
 
+#: the EXACT eviction candidates the 10M-base and ivf-build
+#: ensure_free calls pass (single source of truth — ADVICE r13:
+#: disk_plan used to sum every present fixture, incl. base1m/docs1m
+#: which neither real eviction path touches, so the plan could stamp
+#: "fits" in states the eviction path could not actually reach).
+EVICT_10M = [
+    f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf256rg8_f16.parquet",
+    f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet",
+    f"/tmp/laion_bench_{N_VEC}x{DIM}_f16p.parquet",
+    f"/tmp/laion_bench_{N_VEC}x{DIM}_i8.parquet",
+    "/tmp/laion_events_10000000_tsorted.parquet",
+    IVF_PATH,
+    f"/tmp/laion_etl_32x16384x{DIM}",
+    "/tmp/laion_docs_4m.parquet",
+    "/tmp/laion_docs_10m.parquet",
+]
+EVICT_IVF = [
+    f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet",
+    f"/tmp/laion_bench_{N_10M}x{DIM}.parquet",
+    "/tmp/laion_events_10000000_tsorted.parquet",
+    f"/tmp/laion_etl_32x16384x{DIM}",
+    "/tmp/laion_docs_4m.parquet",
+    "/tmp/laion_docs_10m.parquet",
+]
+
 #: catalog queries worth timing (one per operator family)
 HEADLINERS = [
     "v01_knn_l2_topk",
@@ -137,6 +162,17 @@ def du(path: str) -> int:
     return sum(
         os.path.getsize(os.path.join(r, f)) for r, _d, fl in os.walk(path) for f in fl
     )
+
+
+def vec_f32(v) -> list:
+    """Collected vector cell -> python float list, for BOTH ivf
+    layouts: list<float> (pre-r14 tables) and packed
+    fixed_size_binary f32 (write_packed_index, r14+)."""
+    if isinstance(v, (bytes, bytearray)):
+        import numpy as np
+
+        return [float(x) for x in np.frombuffer(v, "<f4")]
+    return [float(x) for x in v]
 
 
 def disk_probe(extras: dict, path: str, probe_bytes: int = 512 * 1024**2) -> float | None:
@@ -548,24 +584,36 @@ def disk_plan(extras: dict) -> None:
         "etl": f"/tmp/laion_etl_32x16384x{DIM}",
     }
     present = {k: du(p) for k, p in fixtures.items() if os.path.exists(p)}
-    evictable = sum(present.values())
+    # per-section reachability from the EXACT evict lists the sections'
+    # ensure_free calls use (ADVICE r13: the old sum-of-all-fixtures
+    # counted base1m/docs1m, which no eviction path touches)
+    ev_10m = sum(du(p) for p in EVICT_10M if os.path.exists(p))
+    ev_ivf = sum(du(p) for p in EVICT_IVF if os.path.exists(p))
     need_10m = (
         0 if "base10m" in present else int(N_10M) * DIM * 4 * 12 // 10 + 2 * 1024**3
     )
     need_ivf = 0 if "ivf8m" in present else int(N_ANN) * DIM * 4 * 14 // 10
-    reachable = free + evictable
     plan = {
         "free_gb": round(free / 1024**3, 1),
-        "evictable_gb": round(evictable / 1024**3, 1),
+        "evictable_10m_gb": round(ev_10m / 1024**3, 1),
+        "evictable_ivf_gb": round(ev_ivf / 1024**3, 1),
         "present": {k: round(v / 1024**3, 1) for k, v in present.items()},
         "need_10m_gb": round(need_10m / 1024**3, 1),
         "need_ivf_gb": round(need_ivf / 1024**3, 1),
     }
-    if need_10m and reachable < need_10m:
+    if need_10m and free + ev_10m < need_10m:
         plan["action"] = "short_for_10m"  # backstop; should be unreachable
-    elif "ivf8m" in present and need_10m and free + evictable - present["ivf8m"] < need_10m:
+    elif (
+        "ivf8m" in present
+        and need_10m
+        and free + ev_10m - present["ivf8m"] < need_10m
+    ):
         plan["action"] = "evict_ivf_for_10m"
-    elif "base10m" in present and need_ivf and free + evictable - present["base10m"] < need_ivf:
+    elif (
+        "base10m" in present
+        and need_ivf
+        and free + ev_ivf - present["base10m"] < need_ivf
+    ):
         plan["action"] = "evict_base10m_for_ivf"
     else:
         plan["action"] = "fits"
@@ -1007,6 +1055,13 @@ def family_sentinels(spark, extras: dict, errors: dict, sentinels: dict) -> None
     ``{key}_main_jvm_sentinel: 1`` in the artifact. Fixtures cache in
     /tmp, so the bytes built here are shared with the children."""
     section_floor(spark, extras, "sentinel")
+    # measure under the SAME 4 MB split size the child JVMs use
+    # (ADVICE r13: a sentinel-filled value measured at the parent's
+    # 128 MB splits was not cross-round comparable with child-measured
+    # rounds); restored by the caller's next section_floor/section or
+    # explicitly below
+    _prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
 
     def _measure(key, fn, denom):
         if over_budget(errors, key):
@@ -1014,7 +1069,11 @@ def family_sentinels(spark, extras: dict, errors: dict, sentinels: dict) -> None
         try:
             fn()  # warm (includes the lazy fixture build)
             ts = sorted(timed(fn) for _ in range(2))
-            sentinels[key] = {"sec": ts[0], "rows_per_sec": round(denom / ts[0])}
+            sentinels[key] = {
+                "sec": ts[0],
+                "rows_per_sec": round(denom / ts[0]),
+                "split_mb": 4,
+            }
             errors.pop(key, None)
             print(f"  sentinel {key}: {ts}", file=sys.stderr)
         except Exception as ex:  # noqa: BLE001 — a sentinel must never
@@ -1046,22 +1105,28 @@ def family_sentinels(spark, extras: dict, errors: dict, sentinels: dict) -> None
 
     _measure("etl_shards_direct", _etl_direct, 32 * 16_384)
     _rm("/tmp/laion_etl_fact_direct.parquet")  # pure output
+    spark.conf.set("spark.sql.files.maxPartitionBytes", _prev_split)
 
 
 def apply_sentinel_fallbacks(
-    queries: dict, extras: dict, errors: dict, sentinels: dict
+    queries: dict, extras: dict, errors: dict, sentinels: dict, quiet: bool = False
 ) -> None:
     """After the child families report: fill any family key the
     children never produced from its main-JVM sentinel, with explicit
-    provenance in the artifact."""
+    provenance in the artifact. ``quiet`` suppresses the log line for
+    the PROVISIONAL per-checkpoint fills (emit_checkpoint), which would
+    otherwise print 'filled' before the children even ran."""
     for key, s in sentinels.items():
         if key not in queries:
             queries[key] = s["sec"]
             extras[f"{key}_best_sec"] = s["sec"]
             extras[f"{key}_rows_per_sec"] = s["rows_per_sec"]
             extras[f"{key}_main_jvm_sentinel"] = 1
+            if "split_mb" in s:
+                extras[f"{key}_sentinel_split_mb"] = s["split_mb"]
             errors.pop(key, None)
-            print(f"  {key}: filled from main-JVM sentinel ({s['sec']}s)", file=sys.stderr)
+            if not quiet:
+                print(f"  {key}: filled from main-JVM sentinel ({s['sec']}s)", file=sys.stderr)
 
 
 def _run_family_isolated(
@@ -1629,7 +1694,7 @@ def main() -> None:
     # exists (VERDICT r12 #3 — the children landed ZERO rows in r12);
     # fills gaps after the children report, never overrides them
     family_sentinels(spark, extras, errors, sentinels)
-    emit_checkpoint(queries, extras, errors, sf_val, "sentinels")
+    emit_checkpoint(queries, extras, errors, sf_val, "sentinels", sentinels=sentinels)
 
     # 10M-row soak (VERDICT r4 missing #3): one measured point at the
     # reference's OWN published brute-force scale (BASELINE.md rows:
@@ -1674,15 +1739,7 @@ def main() -> None:
         # ~6 min under hostile IO weather, measured r13)
         if not ensure_free(
             need,
-            [f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf256rg8_f16.parquet",
-             f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet",
-             f"/tmp/laion_bench_{N_VEC}x{DIM}_f16p.parquet",
-             f"/tmp/laion_bench_{N_VEC}x{DIM}_i8.parquet",
-             "/tmp/laion_events_10000000_tsorted.parquet",
-             IVF_PATH,
-             f"/tmp/laion_etl_32x16384x{DIM}",
-             "/tmp/laion_docs_4m.parquet",
-             "/tmp/laion_docs_10m.parquet"],
+            EVICT_10M,
             "knn768_10m",
             spark=spark,
         ):
@@ -1886,7 +1943,7 @@ def main() -> None:
         errors["knn768_10m"] = f"{type(ex).__name__}: {ex}"[:500]
         print(f"  knn768_10m: FAILED {errors['knn768_10m'].splitlines()[0]}", file=sys.stderr)
 
-    emit_checkpoint(queries, extras, errors, sf_val, "10m_family")
+    emit_checkpoint(queries, extras, errors, sf_val, "10m_family", sentinels=sentinels)
 
     # drop the 10M section's dead shuffle files before the ANN builds
     # (recycle_session docstring has the full story)
@@ -2024,7 +2081,7 @@ def main() -> None:
         errors["knn768_f16"] = f"{type(ex).__name__}: {ex}"[:500]
         print(f"  knn768_f16: FAILED {errors['knn768_f16'].splitlines()[0]}", file=sys.stderr)
 
-    emit_checkpoint(queries, extras, errors, sf_val, "1m_ladder")
+    emit_checkpoint(queries, extras, errors, sf_val, "1m_ladder", sentinels=sentinels)
 
     try:
         if over_budget(errors, "ann768"):
@@ -2044,7 +2101,11 @@ def main() -> None:
         C, NPROBE, RG_MB = 256, 4, 8
         ivf_path, cent_path = IVF_PATH, IVF_CENT  # C/RG_MB are baked into the names
         idx = IVFIndex(dim=DIM, n_clusters=C, n_iters=4, nprobe=NPROBE)
-        if os.path.exists(cent_path) and os.path.exists(f"{ivf_path}/_SUCCESS"):
+        # _SUCCESS = pre-r14 JVM list<float> build; _DONE = r14+ packed
+        # build (python sink writes no _SUCCESS) — either is warm
+        if os.path.exists(cent_path) and (
+            os.path.exists(f"{ivf_path}/_SUCCESS") or os.path.exists(f"{ivf_path}/_DONE")
+        ):
             idx.centroids = json.load(open(cent_path))
         else:
             # the clustered base is never materialized: synth_df's
@@ -2055,20 +2116,10 @@ def main() -> None:
             raw = int(N_ANN) * DIM * 4
             if not ensure_free(
                 int(raw * 1.4),  # final table + working margin (slices bound the rest)
-                [
-                    f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet",
-                    # the 10M base BEFORE the small family fixtures:
-                    # its rows are already measured by now, it rebuilds
-                    # in ~80 s, and its 29 GB almost always satisfies
-                    # the need alone — evicting etl/docs first was pure
-                    # churn (the children rebuild them at ~minutes each
-                    # under hostile IO)
-                    f"/tmp/laion_bench_10000000x{DIM}.parquet",
-                    "/tmp/laion_events_10000000_tsorted.parquet",
-                    f"/tmp/laion_etl_32x16384x{DIM}",
-                    "/tmp/laion_docs_4m.parquet",
-                    "/tmp/laion_docs_10m.parquet",
-                ],
+                # EVICT_IVF: f16 twin, then the 10M base (measured by
+                # now, rebuilds in ~80 s, usually satisfies the need
+                # alone), then the child-family fixtures last
+                EVICT_IVF,
                 "ivf build",
                 spark=spark,
             ):
@@ -2101,12 +2152,24 @@ def main() -> None:
             headroom = _sh2.disk_usage("/tmp").free - raw - 3 * 1024**3
             n_slices = max(1, -(-int(raw * 2.2) // max(headroom, 6 * 1024**3)))
             per = -(-int(N_ANN) // n_slices)
+            from laion_spark.sources.halfvec import write_packed_index
+
             for sl in range(n_slices):
                 lo_id, hi_id = sl * per, min((sl + 1) * per, int(N_ANN))
-                idx.write_index(
-                    synth_df(spark, hi_id, DIM, clustered=True, start=lo_id),
-                    ivf_path, "embedding", row_group_bytes=RG_MB * 1024 * 1024,
+                # packed f32 writer (r14): same float32 values as the
+                # old JVM list<float> write, but the wide bytes go
+                # straight from the python workers to FLBA parquet —
+                # the JVM's row-by-row list assembly dominated the
+                # 300-600 s rebuilds of r11-r13
+                write_packed_index(
+                    idx.build(
+                        synth_df(spark, hi_id, DIM, clustered=True, start=lo_id),
+                        "embedding",
+                    ),
+                    ivf_path, dim=DIM, vector_col="embedding",
+                    row_group_bytes=RG_MB * 1024 * 1024,
                     mode="overwrite" if sl == 0 else "append",
+                    file_tag="" if sl == 0 else f"-s{sl}",
                 )
                 # each slice's cluster exchange leaves its full shuffle
                 # (~raw/n_slices x 2.2) DEAD in /tmp/blockmgr-* — the
@@ -2116,6 +2179,11 @@ def main() -> None:
                 if sl + 1 < n_slices:
                     spark = recycle_session(spark, f"ivf slice {sl + 1}/{n_slices}")
             json.dump(idx.centroids, open(cent_path, "w"))
+            # completeness marker (the python sink writes no _SUCCESS);
+            # written AFTER the last slice so a crash mid-build leaves
+            # no marker and the next run rebuilds from slice 0
+            open(f"{ivf_path}/_DONE", "w").close()
+            idx._scan_cache = None  # table just (re)written
             print(
                 f"  ivf build: {time.perf_counter()-t0:.1f}s ({n_slices} slice(s))",
                 file=sys.stderr,
@@ -2141,7 +2209,7 @@ def main() -> None:
         b_ids = sorted({int(N_ANN * f) for f in
                         (0.0123, 0.111, 0.234567, 0.3456, 0.5001, 0.678, 0.8642, 0.95)})
         all_ids = sorted(set(q_ids) | set(b_ids))
-        all_rows = {r.id: [float(x) for x in r.embedding]
+        all_rows = {r.id: vec_f32(r.embedding)
                     for r in vecs_c.filter(F.col("id").isin(all_ids)).collect()}
         q_rows = {i: all_rows[i] for i in q_ids}
         b_rows = {i: all_rows[i] for i in b_ids}
@@ -2317,7 +2385,7 @@ def main() -> None:
                 .collect()
             )
             cj_df = spark.createDataFrame(
-                [(r.id, [float(x) for x in r.embedding]) for r in cj_src],
+                [(r.id, vec_f32(r.embedding)) for r in cj_src],
                 "id long, embedding array<float>",
             )
 
@@ -2563,7 +2631,7 @@ def main() -> None:
         except NameError:
             pass
 
-    emit_checkpoint(queries, extras, errors, sf_val, "ann768")
+    emit_checkpoint(queries, extras, errors, sf_val, "ann768", sentinels=sentinels)
 
     # the ivf build's sliced cluster exchanges are the single biggest
     # dead-shuffle source (~50 GB at 8M) — reclaim before the 16M build
@@ -2760,7 +2828,7 @@ def main() -> None:
         except NameError:
             pass
 
-    emit_checkpoint(queries, extras, errors, sf_val, "16m_pair")
+    emit_checkpoint(queries, extras, errors, sf_val, "16m_pair", sentinels=sentinels)
 
     # the 16M build's exchange (~30 GB) dies here so the curve's
     # transient builds start with a clean /tmp
@@ -2832,11 +2900,18 @@ def main() -> None:
                 idx_pt.centroids = idx.centroids
                 t0 = time.perf_counter()
                 gen_pt = synth_df(spark, n_pt, DIM, clustered=True)
-                idx_pt.write_index(gen_pt, pt_path, "embedding", row_group_bytes=RG_MB * 1024 * 1024)
+                from laion_spark.sources.halfvec import write_packed_index as _wpi
+
+                _wpi(
+                    idx_pt.build(gen_pt, "embedding"), pt_path, dim=DIM,
+                    vector_col="embedding",
+                    row_group_bytes=RG_MB * 1024 * 1024, mode="overwrite",
+                )
+                idx_pt._scan_cache = None
                 print(f"  {key} ivf build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
                 vec_pt = spark.read.parquet(pt_path)
                 pq_ids = sorted({int(n_pt * f) for f in (0.123457, 0.7777, 0.9991)})
-                pt_rows = {r.id: [float(x) for x in r.embedding]
+                pt_rows = {r.id: vec_f32(r.embedding)
                            for r in vec_pt.filter(F.col("id").isin(pq_ids)).collect()}
                 aq_pt = pt_rows[pq_ids[0]]
 
@@ -2907,7 +2982,7 @@ def main() -> None:
     # above kept first claim on the wall-clock budget (VERDICT r11 #1).
     # These long contention-sensitive families absorb whatever budget
     # remains; their rows have 11 rounds of green history.
-    emit_checkpoint(queries, extras, errors, sf_val, "ann_curve")
+    emit_checkpoint(queries, extras, errors, sf_val, "ann_curve", sentinels=sentinels)
 
     # the parent's dead shuffle files would otherwise starve the child
     # JVMs' fixture rebuilds (74 GB observed before this existed)
@@ -2920,9 +2995,16 @@ def main() -> None:
     _run_family_isolated("--tail-family", tail_family, "tail_family",
                          queries, extras, errors,
                          cap=min(900.0, 0.6 * remaining_c))
-    emit_checkpoint(queries, extras, errors, sf_val, "tail_family")
+    emit_checkpoint(queries, extras, errors, sf_val, "tail_family", sentinels=sentinels)
+    # the dedup cap is bounded to the budget remaining AFTER the tail
+    # child finishes (ADVICE r13: a fixed 1100 s cap read as if it
+    # could overshoot BUDGET_S; _run_family_isolated already re-bounds
+    # cap→min(remaining, cap) internally, this makes it explicit at
+    # the call site and in the stderr log)
+    remaining_d = max(0.0, BUDGET_S - (time.perf_counter() - _T_START))
     _run_family_isolated("--dedup-family", dedup_family, "dedup_family",
-                         queries, extras, errors, cap=1100.0)
+                         queries, extras, errors,
+                         cap=min(1100.0, remaining_d))
 
     # fill any family key the children never produced from its main-JVM
     # sentinel (VERDICT r12 #3) — explicit provenance in extras
@@ -3143,14 +3225,34 @@ def _pick_root_error(errors: dict) -> tuple[str, str] | None:
     return None
 
 
-def emit_checkpoint(queries: dict, extras: dict, errors: dict, sf, stage: str) -> None:
+def emit_checkpoint(
+    queries: dict,
+    extras: dict,
+    errors: dict,
+    sf,
+    stage: str,
+    sentinels: dict | None = None,
+) -> None:
     """Flush a mid-run checkpoint artifact line to stdout (VERDICT r12
     #4): the driver parses the FINAL JSON line of its tail capture, so
     each checkpoint supersedes the previous one and a kill -9 between
     sections still leaves every completed row in a parseable artifact.
+    When ``sentinels`` is given, family keys the children have not yet
+    produced are filled PROVISIONALLY in the emitted line only (same
+    provenance marker as apply_sentinel_fallbacks) — r13's driver run
+    was externally killed between the tail and dedup children, and the
+    measured sentinels never made it into the artifact because the
+    real fill only ran after BOTH children. The live dicts are left
+    untouched so a child's isolated number still wins when it lands.
     Must never raise — artifact hygiene cannot cost a row."""
     try:
-        line = build_compact_line(queries, extras, errors, sf, partial=stage)
+        q, x, e = queries, extras, errors
+        if sentinels:
+            pending = {k: s for k, s in sentinels.items() if k not in queries}
+            if pending:
+                q, x, e = dict(queries), dict(extras), dict(errors)
+                apply_sentinel_fallbacks(q, x, e, pending, quiet=True)
+        line = build_compact_line(q, x, e, sf, partial=stage)
         print(line, flush=True)
         print(f"  checkpoint[{stage}]: {len(line)}B flushed", file=sys.stderr)
     except Exception as ex:  # noqa: BLE001

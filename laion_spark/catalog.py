@@ -13523,9 +13523,12 @@ def _mention_sql(name: str, key: str) -> str:
     Spark plan and its DuckDB oracle — identical text, identical
     semantics): words of length < 4 pass through; longer words are
     corrupted by ``key % 4`` — 0 keeps the exact surface form (so it
-    is always the most frequent, hence the survivor), 1 drops an
-    interior character, 2 doubles one, 3 swaps two adjacent interior
-    ones. Positions are keyed on ``key`` too, so each base word fans
+    is always the most frequent, hence the survivor), 1 drops a
+    non-first character, 2 doubles one, 3 swaps two adjacent non-first
+    ones (``pd_`` ranges up to length(name), so modes 1/2 can hit the
+    LAST character — "non-first", not strictly "interior"; parity is
+    unaffected since the SQL is shared verbatim between engines).
+    Positions are keyed on ``key`` too, so each base word fans
     out into a family of distinct misspellings, and the first
     character is never touched (realistic typos; also keeps most
     variants inside the soundex block so blocking recall is high but

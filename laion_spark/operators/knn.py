@@ -236,14 +236,16 @@ def flat_matrix(vcol, dim: int, dtype=None):
         )
     if pa.types.is_fixed_size_binary(vcol.type):
         width = vcol.type.byte_width
-        if width == 2 * dim:
+        if width == 4 * dim:
+            elem = np.float32  # packed float32 (halfvec.write_packed_index)
+        elif width == 2 * dim:
             elem = np.float16  # packed float16 (halfvec layout="packed")
         elif width == dim:
             elem = np.int8  # packed int8 SQ codes (write_int8_table)
         else:
             raise ValueError(
-                f"packed vector width {width} B fits neither float16 (2*dim) "
-                f"nor int8 (dim) for dim={dim}"
+                f"packed vector width {width} B fits none of float32 (4*dim), "
+                f"float16 (2*dim) or int8 (dim) for dim={dim}"
             )
         flat = np.frombuffer(
             vcol.buffers()[1], dtype=elem, count=n * dim, offset=vcol.offset * width

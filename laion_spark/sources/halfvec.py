@@ -25,6 +25,21 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _infer_dim(col) -> int:
+    """Vector dim of a source chunk for the file-wise rewriters: a
+    list<float/double> column counts elements; a fixed_size_binary
+    column is assumed to be ``write_packed_index``'s packed float32
+    (width = 4*dim) — the only FSB layout the rewrite twins read from
+    (f16/i8 tables are rewrite OUTPUTS, not inputs)."""
+    import pyarrow as pa
+
+    if pa.types.is_fixed_size_binary(col.type):
+        return col.type.byte_width // 4
+    if len(col) == 0:
+        raise ValueError("cannot infer dim: empty row group")
+    return len(col.flatten()) // len(col)
+
+
 def write_half_table(
     spark: SparkSession,
     src_path: str,
@@ -91,14 +106,14 @@ def write_half_table(
         import pyarrow.parquet as pq
 
         def pack_chunk(ch, dim):
-            # list<float> chunk -> fixed_size_binary(2*dim) of packed
-            # little-endian float16 (one bulk astype + buffer wrap)
+            # list<float> OR packed-f32 chunk -> fixed_size_binary(2*dim)
+            # of packed little-endian float16 (one bulk astype + buffer
+            # wrap); flat_matrix handles both source layouts and raises
+            # on NULL/ragged input
+            from laion_spark.operators.knn import flat_matrix
+
             n = len(ch)
-            if ch.null_count:
-                raise ValueError(f"NULL vector in packed half rewrite ({n} rows)")
-            flat = ch.flatten().to_numpy(zero_copy_only=False)
-            if len(flat) != n * dim:
-                raise ValueError(f"ragged vectors: {n} rows x {dim} != {len(flat)}")
+            flat = flat_matrix(ch, dim, np.float32)
             data = np.ascontiguousarray(flat.astype(np.float16)).tobytes()
             return pa.Array.from_buffers(pa.binary(2 * dim), n, [None, pa.py_buffer(data)])
 
@@ -109,17 +124,15 @@ def write_half_table(
                 # cast copy); this keeps peak at one row group
                 pf = pq.ParquetFile(src)
                 schema = pf.schema_arrow
-                dims: dict[str, int] = {}
-                if packed:
-                    # infer each vector column's (fixed) dim from the
-                    # first row group — the binary width is part of the
-                    # output schema, needed before the writer opens
-                    probe = pf.read_row_group(0, columns=vcols)
-                    for c in vcols:
-                        col = probe.column(c).combine_chunks()
-                        if len(col) == 0:
-                            raise ValueError(f"cannot infer dim of {c!r}: empty row group")
-                        dims[c] = len(col.flatten()) // len(col)
+                # infer each vector column's (fixed) dim from the
+                # first row group — the binary width is part of the
+                # output schema, needed before the writer opens; also
+                # needed to decode a packed-f32 SOURCE (r14) in the
+                # list-target branch
+                probe = pf.read_row_group(0, columns=vcols)
+                dims: dict[str, int] = {
+                    c: _infer_dim(probe.column(c).combine_chunks()) for c in vcols
+                }
                 for c in vcols:
                     i = schema.get_field_index(c)
                     tgt = pa.binary(2 * dims[c]) if packed else pa.list_(pa.float16())
@@ -130,11 +143,24 @@ def write_half_table(
                         t = pf.read_row_group(g)
                         for c in vcols:
                             i = t.schema.get_field_index(c)
+                            col = t.column(c).combine_chunks()
                             if packed:
-                                col = t.column(c).combine_chunks()
                                 t = t.set_column(i, c, pack_chunk(col, dims[c]))
+                            elif pa.types.is_fixed_size_binary(col.type):
+                                # packed-f32 source -> list<float16>
+                                from laion_spark.operators.knn import flat_matrix
+
+                                d = dims[c]
+                                flat = flat_matrix(col, d, np.float32).reshape(-1)
+                                lst = pa.ListArray.from_arrays(
+                                    pa.array(
+                                        np.arange(0, (len(col) + 1) * d, d, dtype=np.int32)
+                                    ),
+                                    pa.array(flat.astype(np.float16)),
+                                )
+                                t = t.set_column(i, c, lst)
                             else:
-                                t = t.set_column(i, c, t.column(c).cast(pa.list_(pa.float16())))
+                                t = t.set_column(i, c, col.cast(pa.list_(pa.float16())))
                         w.write_table(t.cast(schema))
                         rows += t.num_rows
                 yield pa.RecordBatch.from_arrays(
@@ -221,12 +247,9 @@ def write_int8_table(
                 pf = pq.ParquetFile(src)
                 schema = pf.schema_arrow
                 probe = pf.read_row_group(0, columns=vcols)
-                dims: dict[str, int] = {}
-                for c in vcols:
-                    col = probe.column(c).combine_chunks()
-                    if len(col) == 0:
-                        raise ValueError(f"cannot infer dim of {c!r}: empty row group")
-                    dims[c] = len(col.flatten()) // len(col)
+                dims: dict[str, int] = {
+                    c: _infer_dim(probe.column(c).combine_chunks()) for c in vcols
+                }
                 for c in vcols:
                     i = schema.get_field_index(c)
                     schema = schema.set(i, schema.field(i).with_type(pa.binary(dims[c])))
@@ -379,6 +402,41 @@ def write_int8_index(
             arrays.append(pa.array(scale, type=pa.float32()))
             yield pa.RecordBatch.from_arrays(arrays, out_names)
 
+    sink = _flba_sink(
+        dst_path, dim, cluster_col, vector_col, row_group_bytes, compression, file_tag
+    )
+
+    from pyspark.sql import functions as F
+
+    n_parts = n_partitions or spark.sparkContext.defaultParallelism
+    written = (
+        df.mapInArrow(quantize, quant_schema)
+        .repartition(n_parts, F.col(cluster_col))
+        .mapInArrow(sink, "path string, rows long")
+        .collect()
+    )
+    return [(r.path, r.rows) for r in written]
+
+
+def _flba_sink(
+    dst_path: str,
+    code_bytes: int,
+    cluster_col: str,
+    vector_col: str,
+    row_group_bytes: int,
+    compression: str,
+    file_tag: str,
+):
+    """Reduce-side pyarrow writer shared by ``write_int8_index``
+    (``code_bytes = dim``) and ``write_packed_index`` (``4*dim``):
+    groups each batch by cluster id, re-types the variable-binary
+    vector column to ``fixed_size_binary(code_bytes)`` off the raw
+    buffer, and streams one parquet file per cluster this task holds —
+    the wide bytes never touch the JVM writer (the whole point: Spark's
+    parquet writer assembles list<float> row by row, which dominated
+    the 8M ivf rebuild's 300-600 s before this path existed)."""
+    import pyarrow as pa
+
     def sink(batches):
         import numpy as np
         import pyarrow.parquet as pq
@@ -396,11 +454,13 @@ def write_int8_index(
             off = np.frombuffer(
                 arr.buffers()[1], np.int32, count=m + 1, offset=arr.offset * 4
             )
-            if m and not (np.diff(off) == dim).all():
-                raise ValueError(f"non-uniform code widths (expected {dim} B)")
+            if m and not (np.diff(off) == code_bytes).all():
+                raise ValueError(f"non-uniform code widths (expected {code_bytes} B)")
             start = int(off[0]) if m else 0
-            buf = pa.py_buffer(memoryview(arr.buffers()[2])[start:start + m * dim])
-            return pa.Array.from_buffers(pa.binary(dim), m, [None, buf])
+            buf = pa.py_buffer(
+                memoryview(arr.buffers()[2])[start:start + m * code_bytes]
+            )
+            return pa.Array.from_buffers(pa.binary(code_bytes), m, [None, buf])
 
         def flush(cid):
             tbl = pa.Table.from_batches(pending[cid])
@@ -455,11 +515,109 @@ def write_int8_index(
             ["path", "rows"],
         )
 
+    return sink
+
+
+def write_packed_index(
+    df: DataFrame,
+    dst_path: str,
+    dim: int,
+    vector_col: str = "embedding",
+    cluster_col: str = "ivf_cluster",
+    n_partitions: int | None = None,
+    row_group_bytes: int = 8 * 1024 * 1024,
+    compression: str = "snappy",
+    mode: str = "error",
+    file_tag: str = "",
+) -> list:
+    """Write a partition-pruned FULL-PRECISION ANN table with vectors
+    packed as ``fixed_size_binary(4*dim)`` little-endian float32 — the
+    f32 sibling of ``write_int8_index`` (same one-pass shape: map-side
+    pack → cluster exchange of plain binary → pyarrow FLBA sink; same
+    directory layout; no scale column because nothing is quantized).
+
+    Why this exists (r14): ``IVFIndex.write_index`` writes list<float>
+    through Spark's JVM parquet writer, which assembles the 768-element
+    lists row by row — the dominant cost of the 8M ivf (re)build
+    (300-600 s measured r11-r13). The packed layout moves the same f32
+    bytes but writes them as bulk fixed-width values from the python
+    workers, and the read side (``flat_matrix``) reinterprets the data
+    buffer zero-copy, so scans get the same treatment as the packed
+    f16 twin (measured there: packed beats even the f32 list scan).
+    Same float32 values either way — only the physical encoding
+    changes (parity cousin: reference stores packed float arrays in
+    its native format; see SURVEY §2.3 V9/V10).
+
+    Save-mode/append/file_tag semantics are identical to
+    ``write_int8_index`` (see its docstring). Returns (cluster_dir,
+    rows) tuples."""
+    import shutil
+
+    import pyarrow as pa
+
+    from laion_spark.session import _ship_package
+
+    if "://" in dst_path:
+        raise NotImplementedError("write_packed_index targets local paths (fixture/bench use)")
+    if mode not in ("error", "overwrite", "append"):
+        raise ValueError("mode must be 'error', 'overwrite' or 'append'")
+    if mode == "append" and not file_tag:
+        raise ValueError(
+            "append mode requires a per-pass unique file_tag — partition "
+            "ids repeat across passes, so untagged filenames would "
+            "overwrite the previous slice's files"
+        )
+    if os.path.isdir(dst_path) and os.listdir(dst_path):
+        if mode == "error":
+            raise FileExistsError(
+                f"{dst_path} is non-empty; pass mode='overwrite' to replace it "
+                "(mixing a new build into an old tree is never safe)"
+            )
+        if mode == "overwrite":
+            shutil.rmtree(dst_path)
+    spark = df.sparkSession
+    _ship_package(spark)
+    names = [f.name for f in df.schema.fields]
+    if vector_col not in names or cluster_col not in names:
+        raise ValueError(f"df must carry {vector_col!r} and {cluster_col!r}")
+
+    out_parts = []
+    for f in df.schema.fields:
+        t = "binary" if f.name == vector_col else f.dataType.simpleString()
+        out_parts.append(f"`{f.name}` {t}")
+    pack_schema = ", ".join(out_parts)
+
+    def pack(batches):
+        import numpy as np
+
+        from laion_spark.operators.knn import flat_matrix
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            vi = rb.schema.get_field_index(vector_col)
+            mat = np.ascontiguousarray(
+                flat_matrix(rb.column(vi), dim, np.float32), dtype=np.float32
+            )
+            offs = np.arange(0, (n + 1) * 4 * dim, 4 * dim, dtype=np.int32)
+            bin_arr = pa.Array.from_buffers(
+                pa.binary(), n,
+                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(mat.tobytes())],
+            )
+            arrays = [rb.column(i) for i in range(rb.num_columns)]
+            arrays[vi] = bin_arr
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    sink = _flba_sink(
+        dst_path, 4 * dim, cluster_col, vector_col, row_group_bytes, compression, file_tag
+    )
+
     from pyspark.sql import functions as F
 
     n_parts = n_partitions or spark.sparkContext.defaultParallelism
     written = (
-        df.mapInArrow(quantize, quant_schema)
+        df.mapInArrow(pack, pack_schema)
         .repartition(n_parts, F.col(cluster_col))
         .mapInArrow(sink, "path string, rows long")
         .collect()

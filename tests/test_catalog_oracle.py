@@ -35,3 +35,27 @@ def test_entry_smoke(spark):
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 20
+
+
+def test_window_rotation_stale_first():
+    """VERDICT r13 #1: bucket 2 must order by least-recently-driver-
+    verified so the 50-entry driver window rotates through the back
+    catalog instead of freezing on registry insertion order."""
+    import __spark_entry__ as e
+
+    names = [n for n, _ in e._ordered_registry()]
+    assert len(names) == len(REGISTRY)
+    # sentinels lead, in declared order
+    assert names[: len(e._SENTINELS)] == e._SENTINELS
+    verified = e._driver_verified()
+    tail = [n for n in names[len(e._SENTINELS) :] if n in verified]
+    rounds = [verified[n] for n in tail]
+    # stale-first: driver-proof rounds are non-decreasing down bucket 2
+    assert rounds == sorted(rounds)
+    # rotation actually moves: the window after the sentinels must not
+    # be dominated by entries the driver just checked last round
+    if rounds:
+        last_round = max(rounds)
+        window_tail = tail[:40]
+        recent = sum(1 for n in window_tail if verified[n] == last_round)
+        assert recent <= len(window_tail) // 2

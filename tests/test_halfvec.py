@@ -384,3 +384,154 @@ def test_int8_index_sliced_append_matches_one_pass(spark, sf_dir, tmp_path):
         ).collect()
     ]
     assert got_one == got_sliced
+
+
+def test_packed_index_matches_list_index_exactly(spark, sf_dir, tmp_path):
+    """write_packed_index (map-side f32 pack -> pyarrow FLBA sink) must
+    serve IDENTICAL results to IVFIndex.write_index's list<float>
+    layout — same float32 values, only the physical encoding differs
+    (r14: the packed writer replaces the JVM list<float> write that
+    dominated the 8M ivf rebuild)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from laion_spark.operators.similarity import IVFIndex
+    from laion_spark.sources.halfvec import write_packed_index
+
+    src = f"{sf_dir}/embeddings.parquet"
+    emb = spark.read.parquet(src).select("vec_id", "embedding")
+    dim = len(emb.first().embedding)
+    idx = IVFIndex(dim=dim, n_clusters=4, n_iters=2, nprobe=2)
+    idx.fit(emb, id_col="vec_id", vector_col="embedding", fit_rows=500)
+
+    list_path = str(tmp_path / "ivf_list")
+    idx.write_index(emb, list_path, "embedding")
+    packed_path = str(tmp_path / "ivf_packed")
+    res = write_packed_index(idx.build(emb, "embedding"), packed_path, dim=dim)
+    assert sum(r[1] for r in res) == emb.count()
+
+    # byte-identical float32 vectors per id, identical cluster
+    # assignment, FLBA(4*dim) physical type
+    tl = pq.read_table(list_path).sort_by("vec_id")
+    tp = pq.read_table(packed_path).sort_by("vec_id")
+    assert tl.column("vec_id").to_pylist() == tp.column("vec_id").to_pylist()
+    assert tl.column("ivf_cluster").to_pylist() == tp.column("ivf_cluster").to_pylist()
+    lv = np.asarray(tl.column("embedding").to_pylist(), dtype=np.float32)
+    pv = np.frombuffer(b"".join(tp.column("embedding").to_pylist()), np.float32)
+    assert lv.tobytes() == pv.tobytes()
+    import pyarrow as pa
+
+    assert pa.types.is_fixed_size_binary(tp.schema.field("embedding").type)
+    assert tp.schema.field("embedding").type.byte_width == 4 * dim
+
+    # identical serving surface: exact scan + pruned probe, no scale_col
+    ex_l = knn_search_parquet(
+        spark, list_path, QVEC64, k=5, vector_col="embedding", select=["vec_id"]
+    ).collect()
+    ex_p = knn_search_parquet(
+        spark, packed_path, QVEC64, k=5, vector_col="embedding", select=["vec_id"]
+    ).collect()
+    assert [r.vec_id for r in ex_l] == [r.vec_id for r in ex_p]
+    assert [round(r.score, 5) for r in ex_l] == [round(r.score, 5) for r in ex_p]
+    pr_l = idx.search_parquet(
+        spark, list_path, QVEC64, k=5, vector_col="embedding", select=["vec_id"]
+    ).collect()
+    pr_p = idx.search_parquet(
+        spark, packed_path, QVEC64, k=5, vector_col="embedding", select=["vec_id"]
+    ).collect()
+    assert [r.vec_id for r in pr_l] == [r.vec_id for r in pr_p]
+
+    # one file per cluster dir (8 MB row-group probe granularity holds)
+    import glob as _g
+
+    for d in _g.glob(packed_path + "/ivf_cluster=*"):
+        assert len(_g.glob(d + "/*.parquet")) == 1, d
+
+
+def test_packed_index_sliced_append(spark, sf_dir, tmp_path):
+    """Sliced append (disjoint id halves, per-pass file tags) must
+    match the one-pass packed table row-for-row — the disk-bounded
+    build shape the bench uses for the 8M rebuild."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from laion_spark.operators.similarity import IVFIndex
+    from laion_spark.sources.halfvec import write_packed_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    dim = len(emb.first().embedding)
+    idx = IVFIndex(dim=dim, n_clusters=4, n_iters=2, nprobe=2)
+    idx.fit(emb, id_col="vec_id", vector_col="embedding", fit_rows=500)
+    mid = emb.agg(F.expr("percentile(vec_id, 0.5)")).first()[0]
+
+    one = str(tmp_path / "one")
+    write_packed_index(idx.build(emb, "embedding"), one, dim=dim)
+    sliced = str(tmp_path / "sliced")
+    lo, hi = emb.filter(F.col("vec_id") <= mid), emb.filter(F.col("vec_id") > mid)
+    write_packed_index(idx.build(lo, "embedding"), sliced, dim=dim, mode="overwrite")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="file_tag"):
+        write_packed_index(idx.build(hi, "embedding"), sliced, dim=dim, mode="append")
+    write_packed_index(
+        idx.build(hi, "embedding"), sliced, dim=dim, mode="append", file_tag="-s1"
+    )
+    to = pq.read_table(one).sort_by("vec_id")
+    ts = pq.read_table(sliced).sort_by("vec_id")
+    assert to.column("vec_id").to_pylist() == ts.column("vec_id").to_pylist()
+    assert (
+        b"".join(to.column("embedding").to_pylist())
+        == b"".join(ts.column("embedding").to_pylist())
+    )
+
+
+def test_twins_from_packed_f32_source_match_list_source(spark, sf_dir, tmp_path):
+    """The f16 (packed AND list layouts) and int8 rewrites must produce
+    identical bytes whether the source ivf table is list<float> or
+    packed f32 — the bench's twin builds read whichever layout the ivf
+    build wrote (packed, from r14 on)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from laion_spark.operators.similarity import IVFIndex
+    from laion_spark.sources.halfvec import (
+        write_half_table,
+        write_int8_table,
+        write_packed_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    dim = len(emb.first().embedding)
+    idx = IVFIndex(dim=dim, n_clusters=4, n_iters=2, nprobe=2)
+    idx.fit(emb, id_col="vec_id", vector_col="embedding", fit_rows=500)
+    lsrc = str(tmp_path / "src_list")
+    idx.write_index(emb, lsrc, "embedding")
+    psrc = str(tmp_path / "src_packed")
+    write_packed_index(idx.build(emb, "embedding"), psrc, dim=dim)
+
+    def vec_bytes(path, col="embedding"):
+        t = pq.read_table(path).sort_by("vec_id")
+        c = t.column(col).combine_chunks()
+        if c.type == "binary" or "fixed_size_binary" in str(c.type):
+            return b"".join(c.to_pylist()), t.column("vec_id").to_pylist()
+        return np.asarray(c.to_pylist(), dtype=np.float16).tobytes(), t.column(
+            "vec_id"
+        ).to_pylist()
+
+    for layout in ("packed", "list"):
+        a, b = str(tmp_path / f"f16_{layout}_l"), str(tmp_path / f"f16_{layout}_p")
+        write_half_table(spark, lsrc, a, ("embedding",), layout=layout).collect()
+        write_half_table(spark, psrc, b, ("embedding",), layout=layout).collect()
+        ba, ia = vec_bytes(a)
+        bb, ib = vec_bytes(b)
+        assert ia == ib and ba == bb, f"f16 {layout} twin differs by source layout"
+
+    a, b = str(tmp_path / "i8_l"), str(tmp_path / "i8_p")
+    write_int8_table(spark, lsrc, a, ("embedding",)).collect()
+    write_int8_table(spark, psrc, b, ("embedding",)).collect()
+    ta = pq.read_table(a).sort_by("vec_id")
+    tb = pq.read_table(b).sort_by("vec_id")
+    assert b"".join(ta.column("embedding").to_pylist()) == b"".join(
+        tb.column("embedding").to_pylist()
+    )
+    assert ta.column("embedding_scale").to_pylist() == tb.column("embedding_scale").to_pylist()
