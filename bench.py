@@ -279,7 +279,10 @@ def disk_probe(extras: dict, path: str, probe_bytes: int = 512 * 1024**2) -> flo
         return None
 
 
-def synth_df(spark, n: int, dim: int, clustered: bool = False, start: int = 0):
+def synth_df(
+    spark, n: int, dim: int, clustered: bool = False, start: int = 0,
+    packed: bool = False,
+):
     """Deterministic n x dim float32 vectors (FIXTURES.md §6
     ``laion_bench`` shape) as an UNMATERIALIZED DataFrame — numpy-backed
     mapInArrow (a per-column ``rand()`` expression tree would blow the
@@ -297,7 +300,16 @@ def synth_df(spark, n: int, dim: int, clustered: bool = False, start: int = 0):
     spread over clusters at random, so an IVF probe's recall collapses
     to ~nprobe/C (measured 0.1 here). Real CLIP embeddings are strongly
     clustered, which the mixture twin models; the brute-force tables
-    stay uniform."""
+    stay uniform.
+
+    ``packed=True`` emits the SAME float32 values as one little-endian
+    packed BINARY blob per row instead of array<float> (r14): the JVM's
+    Arrow→InternalRow materialization of 768-element lists taxes every
+    crossing (~35%% on a bare count; a fresh-session 1M ivf build via
+    the all-binary pipeline ran 90 s where the list/JVM-write path
+    exceeded 900 s), and flat_matrix decodes the binary form
+    everywhere downstream. Use for BUILD pipelines (assign→write);
+    the brute-force BASELINE tables keep array<float> parity."""
 
     def gen(batches):
         # mapInArrow + flat ListArray build: near-memcpy, unlike the
@@ -340,15 +352,24 @@ def synth_df(spark, n: int, dim: int, clustered: bool = False, start: int = 0):
                 flat = (centers[idx] + 0.3 * noise).ravel()
             else:
                 flat = (u * 2.0 - 1.0).astype(np.float32).ravel()
-            offsets = pa.array(np.arange(0, (m + 1) * dim, dim, dtype=np.int32))
-            emb = pa.ListArray.from_arrays(offsets, pa.array(flat, type=pa.float32()))
+            if packed:
+                data = np.ascontiguousarray(flat, dtype=np.float32)
+                offs = np.arange(0, (m + 1) * 4 * dim, 4 * dim, dtype=np.int32)
+                emb = pa.Array.from_buffers(
+                    pa.binary(), m,
+                    [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data.tobytes())],
+                )
+            else:
+                offsets = pa.array(np.arange(0, (m + 1) * dim, dim, dtype=np.int32))
+                emb = pa.ListArray.from_arrays(offsets, pa.array(flat, type=pa.float32()))
             yield pa.RecordBatch.from_arrays([ids, emb], ["id", "embedding"])
 
     # contiguous ranges, no shuffle: 64 write-side partitions without a
     # repartition stage (determinism no longer depends on partitioning).
     # `start` slices the id range for bounded-footprint sliced builds —
     # every element is a pure function of id, so slices are consistent.
-    return spark.range(start, n, 1, 64).mapInArrow(gen, "id long, embedding array<float>")
+    vt = "binary" if packed else "array<float>"
+    return spark.range(start, n, 1, 64).mapInArrow(gen, f"id long, embedding {vt}")
 
 
 def synth_vectors(spark, n: int, dim: int, clustered: bool = False):
@@ -786,7 +807,15 @@ def stream10m_once(spark, epath: str) -> None:
 #: external kill can no longer erase completed rows, which is what
 #: made the conservative budget load-bearing. Every section still
 #: self-skips with a recorded marker.
-BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "3600"))
+#: 3600 -> 3400 in r14: the driver's r13 run came back rc 124 — its
+#: external kill fires at ~3600 s, i.e. exactly our budget, so the
+#: suite was guaranteed to die mid-child instead of exiting cleanly
+#: (the dedup child was killed and apply_sentinel_fallbacks never
+#: ran). 3400 leaves ~200 s for the last child to drain + JVM
+#: shutdown + the final line. The r14 cost cuts fund it: the packed
+#: ivf writer replaces the 300-600 s JVM list<float> rebuild, and the
+#: big-pair ladder downgrades 32M->16M under pressure.
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "3400"))
 _T_START = time.perf_counter()
 
 
@@ -2163,7 +2192,10 @@ def main() -> None:
                 # 300-600 s rebuilds of r11-r13
                 write_packed_index(
                     idx.build(
-                        synth_df(spark, hi_id, DIM, clustered=True, start=lo_id),
+                        # packed generation: the JVM never materializes
+                        # a 768-element list anywhere in the build
+                        synth_df(spark, hi_id, DIM, clustered=True,
+                                 start=lo_id, packed=True),
                         "embedding",
                     ),
                     ivf_path, dim=DIM, vector_col="embedding",
@@ -2650,19 +2682,49 @@ def main() -> None:
     # same exact scan isolates pruning loss; quantization loss is
     # pinned at recall 1.0 by the 10M SQ8 row). Runs LAST: it may evict
     # the already-measured 10M base (rebuilds in ~80 s next round).
+    kbig = abig = "knn768_i8_32m"  # rebound below; defined for the except arm
     try:
-        N_16M = int(os.environ.get("SPARK_GRAFT_BENCH_16M_ROWS", "16000000"))
+        # scale ladder (VERDICT r13 #2): default to a 32M-row SQ8 pair
+        # (24.6 GB of codes — halves the row-count extrapolation to the
+        # reference's 100M anchors vs the 16M pair frozen in r11-r13),
+        # DOWNGRADING to the proven 16M scale when the remaining budget
+        # cannot fund the bigger build — a squeezed round freezes the
+        # 16M row rather than losing the big scale point entirely.
+        N_BIG = int(
+            os.environ.get(
+                "SPARK_GRAFT_BENCH_BIG_ROWS",
+                os.environ.get("SPARK_GRAFT_BENCH_16M_ROWS", "32000000"),
+            )
+        )
+        # measured cost: 290 s one-pass 16M build + ~35 s of rows (r11
+        # run b); scale the headroom with the build, floor at legacy 360
+        def _bighead(n):
+            return max(360, int(300 * n / 16_000_000) + 100)
+
+        if (
+            N_BIG > 16_000_000
+            and "SPARK_GRAFT_BENCH_BIG_ROWS" not in os.environ
+            and time.perf_counter() - _T_START > BUDGET_S - _bighead(N_BIG)
+        ):
+            print(
+                f"  big pair: downgrading {N_BIG // 1_000_000}M -> 16M "
+                "(budget headroom)", file=sys.stderr,
+            )
+            extras["big_pair_downgraded"] = 1
+            N_BIG = 16_000_000
+        big_m = max(1, N_BIG // 1_000_000)
+        kbig, abig = f"knn768_i8_{big_m}m", f"ann768_i8_{big_m}m"
+        extras["big_scale_m"] = big_m
         if os.environ.get("SPARK_GRAFT_BENCH_SKIP_16M"):
-            errors["knn768_i8_16m"] = "skipped: SPARK_GRAFT_BENCH_SKIP_16M set"
-            print("  knn768_i8_16m: SKIPPED (env)", file=sys.stderr)
+            errors[kbig] = "skipped: SPARK_GRAFT_BENCH_SKIP_16M set"
+            print(f"  {kbig}: SKIPPED (env)", file=sys.stderr)
             raise _BudgetSkip
-        # measured cost: 290 s one-pass build + ~35 s of rows (r11 run b)
-        if over_budget(errors, "knn768_i8_16m") or time.perf_counter() - _T_START > BUDGET_S - 360:
-            if "knn768_i8_16m" not in errors:
-                errors["knn768_i8_16m"] = "skipped: < 360s of bench budget left"
-                print("  knn768_i8_16m: SKIPPED (headroom)", file=sys.stderr)
+        if over_budget(errors, kbig) or time.perf_counter() - _T_START > BUDGET_S - _bighead(N_BIG):
+            if kbig not in errors:
+                errors[kbig] = f"skipped: < {_bighead(N_BIG)}s of bench budget left"
+                print(f"  {kbig}: SKIPPED (headroom)", file=sys.stderr)
             raise _BudgetSkip
-        raw_i8 = N_16M * DIM  # codes bytes ~= table bytes (incompressible)
+        raw_i8 = N_BIG * DIM  # codes bytes ~= table bytes (incompressible)
         # table + ONE slice's shuffle transient (the build is sliced —
         # see below — so the whole-table 2.4x of r11 is no longer the
         # peak; today's real /tmp budget is ~51 GB and cannot hold the
@@ -2682,14 +2744,19 @@ def main() -> None:
                 f"/tmp/laion_etl_32x16384x{DIM}",
                 "/tmp/laion_docs_4m.parquet",
                 "/tmp/laion_docs_10m.parquet",
+                # LAST resort, needed only at the 32M scale (24.6 GB of
+                # codes cannot fit next to the 23 GB ivf table): the 8M
+                # ivf was fully measured by now and rebuilds from its
+                # kept centroids via the packed writer next run
+                IVF_PATH,
             ],
-            "i8 16m index",
+            f"i8 {big_m}m index",
             spark=spark,
         ):
-            errors["knn768_i8_16m"] = (
-                f"skipped: 16M SQ8 index needs ~{(raw_i8 * 1.35 + 2 * 1024**3) / 1024**3:.0f} GB free"
+            errors[kbig] = (
+                f"skipped: {big_m}M SQ8 index needs ~{(raw_i8 * 1.35 + 2 * 1024**3) / 1024**3:.0f} GB free"
             )
-            print("  knn768_i8_16m: SKIPPED (disk)", file=sys.stderr)
+            print(f"  {kbig}: SKIPPED (disk)", file=sys.stderr)
             raise _BudgetSkip
         from laion_spark.operators.similarity import IVFIndex
         from laion_spark.sources.halfvec import write_int8_index
@@ -2704,14 +2771,14 @@ def main() -> None:
             idx16m.centroids = json.load(open(cent16))
         else:
             idx16m.fit(
-                synth_df(spark, N_16M, DIM, clustered=True),
+                synth_df(spark, N_BIG, DIM, clustered=True),
                 id_col="id", vector_col="embedding", fit_rows=200_000,
             )
-        path16 = f"/tmp/laion_bench_{N_16M}x{DIM}_ivf{C16}i8.parquet"
+        path16 = f"/tmp/laion_bench_{N_BIG}x{DIM}_ivf{C16}i8.parquet"
         t0 = time.perf_counter()
         # sliced build (r12): one pass's cluster exchange leaves its
         # full shuffle DEAD in /tmp/blockmgr-* until the session is
-        # recycled, so a single 16M pass peaks at table + whole-table
+        # recycled, so a single full pass peaks at table + whole-table
         # shuffle (~30 GB) — over today's budget next to the 24 GB ivf
         # table. Disjoint id slices (elements are pure functions of id)
         # appended with per-slice file tags keep the peak at table +
@@ -2722,18 +2789,18 @@ def main() -> None:
 
         head16 = _sh16.disk_usage("/tmp").free - raw_i8 - 2 * 1024**3
         n16 = max(1, -(-int(raw_i8 * 1.2) // max(head16, 4 * 1024**3)))
-        per16 = -(-N_16M // n16)
+        per16 = -(-N_BIG // n16)
         for sl16 in range(n16):
-            lo16, hi16 = sl16 * per16, min((sl16 + 1) * per16, N_16M)
-            gen16 = synth_df(spark, hi16, DIM, clustered=True, start=lo16)
+            lo16, hi16 = sl16 * per16, min((sl16 + 1) * per16, N_BIG)
+            gen16 = synth_df(spark, hi16, DIM, clustered=True, start=lo16, packed=True)
             # watchdog: run c of r11 saw a build's map stage wedge at
             # 63/64 tasks for 20+ min (one hung python worker). A hung
             # LAST section must degrade to its error marker, not take
             # the whole artifact with it — cancel the job group at ~3x
             # the measured per-pass build time.
             sc = spark.sparkContext
-            sc.setJobGroup("i8_16m_build", "16M SQ8 index build", interruptOnCancel=True)
-            dog = threading.Timer(900, lambda sc=sc: sc.cancelJobGroup("i8_16m_build"))
+            sc.setJobGroup("i8_big_build", f"{big_m}M SQ8 index build", interruptOnCancel=True)
+            dog = threading.Timer(900, lambda sc=sc: sc.cancelJobGroup("i8_big_build"))
             dog.daemon = True
             dog.start()
             try:
@@ -2751,9 +2818,9 @@ def main() -> None:
             if sl16 + 1 < n16:
                 spark = recycle_session(spark, f"16m slice {sl16 + 1}/{n16}")
         build16 = round(time.perf_counter() - t0, 1)
-        extras["knn768_i8_16m_build_slices"] = n16
-        extras["knn768_i8_16m_build_sec"] = build16
-        print(f"  i8 16m one-pass index build: {build16}s ({du(path16)/1024**3:.1f} GB)",
+        extras[f"{kbig}_build_slices"] = n16
+        extras[f"{kbig}_build_sec"] = build16
+        print(f"  i8 {big_m}m index build: {build16}s ({du(path16)/1024**3:.1f} GB)",
               file=sys.stderr)
 
         # in-distribution query: dequantize a corpus row's own codes
@@ -2761,7 +2828,7 @@ def main() -> None:
 
         qrow = (
             spark.read.parquet(path16)
-            .filter(F.col("id") == int(N_16M * 0.123457))
+            .filter(F.col("id") == int(N_BIG * 0.123457))
             .select("embedding", "embedding_scale")
             .collect()[0]
         )
@@ -2775,13 +2842,13 @@ def main() -> None:
 
         truth16 = {r.id for r in exact16()}  # warm + ANN recall truth
         te16 = sorted(timed(exact16) for _ in range(3))
-        queries["knn768_i8_16m"] = te16[1]
-        extras["knn768_i8_16m_rows"] = N_16M
-        extras["knn768_i8_16m_best_sec"] = te16[0]
-        extras["knn768_i8_16m_rows_per_sec"] = round(N_16M / te16[0])
+        queries[kbig] = te16[1]
+        extras[f"{kbig}_rows"] = N_BIG
+        extras[f"{kbig}_best_sec"] = te16[0]
+        extras[f"{kbig}_rows_per_sec"] = round(N_BIG / te16[0])
         # fraction vs the f32 bytes this table never had to materialize
-        extras["knn768_i8_16m_bytes_fraction"] = round(du(path16) / (N_16M * DIM * 4), 4)
-        print(f"  knn768_i8_16m: {te16} bfrac={extras['knn768_i8_16m_bytes_fraction']}",
+        extras[f"{kbig}_bytes_fraction"] = round(du(path16) / (N_BIG * DIM * 4), 4)
+        print(f"  {kbig}: {te16} bfrac={extras[f'{kbig}_bytes_fraction']}",
               file=sys.stderr)
 
         def ann16m(np_=None):
@@ -2797,42 +2864,42 @@ def main() -> None:
                 np16 = np_try
                 break
         ta16 = sorted(timed(lambda: ann16m(np16)) for _ in range(5))
-        queries["ann768_i8_16m"] = ta16[2]
-        extras["ann768_i8_16m_rows"] = N_16M
-        extras["ann768_i8_16m_recall_at_10"] = round(rec16, 3)
-        extras["ann768_i8_16m_nprobe"] = np16
-        extras["ann768_i8_16m_best_sec"] = ta16[0]
-        extras["ann768_i8_16m_speedup"] = round(te16[0] / ta16[0], 2)
+        queries[abig] = ta16[2]
+        extras[f"{abig}_rows"] = N_BIG
+        extras[f"{abig}_recall_at_10"] = round(rec16, 3)
+        extras[f"{abig}_nprobe"] = np16
+        extras[f"{abig}_best_sec"] = ta16[0]
+        extras[f"{abig}_speedup"] = round(te16[0] / ta16[0], 2)
         probed16m = sum(
             du(f"{path16}/ivf_cluster={p}")
             for p in idx16m.probe_clusters(q16, np16)
             if os.path.isdir(f"{path16}/ivf_cluster={p}")
         )
         # vs the f32 bytes: pruning x quantization, the compounding metric
-        extras["ann768_i8_16m_bytes_fraction"] = round(probed16m / (N_16M * DIM * 4), 4)
+        extras[f"{abig}_bytes_fraction"] = round(probed16m / (N_BIG * DIM * 4), 4)
         print(
-            f"  ann768_i8_16m: {ta16} recall={rec16:.2f} nprobe={np16} "
-            f"speedup={extras['ann768_i8_16m_speedup']} "
-            f"bfrac={extras['ann768_i8_16m_bytes_fraction']}",
+            f"  {abig}: {ta16} recall={rec16:.2f} nprobe={np16} "
+            f"speedup={extras[f'{abig}_speedup']} "
+            f"bfrac={extras[f'{abig}_bytes_fraction']}",
             file=sys.stderr,
         )
         _rm(path16)  # transient — the budget persists only the 8M ivf + 10M base
     except _BudgetSkip:
         pass
     except Exception as ex16:  # noqa: BLE001
-        errors["knn768_i8_16m"] = f"{type(ex16).__name__}: {ex16}"[:500]
-        print(f"  knn768_i8_16m: FAILED {errors['knn768_i8_16m'].splitlines()[0]}", file=sys.stderr)
-        try:  # a partial 16M table must not starve the next run's disk
+        errors[kbig] = f"{type(ex16).__name__}: {ex16}"[:500]
+        print(f"  {kbig}: FAILED {errors[kbig].splitlines()[0]}", file=sys.stderr)
+        try:  # a partial big table must not starve the next run's disk
             if os.path.exists(path16):
                 _rm(path16)
         except NameError:
             pass
 
-    emit_checkpoint(queries, extras, errors, sf_val, "16m_pair", sentinels=sentinels)
+    emit_checkpoint(queries, extras, errors, sf_val, "big_pair", sentinels=sentinels)
 
-    # the 16M build's exchange (~30 GB) dies here so the curve's
-    # transient builds start with a clean /tmp
-    spark = recycle_session(spark, "post_16m")
+    # the big build's exchange dies here so the curve's transient
+    # builds start with a clean /tmp
+    spark = recycle_session(spark, "post_big_pair")
 
     # Same-harness ANN scale curve (VERDICT r9 #3): 1M and 4M points
     # measured in THIS artifact alongside the 8M headline, so one BENCH
@@ -2899,7 +2966,7 @@ def main() -> None:
                 # fit-once / index-growing-data serving shape
                 idx_pt.centroids = idx.centroids
                 t0 = time.perf_counter()
-                gen_pt = synth_df(spark, n_pt, DIM, clustered=True)
+                gen_pt = synth_df(spark, n_pt, DIM, clustered=True, packed=True)
                 from laion_spark.sources.halfvec import write_packed_index as _wpi
 
                 _wpi(
@@ -3032,7 +3099,10 @@ def main() -> None:
         "ann768_exact", "ann768", "ann768_batch8", "ann768_cjoin2k",
         "ann768_f16", "ann768_f16p", "ann768_i8", "ann768_1m", "ann768_4m",
         "knn768_10m", "concept768_10m", "knn768_f16p_10m", "knn768_i8_10m",
-        "knn768_i8_16m", "ann768_i8_16m",
+        # the big SQ8 pair's scale is chosen at run time (32M default,
+        # 16M budget fallback) — the section stamps the chosen scale
+        f"knn768_i8_{extras.get('big_scale_m', 32)}m",
+        f"ann768_i8_{extras.get('big_scale_m', 32)}m",
     ]
     for k in expected_rows:
         if k not in queries and k not in errors:
@@ -3137,7 +3207,10 @@ def build_compact_line(
         compact["partial"] = partial
     if "ann768_nprobe_sweep" in extras:
         compact["nprobe_sweep"] = extras["ann768_nprobe_sweep"]
-    for ck in ("ann768_1m", "ann768_4m", "ann768_i8_16m"):
+    for ck in (
+        "ann768_1m", "ann768_4m",
+        f"ann768_i8_{extras.get('big_scale_m', 32)}m",
+    ):
         if f"{ck}_rows" in extras:
             compact[f"{ck}_rows"] = extras[f"{ck}_rows"]
     dp_action = (extras.get("disk_plan") or {}).get("action")

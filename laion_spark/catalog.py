@@ -13620,3 +13620,71 @@ def d21_entity_resolution(spark, sf_dir):
     )
     vocab = mention.groupBy("w").agg(F.count("*").cast("long").alias("freq"))
     return resolve_entities(vocab, "w", "freq", threshold=0.85, len_band=2)
+
+
+@query(
+    "x17_packed_f32_vector_table",
+    oracle="""
+    SELECT vec_id,
+           CAST(vec_id % 4 AS INT) AS ivf_cluster,
+           CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000) AS BIGINT) AS e0_micro,
+           CAST(floor(CAST(embedding[33] AS DOUBLE) * 1000000) AS BIGINT) AS emid_micro,
+           CAST(floor(CAST(embedding[64] AS DOUBLE) * 1000000) AS BIGINT) AS elast_micro
+    FROM embeddings ORDER BY vec_id
+    """,
+    note="Packed full-precision vector storage round-trip (r14): "
+    "write_packed_index lays the embeddings table out as one "
+    "fixed_size_binary(4*dim) little-endian float32 value per vector "
+    "under ivf_cluster=K partition dirs (the write path that replaces "
+    "the JVM's row-by-row list<float> parquet assembly — sources/"
+    "halfvec.py:write_packed_index), then the scan side reinterprets "
+    "the data buffer zero-copy (operators/knn.py:flat_matrix). The "
+    "entry proves the round-trip is BIT-exact: three probe elements "
+    "per vector, floored at micro grain in identical f64 arithmetic "
+    "on both engines, must match the original list<float> values "
+    "DuckDB reads (reference parity: its native storage holds packed "
+    "float arrays; search.py reads them zero-copy server-side).",
+)
+def x17_packed_f32_vector_table(spark, sf_dir):
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+
+    from laion_spark.operators.knn import flat_matrix
+    from laion_spark.sources.halfvec import write_packed_index
+
+    tune_session(spark)
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        (F.col("vec_id") % 4).cast("int").alias("ivf_cluster"),
+    )
+    dim = len(emb.first().embedding)
+    dest = tempfile.mkdtemp(prefix="laion_x17_") + "/packed"
+    write_packed_index(
+        emb, dest, dim=dim, vector_col="embedding", mode="overwrite"
+    )
+
+    packed = spark.read.parquet(dest)  # embedding: binary(4*dim); ivf_cluster: partition col
+
+    def decode(batches):
+        for rb in batches:
+            vi = rb.schema.get_field_index("embedding")
+            mat = flat_matrix(rb.column(vi), dim, np.float64)
+            micro = np.floor(mat * 1_000_000.0).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index("vec_id")),
+                    rb.column(rb.schema.get_field_index("ivf_cluster")).cast(pa.int32()),
+                    pa.array(micro[:, 0]),
+                    pa.array(micro[:, dim // 2]),
+                    pa.array(micro[:, dim - 1]),
+                ],
+                ["vec_id", "ivf_cluster", "e0_micro", "emid_micro", "elast_micro"],
+            )
+
+    return packed.mapInArrow(
+        decode,
+        "vec_id long, ivf_cluster int, e0_micro long, emid_micro long, elast_micro long",
+    ).orderBy("vec_id")

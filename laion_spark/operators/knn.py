@@ -234,21 +234,47 @@ def flat_matrix(vcol, dim: int, dtype=None):
             f"{vcol.null_count} NULL vector(s) in Arrow batch; drop NULLs or run "
             "laion_spark.schema.validate_embeddings before Arrow-path scoring"
         )
+    def _packed_elem(width: int):
+        if width == 4 * dim:
+            return np.float32  # packed float32 (halfvec.write_packed_index)
+        if width == 2 * dim:
+            return np.float16  # packed float16 (halfvec layout="packed")
+        if width == dim:
+            return np.int8  # packed int8 SQ codes (write_int8_table)
+        raise ValueError(
+            f"packed vector width {width} B fits none of float32 (4*dim), "
+            f"float16 (2*dim) or int8 (dim) for dim={dim}"
+        )
+
     if pa.types.is_fixed_size_binary(vcol.type):
         width = vcol.type.byte_width
-        if width == 4 * dim:
-            elem = np.float32  # packed float32 (halfvec.write_packed_index)
-        elif width == 2 * dim:
-            elem = np.float16  # packed float16 (halfvec layout="packed")
-        elif width == dim:
-            elem = np.int8  # packed int8 SQ codes (write_int8_table)
-        else:
-            raise ValueError(
-                f"packed vector width {width} B fits none of float32 (4*dim), "
-                f"float16 (2*dim) or int8 (dim) for dim={dim}"
-            )
+        elem = _packed_elem(width)
         flat = np.frombuffer(
             vcol.buffers()[1], dtype=elem, count=n * dim, offset=vcol.offset * width
+        )
+        return flat.reshape(n, dim).astype(dtype or np.float64, copy=False)
+    if pa.types.is_binary(vcol.type) or pa.types.is_large_binary(vcol.type):
+        # packed vectors after a JVM crossing: Spark has no fixed-width
+        # binary type, so an FLBA parquet column surfaces in python
+        # workers as VARIABLE binary — validate uniform widths via the
+        # offsets buffer, then decode like the FSB case
+        odt = np.int64 if pa.types.is_large_binary(vcol.type) else np.int32
+        off = np.frombuffer(
+            vcol.buffers()[1], odt, count=n + 1, offset=vcol.offset * odt().itemsize
+        )
+        if n == 0:
+            return np.empty((0, dim), dtype=dtype or np.float64)
+        widths = np.diff(off)
+        width = int(widths[0])
+        if not (widths == width).all():
+            raise ValueError(
+                "ragged packed-binary vector column: widths "
+                f"{sorted(set(int(w) for w in widths))[:5]}... for dim={dim}"
+            )
+        elem = _packed_elem(width)
+        start = int(off[0])
+        flat = np.frombuffer(
+            memoryview(vcol.buffers()[2])[start:start + n * width], dtype=elem
         )
         return flat.reshape(n, dim).astype(dtype or np.float64, copy=False)
     flat = vcol.flatten().to_numpy(zero_copy_only=False)

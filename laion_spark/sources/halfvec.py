@@ -597,8 +597,15 @@ def write_packed_index(
             if n == 0:
                 continue
             vi = rb.schema.get_field_index(vector_col)
+            vcol = rb.column(vi)
+            if pa.types.is_binary(vcol.type) and not vcol.null_count:
+                # already-packed input (e.g. synth_df(packed=True) →
+                # assign): widths are validated downstream by the
+                # sink's to_fixed; pass the bytes through untouched
+                yield rb
+                continue
             mat = np.ascontiguousarray(
-                flat_matrix(rb.column(vi), dim, np.float32), dtype=np.float32
+                flat_matrix(vcol, dim, np.float32), dtype=np.float32
             )
             offs = np.arange(0, (n + 1) * 4 * dim, 4 * dim, dtype=np.int32)
             bin_arr = pa.Array.from_buffers(

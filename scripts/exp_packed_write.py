@@ -57,6 +57,7 @@ def main() -> None:
         vector_col="embedding", row_group_bytes=8 * 1024 * 1024,
     )
     out["jvm_list_write"] = round(time.perf_counter() - t0, 1)
+    print("progress:", json.dumps(out), file=sys.stderr)
 
     # B: packed f32 python sink
     from laion_spark.sources.halfvec import write_packed_index
@@ -69,6 +70,7 @@ def main() -> None:
         row_group_bytes=8 * 1024 * 1024, mode="overwrite",
     )
     out["py_packed_write"] = round(time.perf_counter() - t0, 1)
+    print("progress:", json.dumps(out), file=sys.stderr)
 
     import subprocess
 
@@ -81,12 +83,14 @@ def main() -> None:
     q = [0.01 * (i % 7 - 3) for i in range(DIM)]
     for k, p in (("list", pa_path), ("packed", pb_path)):
         ids = [r.id for r in knn_search_parquet(
-            spark, p, q, k=10, vector_col="embedding", select=["id"])]
+            spark, p, q, k=10, vector_col="embedding", select=["id"]).collect()]
         t0 = time.perf_counter()
         knn_search_parquet(spark, p, q, k=10, vector_col="embedding",
                            select=["id"]).collect()
         out[f"scan_{k}"] = round(time.perf_counter() - t0, 2)
         out[f"top10_{k}"] = ids
+        print("progress:", json.dumps({x: y for x, y in out.items() if "top10" not in x}),
+              file=sys.stderr)
 
     out["ids_equal"] = out.pop("top10_list") == out.pop("top10_packed")
     print(json.dumps(out))

@@ -535,3 +535,53 @@ def test_twins_from_packed_f32_source_match_list_source(spark, sf_dir, tmp_path)
         tb.column("embedding").to_pylist()
     )
     assert ta.column("embedding_scale").to_pylist() == tb.column("embedding_scale").to_pylist()
+
+
+def test_index_builds_from_binary_input_match_list_input(spark, sf_dir, tmp_path):
+    """write_packed_index AND write_int8_index must produce identical
+    tables whether the assigned input df carries array<float> or the
+    packed-binary form (r14 all-binary build pipeline: generators emit
+    binary so the JVM never materializes a list anywhere in a build)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from laion_spark.operators.knn import flat_matrix
+    from laion_spark.operators.similarity import IVFIndex
+    from laion_spark.sources.halfvec import write_int8_index, write_packed_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    dim = len(emb.first().embedding)
+    idx = IVFIndex(dim=dim, n_clusters=4, n_iters=2, nprobe=2)
+    idx.fit(emb, id_col="vec_id", vector_col="embedding", fit_rows=500)
+
+    def to_binary(batches):
+        for rb in batches:
+            vi = rb.schema.get_field_index("embedding")
+            mat = np.ascontiguousarray(
+                flat_matrix(rb.column(vi), dim, np.float32), dtype=np.float32)
+            n = rb.num_rows
+            offs = np.arange(0, (n + 1) * 4 * dim, 4 * dim, dtype=np.int32)
+            ba = pa.Array.from_buffers(
+                pa.binary(), n,
+                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(mat.tobytes())])
+            arrays = [rb.column(i) for i in range(rb.num_columns)]
+            arrays[vi] = ba
+            yield pa.RecordBatch.from_arrays(arrays, [f.name for f in rb.schema])
+
+    emb_bin = emb.mapInArrow(to_binary, "vec_id long, embedding binary")
+
+    def snap(path, cols):
+        t_ = pq.read_table(path).sort_by("vec_id")
+        return [t_.column(c).to_pylist() for c in cols]
+
+    pl, pb = str(tmp_path / "pk_l"), str(tmp_path / "pk_b")
+    write_packed_index(idx.build(emb, "embedding"), pl, dim=dim)
+    write_packed_index(idx.build(emb_bin, "embedding"), pb, dim=dim)
+    assert snap(pl, ["vec_id", "embedding"]) == snap(pb, ["vec_id", "embedding"])
+
+    il, ib = str(tmp_path / "i8_l"), str(tmp_path / "i8_b")
+    write_int8_index(idx.build(emb, "embedding"), il, dim=dim)
+    write_int8_index(idx.build(emb_bin, "embedding"), ib, dim=dim)
+    assert snap(il, ["vec_id", "embedding", "embedding_scale"]) == snap(
+        ib, ["vec_id", "embedding", "embedding_scale"])

@@ -206,6 +206,43 @@ def test_flat_matrix_guards():
         flat_matrix(ragged, 2)
 
 
+def test_flat_matrix_packed_and_variable_binary():
+    """Packed layouts decode identically whether the column arrives as
+    fixed_size_binary (pyarrow scan) or plain binary (after a Spark JVM
+    crossing, which has no fixed-width binary type) — r14, for the
+    write_packed_index round-trip and the x17 entry."""
+    import numpy as np
+    import pyarrow as pa
+
+    from laion_spark.operators.knn import flat_matrix
+
+    dim = 4
+    vals = np.arange(8, dtype=np.float32).reshape(2, dim) / 7.0
+    raw = vals.tobytes()
+    fsb = pa.array([raw[:16], raw[16:]], type=pa.binary(4 * dim))
+    var = pa.array([raw[:16], raw[16:]], type=pa.binary())
+    large = pa.array([raw[:16], raw[16:]], type=pa.large_binary())
+    want = vals.astype(np.float64)
+    for col in (fsb, var, large):
+        got = flat_matrix(col, dim)
+        assert got.shape == (2, dim)
+        assert (got == want).all(), col.type
+    # f16 and i8 widths dispatch from variable binary too
+    h = vals.astype(np.float16).tobytes()
+    var16 = pa.array([h[:8], h[8:]], type=pa.binary())
+    assert np.allclose(flat_matrix(var16, dim), want, atol=1e-3)
+    codes = np.array([[1, -2, 3, -4], [5, -6, 7, 127]], dtype=np.int8)
+    vari8 = pa.array([codes[0].tobytes(), codes[1].tobytes()], type=pa.binary())
+    assert (flat_matrix(vari8, dim) == codes.astype(np.float64)).all()
+    # ragged packed widths fail loudly
+    bad = pa.array([raw[:16], raw[16:24]], type=pa.binary())
+    with pytest.raises(ValueError, match="ragged|width"):
+        flat_matrix(bad, dim)
+    # sliced (non-zero offset) variable binary decodes the right rows
+    sl = var.slice(1, 1)
+    assert (flat_matrix(sl, dim) == want[1:]).all()
+
+
 def test_knn_cosine_and_dot(spark, emb):
     for metric in ("cosine", "dot"):
         out = knn_search(
