@@ -567,6 +567,21 @@ def ensure_free(
 
     if _sh.disk_usage("/tmp").free < need_bytes and spark is not None:
         reclaim_shuffle(spark, label)
+    free = _sh.disk_usage("/tmp").free
+    if free < need_bytes:
+        # reachability check BEFORE destroying anything (r14 run a: a
+        # doomed twin build evicted the 3 GB etl fixture — a ~6 min
+        # child rebuild under hostile IO — and then failed anyway,
+        # 0.6 GB short)
+        reachable = free + sum(du(p) for p in evict if os.path.exists(p))
+        if reachable < need_bytes:
+            print(
+                f"  ensure_free[{label}]: unreachable "
+                f"({reachable / 1024**3:.1f} GB reachable < "
+                f"{need_bytes / 1024**3:.1f} GB need) — evicting nothing",
+                file=sys.stderr,
+            )
+            return False
     for path in [None, *evict]:
         free = _sh.disk_usage("/tmp").free
         if free >= need_bytes:
@@ -1861,6 +1876,12 @@ def main() -> None:
                      f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet",
                      f"/tmp/laion_bench_{N_VEC}x{DIM}_f16p.parquet",
                      f"/tmp/laion_bench_{N_VEC}x{DIM}_i8.parquet",
+                     # the 1M base: measured back in the headline
+                     # section, rebuilds in ~20 s for the ladder —
+                     # cheaper than losing this twin's row (r14 run a:
+                     # lost to a 0.6 GB shortfall on a first-run round
+                     # where the family fixtures did not exist yet)
+                     f"/tmp/laion_bench_{N_VEC}x{DIM}.parquet",
                      f"/tmp/laion_etl_32x16384x{DIM}",
                      "/tmp/laion_events_10000000_tsorted.parquet",
                      "/tmp/laion_docs_4m.parquet",
@@ -1920,6 +1941,7 @@ def main() -> None:
                 if not ensure_free(
                     N_10M * DIM + 2 * 1024**3,
                     [f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf256rg8_f16.parquet",
+                     f"/tmp/laion_bench_{N_VEC}x{DIM}.parquet",
                      f"/tmp/laion_etl_32x16384x{DIM}",
                      "/tmp/laion_events_10000000_tsorted.parquet",
                      "/tmp/laion_docs_4m.parquet",
@@ -2216,8 +2238,11 @@ def main() -> None:
             # no marker and the next run rebuilds from slice 0
             open(f"{ivf_path}/_DONE", "w").close()
             idx._scan_cache = None  # table just (re)written
+            # in-artifact build cost; also the big pair's measured-rate
+            # headroom input (same-weather ~24.6 GB packed write)
+            extras["ivf_build_sec"] = round(time.perf_counter() - t0, 1)
             print(
-                f"  ivf build: {time.perf_counter()-t0:.1f}s ({n_slices} slice(s))",
+                f"  ivf build: {extras['ivf_build_sec']}s ({n_slices} slice(s))",
                 file=sys.stderr,
             )
         # queries, recall ground truth, and brute-force timing all read
@@ -2682,219 +2707,249 @@ def main() -> None:
     # same exact scan isolates pruning loss; quantization loss is
     # pinned at recall 1.0 by the 10M SQ8 row). Runs LAST: it may evict
     # the already-measured 10M base (rebuilds in ~80 s next round).
-    kbig = abig = "knn768_i8_32m"  # rebound below; defined for the except arm
-    try:
-        # scale ladder (VERDICT r13 #2): default to a 32M-row SQ8 pair
-        # (24.6 GB of codes — halves the row-count extrapolation to the
-        # reference's 100M anchors vs the 16M pair frozen in r11-r13),
-        # DOWNGRADING to the proven 16M scale when the remaining budget
-        # cannot fund the bigger build — a squeezed round freezes the
-        # 16M row rather than losing the big scale point entirely.
-        N_BIG = int(
-            os.environ.get(
-                "SPARK_GRAFT_BENCH_BIG_ROWS",
-                os.environ.get("SPARK_GRAFT_BENCH_16M_ROWS", "32000000"),
-            )
+    # scale ladder (VERDICT r13 #2): default to a 32M-row SQ8 pair
+    # (24.6 GB of codes — halves the row-count extrapolation to the
+    # reference's 100M anchors vs the 16M pair frozen in r11-r13),
+    # DOWNGRADING to the proven 16M scale when the remaining budget
+    # cannot fund the bigger build OR the 32M attempt fails (r14 run a:
+    # the per-slice watchdog killed a 32M slice under 0.1 GiB/s disk
+    # weather and the round lost the big scale point entirely) — a
+    # squeezed or hostile round freezes the 16M row instead.
+    _big_default = int(
+        os.environ.get(
+            "SPARK_GRAFT_BENCH_BIG_ROWS",
+            os.environ.get("SPARK_GRAFT_BENCH_16M_ROWS", "32000000"),
         )
-        # measured cost: 290 s one-pass 16M build + ~35 s of rows (r11
-        # run b); scale the headroom with the build, floor at legacy 360
-        def _bighead(n):
-            return max(360, int(300 * n / 16_000_000) + 100)
+    )
 
-        if (
+    def _bighead(n):
+        # measured-rate headroom when this run rebuilt the 8M ivf (a
+        # comparable ~N_ANN*DIM*4-byte packed write under TODAY'S IO
+        # weather), else the static r11 estimate (290 s one-pass 16M
+        # build + rows)
+        bsec = extras.get("ivf_build_sec")
+        if bsec:
+            return max(360, int(bsec / int(N_ANN) * n * 1.3) + 150)
+        return max(360, int(300 * n / 16_000_000) + 100)
+
+    _ladder = [_big_default]
+    if _big_default > 16_000_000 and "SPARK_GRAFT_BENCH_BIG_ROWS" not in os.environ:
+        _ladder.append(16_000_000)
+    for _li, N_BIG in enumerate(_ladder):
+        if _li:
+            print(
+                f"  big pair: downgrading {_ladder[0] // 1_000_000}M -> "
+                f"{N_BIG // 1_000_000}M", file=sys.stderr,
+            )
+            extras["big_pair_downgraded"] = 1
+        elif (
             N_BIG > 16_000_000
-            and "SPARK_GRAFT_BENCH_BIG_ROWS" not in os.environ
+            and len(_ladder) > 1
             and time.perf_counter() - _T_START > BUDGET_S - _bighead(N_BIG)
         ):
             print(
-                f"  big pair: downgrading {N_BIG // 1_000_000}M -> 16M "
-                "(budget headroom)", file=sys.stderr,
+                f"  big pair: skipping {N_BIG // 1_000_000}M scale "
+                "(budget headroom), trying 16M", file=sys.stderr,
             )
             extras["big_pair_downgraded"] = 1
-            N_BIG = 16_000_000
+            continue
         big_m = max(1, N_BIG // 1_000_000)
         kbig, abig = f"knn768_i8_{big_m}m", f"ann768_i8_{big_m}m"
         extras["big_scale_m"] = big_m
-        if os.environ.get("SPARK_GRAFT_BENCH_SKIP_16M"):
-            errors[kbig] = "skipped: SPARK_GRAFT_BENCH_SKIP_16M set"
-            print(f"  {kbig}: SKIPPED (env)", file=sys.stderr)
-            raise _BudgetSkip
-        if over_budget(errors, kbig) or time.perf_counter() - _T_START > BUDGET_S - _bighead(N_BIG):
-            if kbig not in errors:
-                errors[kbig] = f"skipped: < {_bighead(N_BIG)}s of bench budget left"
-                print(f"  {kbig}: SKIPPED (headroom)", file=sys.stderr)
-            raise _BudgetSkip
-        raw_i8 = N_BIG * DIM  # codes bytes ~= table bytes (incompressible)
-        # table + ONE slice's shuffle transient (the build is sliced —
-        # see below — so the whole-table 2.4x of r11 is no longer the
-        # peak; today's real /tmp budget is ~51 GB and cannot hold the
-        # 24 GB ivf table plus a 30 GB single-pass build)
-        if not ensure_free(
-            int(raw_i8 * 1.35) + 2 * 1024**3,
-            [
-                f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet",
-                f"/tmp/laion_bench_{N_VEC}x{DIM}_f16p.parquet",
-                f"/tmp/laion_bench_{N_VEC}x{DIM}_i8.parquet",
-                f"/tmp/laion_bench_{N_10M}x{DIM}_f16p.parquet",
-                f"/tmp/laion_bench_{N_10M}x{DIM}_i8.parquet",
-                # base before the small family fixtures (measured rows,
-                # ~80 s rebuild, 29 GB at once — see the ivf-build list)
-                f"/tmp/laion_bench_{N_10M}x{DIM}.parquet",
-                "/tmp/laion_events_10000000_tsorted.parquet",
-                f"/tmp/laion_etl_32x16384x{DIM}",
-                "/tmp/laion_docs_4m.parquet",
-                "/tmp/laion_docs_10m.parquet",
-                # LAST resort, needed only at the 32M scale (24.6 GB of
-                # codes cannot fit next to the 23 GB ivf table): the 8M
-                # ivf was fully measured by now and rebuilds from its
-                # kept centroids via the packed writer next run
-                IVF_PATH,
-            ],
-            f"i8 {big_m}m index",
-            spark=spark,
-        ):
-            errors[kbig] = (
-                f"skipped: {big_m}M SQ8 index needs ~{(raw_i8 * 1.35 + 2 * 1024**3) / 1024**3:.0f} GB free"
-            )
-            print(f"  {kbig}: SKIPPED (disk)", file=sys.stderr)
-            raise _BudgetSkip
-        from laion_spark.operators.similarity import IVFIndex
-        from laion_spark.sources.halfvec import write_int8_index
-
-        C16, RG16 = 256, 8
-        idx16m = IVFIndex(dim=DIM, n_clusters=C16, n_iters=4, nprobe=4)
-        cent16 = f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf{C16}rg{RG16}_centroids.json"
-        if os.path.exists(cent16):
-            # the 8M headline's quantizer: the generative mixture is
-            # scale-invariant, so sharing centroids isolates SCALE (same
-            # policy as the ann curve) and skips a redundant fit
-            idx16m.centroids = json.load(open(cent16))
-        else:
-            idx16m.fit(
-                synth_df(spark, N_BIG, DIM, clustered=True),
-                id_col="id", vector_col="embedding", fit_rows=200_000,
-            )
-        path16 = f"/tmp/laion_bench_{N_BIG}x{DIM}_ivf{C16}i8.parquet"
-        t0 = time.perf_counter()
-        # sliced build (r12): one pass's cluster exchange leaves its
-        # full shuffle DEAD in /tmp/blockmgr-* until the session is
-        # recycled, so a single full pass peaks at table + whole-table
-        # shuffle (~30 GB) — over today's budget next to the 24 GB ivf
-        # table. Disjoint id slices (elements are pure functions of id)
-        # appended with per-slice file tags keep the peak at table +
-        # ONE slice's shuffle; recycle_session between slices drops
-        # each dead shuffle before the next.
-        import shutil as _sh16
-        import threading
-
-        head16 = _sh16.disk_usage("/tmp").free - raw_i8 - 2 * 1024**3
-        n16 = max(1, -(-int(raw_i8 * 1.2) // max(head16, 4 * 1024**3)))
-        per16 = -(-N_BIG // n16)
-        for sl16 in range(n16):
-            lo16, hi16 = sl16 * per16, min((sl16 + 1) * per16, N_BIG)
-            gen16 = synth_df(spark, hi16, DIM, clustered=True, start=lo16, packed=True)
-            # watchdog: run c of r11 saw a build's map stage wedge at
-            # 63/64 tasks for 20+ min (one hung python worker). A hung
-            # LAST section must degrade to its error marker, not take
-            # the whole artifact with it — cancel the job group at ~3x
-            # the measured per-pass build time.
-            sc = spark.sparkContext
-            sc.setJobGroup("i8_big_build", f"{big_m}M SQ8 index build", interruptOnCancel=True)
-            dog = threading.Timer(900, lambda sc=sc: sc.cancelJobGroup("i8_big_build"))
-            dog.daemon = True
-            dog.start()
-            try:
-                write_int8_index(
-                    idx16m.build(gen16, "embedding"), path16, dim=DIM,
-                    vector_col="embedding", row_group_bytes=RG16 * 1024 * 1024,
-                    # slice 0 clears any crash-orphaned partial; later
-                    # slices append with a unique per-pass file tag
-                    mode="overwrite" if sl16 == 0 else "append",
-                    file_tag="" if sl16 == 0 else f"-s{sl16}",
+        try:
+            if os.environ.get("SPARK_GRAFT_BENCH_SKIP_16M"):
+                errors[kbig] = "skipped: SPARK_GRAFT_BENCH_SKIP_16M set"
+                print(f"  {kbig}: SKIPPED (env)", file=sys.stderr)
+                raise _BudgetSkip
+            if over_budget(errors, kbig) or time.perf_counter() - _T_START > BUDGET_S - _bighead(N_BIG):
+                if kbig not in errors:
+                    errors[kbig] = f"skipped: < {_bighead(N_BIG)}s of bench budget left"
+                    print(f"  {kbig}: SKIPPED (headroom)", file=sys.stderr)
+                raise _BudgetSkip
+            raw_i8 = N_BIG * DIM  # codes bytes ~= table bytes (incompressible)
+            # table + ONE slice's shuffle transient (the build is sliced —
+            # see below — so the whole-table 2.4x of r11 is no longer the
+            # peak; today's real /tmp budget is ~51 GB and cannot hold the
+            # 24 GB ivf table plus a 30 GB single-pass build)
+            if not ensure_free(
+                int(raw_i8 * 1.35) + 2 * 1024**3,
+                [
+                    f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet",
+                    f"/tmp/laion_bench_{N_VEC}x{DIM}_f16p.parquet",
+                    f"/tmp/laion_bench_{N_VEC}x{DIM}_i8.parquet",
+                    f"/tmp/laion_bench_{N_10M}x{DIM}_f16p.parquet",
+                    f"/tmp/laion_bench_{N_10M}x{DIM}_i8.parquet",
+                    # base before the small family fixtures (measured rows,
+                    # ~80 s rebuild, 29 GB at once — see the ivf-build list)
+                    f"/tmp/laion_bench_{N_10M}x{DIM}.parquet",
+                    # the ivf table BEFORE the family fixtures (r13 lesson:
+                    # families feed the children that run after this
+                    # section and rebuild at ~minutes each under hostile
+                    # IO; the ivf was fully measured by now and rebuilds
+                    # from kept centroids via the packed pipeline). Needed
+                    # only at the 32M scale — 24.6 GB of codes cannot sit
+                    # next to the 23 GB ivf table.
+                    IVF_PATH,
+                    "/tmp/laion_events_10000000_tsorted.parquet",
+                    f"/tmp/laion_etl_32x16384x{DIM}",
+                    "/tmp/laion_docs_4m.parquet",
+                    "/tmp/laion_docs_10m.parquet",
+                ],
+                f"i8 {big_m}m index",
+                spark=spark,
+            ):
+                errors[kbig] = (
+                    f"skipped: {big_m}M SQ8 index needs ~{(raw_i8 * 1.35 + 2 * 1024**3) / 1024**3:.0f} GB free"
                 )
-            finally:
-                dog.cancel()
-                sc.setJobGroup("", "")
-            if sl16 + 1 < n16:
-                spark = recycle_session(spark, f"16m slice {sl16 + 1}/{n16}")
-        build16 = round(time.perf_counter() - t0, 1)
-        extras[f"{kbig}_build_slices"] = n16
-        extras[f"{kbig}_build_sec"] = build16
-        print(f"  i8 {big_m}m index build: {build16}s ({du(path16)/1024**3:.1f} GB)",
-              file=sys.stderr)
+                print(f"  {kbig}: SKIPPED (disk)", file=sys.stderr)
+                raise _BudgetSkip
+            from laion_spark.operators.similarity import IVFIndex
+            from laion_spark.sources.halfvec import write_int8_index
 
-        # in-distribution query: dequantize a corpus row's own codes
-        import numpy as np
+            C16, RG16 = 256, 8
+            idx16m = IVFIndex(dim=DIM, n_clusters=C16, n_iters=4, nprobe=4)
+            cent16 = f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf{C16}rg{RG16}_centroids.json"
+            if os.path.exists(cent16):
+                # the 8M headline's quantizer: the generative mixture is
+                # scale-invariant, so sharing centroids isolates SCALE (same
+                # policy as the ann curve) and skips a redundant fit
+                idx16m.centroids = json.load(open(cent16))
+            else:
+                idx16m.fit(
+                    synth_df(spark, N_BIG, DIM, clustered=True),
+                    id_col="id", vector_col="embedding", fit_rows=200_000,
+                )
+            path16 = f"/tmp/laion_bench_{N_BIG}x{DIM}_ivf{C16}i8.parquet"
+            t0 = time.perf_counter()
+            # sliced build (r12): one pass's cluster exchange leaves its
+            # full shuffle DEAD in /tmp/blockmgr-* until the session is
+            # recycled, so a single full pass peaks at table + whole-table
+            # shuffle (~30 GB) — over today's budget next to the 24 GB ivf
+            # table. Disjoint id slices (elements are pure functions of id)
+            # appended with per-slice file tags keep the peak at table +
+            # ONE slice's shuffle; recycle_session between slices drops
+            # each dead shuffle before the next.
+            import shutil as _sh16
+            import threading
 
-        qrow = (
-            spark.read.parquet(path16)
-            .filter(F.col("id") == int(N_BIG * 0.123457))
-            .select("embedding", "embedding_scale")
-            .collect()[0]
-        )
-        q16 = (np.frombuffer(qrow[0], np.int8).astype(np.float64) * float(qrow[1])).tolist()
+            head16 = _sh16.disk_usage("/tmp").free - raw_i8 - 2 * 1024**3
+            n16 = max(1, -(-int(raw_i8 * 1.2) // max(head16, 4 * 1024**3)))
+            per16 = -(-N_BIG // n16)
+            for sl16 in range(n16):
+                lo16, hi16 = sl16 * per16, min((sl16 + 1) * per16, N_BIG)
+                gen16 = synth_df(spark, hi16, DIM, clustered=True, start=lo16, packed=True)
+                # watchdog: run c of r11 saw a build's map stage wedge at
+                # 63/64 tasks for 20+ min (one hung python worker). A hung
+                # LAST section must degrade to its error marker, not take
+                # the whole artifact with it — cancel the job group at ~3x
+                # the measured per-pass build time.
+                sc = spark.sparkContext
+                sc.setJobGroup("i8_big_build", f"{big_m}M SQ8 index build", interruptOnCancel=True)
+                # wedge watchdog scaled to THIS slice's rows (r14 run a:
+                # a fixed 900 s killed a healthy 32M-scale slice under
+                # 0.1 GiB/s disk weather) — ~3x a hostile-weather pass
+                dog_s = max(900.0, 150.0 * (hi16 - lo16) / 1_000_000)
+                dog = threading.Timer(dog_s, lambda sc=sc: sc.cancelJobGroup("i8_big_build"))
+                dog.daemon = True
+                dog.start()
+                try:
+                    write_int8_index(
+                        idx16m.build(gen16, "embedding"), path16, dim=DIM,
+                        vector_col="embedding", row_group_bytes=RG16 * 1024 * 1024,
+                        # slice 0 clears any crash-orphaned partial; later
+                        # slices append with a unique per-pass file tag
+                        mode="overwrite" if sl16 == 0 else "append",
+                        file_tag="" if sl16 == 0 else f"-s{sl16}",
+                    )
+                finally:
+                    dog.cancel()
+                    sc.setJobGroup("", "")
+                if sl16 + 1 < n16:
+                    spark = recycle_session(spark, f"16m slice {sl16 + 1}/{n16}")
+            build16 = round(time.perf_counter() - t0, 1)
+            extras[f"{kbig}_build_slices"] = n16
+            extras[f"{kbig}_build_sec"] = build16
+            print(f"  i8 {big_m}m index build: {build16}s ({du(path16)/1024**3:.1f} GB)",
+                  file=sys.stderr)
 
-        def exact16():
-            return knn_search_parquet(
-                spark, path16, q16, k=10, vector_col="embedding", select=["id"],
-                scale_col="embedding_scale",
-            ).collect()
+            # in-distribution query: dequantize a corpus row's own codes
+            import numpy as np
 
-        truth16 = {r.id for r in exact16()}  # warm + ANN recall truth
-        te16 = sorted(timed(exact16) for _ in range(3))
-        queries[kbig] = te16[1]
-        extras[f"{kbig}_rows"] = N_BIG
-        extras[f"{kbig}_best_sec"] = te16[0]
-        extras[f"{kbig}_rows_per_sec"] = round(N_BIG / te16[0])
-        # fraction vs the f32 bytes this table never had to materialize
-        extras[f"{kbig}_bytes_fraction"] = round(du(path16) / (N_BIG * DIM * 4), 4)
-        print(f"  {kbig}: {te16} bfrac={extras[f'{kbig}_bytes_fraction']}",
-              file=sys.stderr)
+            qrow = (
+                spark.read.parquet(path16)
+                .filter(F.col("id") == int(N_BIG * 0.123457))
+                .select("embedding", "embedding_scale")
+                .collect()[0]
+            )
+            q16 = (np.frombuffer(qrow[0], np.int8).astype(np.float64) * float(qrow[1])).tolist()
 
-        def ann16m(np_=None):
-            return idx16m.search_parquet(
-                spark, path16, q16, k=10, vector_col="embedding", select=["id"],
-                nprobe=np_, scale_col="embedding_scale",
-            ).collect()
+            def exact16():
+                return knn_search_parquet(
+                    spark, path16, q16, k=10, vector_col="embedding", select=["id"],
+                    scale_col="embedding_scale",
+                ).collect()
 
-        np16, rec16 = 4, 0.0
-        for np_try in (2, 3, 4):
-            rec16 = len(truth16 & {r.id for r in ann16m(np_try)}) / 10
-            if rec16 >= 0.95 or np_try == 4:
-                np16 = np_try
-                break
-        ta16 = sorted(timed(lambda: ann16m(np16)) for _ in range(5))
-        queries[abig] = ta16[2]
-        extras[f"{abig}_rows"] = N_BIG
-        extras[f"{abig}_recall_at_10"] = round(rec16, 3)
-        extras[f"{abig}_nprobe"] = np16
-        extras[f"{abig}_best_sec"] = ta16[0]
-        extras[f"{abig}_speedup"] = round(te16[0] / ta16[0], 2)
-        probed16m = sum(
-            du(f"{path16}/ivf_cluster={p}")
-            for p in idx16m.probe_clusters(q16, np16)
-            if os.path.isdir(f"{path16}/ivf_cluster={p}")
-        )
-        # vs the f32 bytes: pruning x quantization, the compounding metric
-        extras[f"{abig}_bytes_fraction"] = round(probed16m / (N_BIG * DIM * 4), 4)
-        print(
-            f"  {abig}: {ta16} recall={rec16:.2f} nprobe={np16} "
-            f"speedup={extras[f'{abig}_speedup']} "
-            f"bfrac={extras[f'{abig}_bytes_fraction']}",
-            file=sys.stderr,
-        )
-        _rm(path16)  # transient — the budget persists only the 8M ivf + 10M base
-    except _BudgetSkip:
-        pass
-    except Exception as ex16:  # noqa: BLE001
-        errors[kbig] = f"{type(ex16).__name__}: {ex16}"[:500]
-        print(f"  {kbig}: FAILED {errors[kbig].splitlines()[0]}", file=sys.stderr)
-        try:  # a partial big table must not starve the next run's disk
-            if os.path.exists(path16):
-                _rm(path16)
-        except NameError:
-            pass
+            truth16 = {r.id for r in exact16()}  # warm + ANN recall truth
+            te16 = sorted(timed(exact16) for _ in range(3))
+            queries[kbig] = te16[1]
+            extras[f"{kbig}_rows"] = N_BIG
+            extras[f"{kbig}_best_sec"] = te16[0]
+            extras[f"{kbig}_rows_per_sec"] = round(N_BIG / te16[0])
+            # fraction vs the f32 bytes this table never had to materialize
+            extras[f"{kbig}_bytes_fraction"] = round(du(path16) / (N_BIG * DIM * 4), 4)
+            print(f"  {kbig}: {te16} bfrac={extras[f'{kbig}_bytes_fraction']}",
+                  file=sys.stderr)
 
+            def ann16m(np_=None):
+                return idx16m.search_parquet(
+                    spark, path16, q16, k=10, vector_col="embedding", select=["id"],
+                    nprobe=np_, scale_col="embedding_scale",
+                ).collect()
+
+            np16, rec16 = 4, 0.0
+            for np_try in (2, 3, 4):
+                rec16 = len(truth16 & {r.id for r in ann16m(np_try)}) / 10
+                if rec16 >= 0.95 or np_try == 4:
+                    np16 = np_try
+                    break
+            ta16 = sorted(timed(lambda: ann16m(np16)) for _ in range(5))
+            queries[abig] = ta16[2]
+            extras[f"{abig}_rows"] = N_BIG
+            extras[f"{abig}_recall_at_10"] = round(rec16, 3)
+            extras[f"{abig}_nprobe"] = np16
+            extras[f"{abig}_best_sec"] = ta16[0]
+            extras[f"{abig}_speedup"] = round(te16[0] / ta16[0], 2)
+            probed16m = sum(
+                du(f"{path16}/ivf_cluster={p}")
+                for p in idx16m.probe_clusters(q16, np16)
+                if os.path.isdir(f"{path16}/ivf_cluster={p}")
+            )
+            # vs the f32 bytes: pruning x quantization, the compounding metric
+            extras[f"{abig}_bytes_fraction"] = round(probed16m / (N_BIG * DIM * 4), 4)
+            print(
+                f"  {abig}: {ta16} recall={rec16:.2f} nprobe={np16} "
+                f"speedup={extras[f'{abig}_speedup']} "
+                f"bfrac={extras[f'{abig}_bytes_fraction']}",
+                file=sys.stderr,
+            )
+            _rm(path16)  # transient — the budget persists only the 8M ivf + 10M base
+            break  # pair landed at this scale
+        except _BudgetSkip:
+            break
+        except Exception as ex16:  # noqa: BLE001
+            errors[kbig] = f"{type(ex16).__name__}: {ex16}"[:500]
+            print(f"  {kbig}: FAILED {errors[kbig].splitlines()[0]}", file=sys.stderr)
+            try:  # a partial big table must not starve the next run's disk
+                if os.path.exists(path16):
+                    _rm(path16)
+            except NameError:
+                pass
+            if (
+                _li + 1 < len(_ladder)
+                and time.perf_counter() - _T_START < BUDGET_S - _bighead(16_000_000)
+            ):
+                continue  # one retry at the proven 16M scale
+            break
     emit_checkpoint(queries, extras, errors, sf_val, "big_pair", sentinels=sentinels)
 
     # the big build's exchange dies here so the curve's transient
