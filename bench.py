@@ -75,6 +75,20 @@ N_ANN = int(os.environ.get("SPARK_GRAFT_BENCH_ANN_ROWS", "8000000"))
 N_10M = int(os.environ.get("SPARK_GRAFT_BENCH_10M_ROWS", "10000000"))
 DIM = 768
 
+#: the 10M brute-force base, packed-f32 FSB layout (r14, guide §6): the
+#: SAME float32 values as the pre-r14 list<float> fixture — only the
+#: physical parquet encoding changes (one fixed_size_binary(4*dim)
+#: value per vector instead of a 768-element list). Parquet decodes
+#: large fixed-width values by bulk memcpy and flat_matrix reinterprets
+#: the buffer zero-copy, so the scan sheds the per-element list decode
+#: that dominated knn768_10m (the r13 weak row). The new name keeps a
+#: stale list-layout fixture from a prior round from being served
+#: silently — fixture_sweep reclaims it at suite start.
+BASE10M_PATH = f"/tmp/laion_bench_{N_10M}x{DIM}pf32.parquet"
+#: 1M packed twin of the measured list-layout base — the in-artifact
+#: A/B evidence for the layout switch (knn768_pk vs knn768)
+BASE1M_PK_PATH = f"/tmp/laion_bench_{N_VEC}x{DIM}pf32.parquet"
+
 #: the persisted ANN index table + its quantizer (C=256 clusters, 8 MB
 #: row groups — the ann section's C/RG_MB constants). Module-level so
 #: the 10M section's disk planner can name the table as a LAST-RESORT
@@ -103,7 +117,7 @@ EVICT_10M = [
 ]
 EVICT_IVF = [
     f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet",
-    f"/tmp/laion_bench_{N_10M}x{DIM}.parquet",
+    BASE10M_PATH,
     "/tmp/laion_events_10000000_tsorted.parquet",
     f"/tmp/laion_etl_32x16384x{DIM}",
     "/tmp/laion_docs_4m.parquet",
@@ -153,6 +167,34 @@ def section_floor(spark, extras: dict, section: str) -> None:
         extras[f"{section}_floor_sec"] = min(
             timed(lambda: spark.range(0, 32, 1, 32).count()) for _ in range(3)
         )
+    except Exception:  # noqa: BLE001 — the sentinel must never cost a row
+        pass
+
+
+def fault_floor(extras: dict, prefix: str = "") -> None:
+    """Hypervisor first-touch latency sentinel (r14): times `fill` on
+    three FRESH 64 MB buffers (kept alive so each sample faults new
+    pages). On this sandbox, lazily hypervisor-backed pages
+    intermittently cost 100-1100 us each to first-touch (10-17 s per
+    64 MB) while re-touch is microseconds — the mechanism behind the
+    multi-round "IO weather": cold reads, shuffle buffers and fresh
+    worker arenas all ride it. min lands in the compact line's
+    floors{}; max records the in-run swing. See
+    session._tune_worker_malloc for the arena-reuse mitigation."""
+    try:
+        import numpy as np
+
+        keep, ts = [], []
+        for _ in range(3):
+            a = np.empty(64 * 1024 * 1024, dtype=np.uint8)
+            t0 = time.perf_counter()
+            a.fill(1)
+            ts.append(round(time.perf_counter() - t0, 4))
+            keep.append(a)
+        del keep
+        extras[f"{prefix}fault64m_floor_sec"] = min(ts)
+        extras[f"{prefix}fault64m_worst"] = max(ts)
+        print(f"  fault floor{(' ' + prefix) if prefix else ''}: {ts}", file=sys.stderr)
     except Exception:  # noqa: BLE001 — the sentinel must never cost a row
         pass
 
@@ -335,23 +377,39 @@ def synth_df(
             else None
         )
         half = dim // 2  # dim is even for every bench shape (768)
+        #: sub-chunk rows per u01 chain (r14): the full-batch chain held
+        #: ~4 live (10000 x 768) float64/uint64 temporaries (~61 MB
+        #: each). On this sandbox, first-touch of freshly mapped memory
+        #: costs 100-1100 us PER PAGE (hypervisor-backed lazy pages —
+        #: see session._tune_worker_malloc), and 32 workers faulting
+        #: ~300 MB each simultaneously collapse the host's fault path
+        #: (~98%% system time). 2048-row sub-chunks cut each worker's
+        #: faulted working set ~5x; values are a pure function of the
+        #: (id, j) counter, so the output is bit-identical.
+        SUB = 2048
+        jarange = np.arange(dim, dtype=np.uint64)
         for rb in batches:
             ids = rb.column(0)
             m = len(ids)
-            idv = ids.to_numpy().astype(np.uint64)
-            ctr = idv[:, None] * np.uint64(dim) + np.arange(dim, dtype=np.uint64)
-            u = u01(ctr)
-            if clustered:
-                idx = np.asarray(ids.to_numpy()) % 256
-                # Box-Muller on uniform pairs -> standard normal noise
-                r = np.sqrt(-2.0 * np.log(np.maximum(u[:, :half], 2.0 ** -53)))
-                th = (2.0 * np.pi) * u[:, half:]
-                noise = np.empty((m, dim), dtype=np.float32)
-                noise[:, 0::2] = (r * np.cos(th)).astype(np.float32)
-                noise[:, 1::2] = (r * np.sin(th)).astype(np.float32)
-                flat = (centers[idx] + 0.3 * noise).ravel()
-            else:
-                flat = (u * 2.0 - 1.0).astype(np.float32).ravel()
+            idv_all = ids.to_numpy().astype(np.uint64)
+            out = np.empty((m, dim), dtype=np.float32)
+            for lo in range(0, m, SUB):
+                hi = min(lo + SUB, m)
+                idv = idv_all[lo:hi]
+                ctr = idv[:, None] * np.uint64(dim) + jarange
+                u = u01(ctr)
+                if clustered:
+                    idx = np.asarray(idv).astype(np.int64) % 256
+                    # Box-Muller on uniform pairs -> standard normal noise
+                    r = np.sqrt(-2.0 * np.log(np.maximum(u[:, :half], 2.0 ** -53)))
+                    th = (2.0 * np.pi) * u[:, half:]
+                    noise = np.empty((hi - lo, dim), dtype=np.float32)
+                    noise[:, 0::2] = (r * np.cos(th)).astype(np.float32)
+                    noise[:, 1::2] = (r * np.sin(th)).astype(np.float32)
+                    out[lo:hi] = centers[idx] + 0.3 * noise
+                else:
+                    out[lo:hi] = (u * 2.0 - 1.0).astype(np.float32)
+            flat = out.ravel()
             if packed:
                 data = np.ascontiguousarray(flat, dtype=np.float32)
                 offs = np.arange(0, (m + 1) * 4 * dim, 4 * dim, dtype=np.int32)
@@ -381,6 +439,29 @@ def synth_vectors(spark, n: int, dim: int, clustered: bool = False):
     if not os.path.exists(f"{path}/_SUCCESS"):  # absent or partial write
         synth_df(spark, n, dim, clustered).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+def synth_packed_base(spark, n: int, dim: int, path: str) -> None:
+    """Packed-f32 brute-force base fixture (r14, guide §6): the same
+    float32 values as ``synth_vectors`` but stored as one
+    fixed_size_binary(4*dim) value per vector, written straight from
+    the generator's python workers via the FLBA sink — no shuffle, no
+    JVM row materialization, one file per generator partition. 32 MB
+    row groups: brute scans want fewer, larger (file, row_group) tasks
+    than the 8 MB pruning-grain the ivf tables use. ``_DONE`` marks a
+    complete build (the python sink writes no ``_SUCCESS``)."""
+    if os.path.exists(f"{path}/_DONE"):
+        return
+    import shutil
+
+    from laion_spark.sources.halfvec import _flba_sink
+
+    if os.path.isdir(path):  # partial build — never mix generations
+        shutil.rmtree(path, ignore_errors=True)
+    gen = synth_df(spark, n, dim, packed=True).withColumn("c0", F.lit(0))
+    sink = _flba_sink(path, 4 * dim, "c0", "embedding", 32 * 1024 * 1024, "snappy", "")
+    gen.mapInArrow(sink, "path string, rows long").collect()
+    open(f"{path}/_DONE", "w").close()
 
 
 # ---- /tmp fixture budget (VERDICT r8 #1) -----------------------------
@@ -427,7 +508,7 @@ def _rm(path: str) -> int:
 #: them is ensure_free's job (ordered eviction), not the sweep's.
 _CANONICAL_KEEP = {
     f"/tmp/laion_bench_1000000x{DIM}.parquet",
-    f"/tmp/laion_bench_10000000x{DIM}.parquet",
+    f"/tmp/laion_bench_10000000x{DIM}pf32.parquet",
     f"/tmp/laion_bench_8000000x{DIM}_ivf256rg8.parquet",
     f"/tmp/laion_bench_8000000x{DIM}_ivf256rg8_centroids.json",
 }
@@ -611,7 +692,7 @@ def disk_plan(extras: dict) -> None:
     free = _sh.disk_usage("/tmp").free
     fixtures = {
         "ivf8m": IVF_PATH,
-        "base10m": f"/tmp/laion_bench_{N_10M}x{DIM}.parquet",
+        "base10m": BASE10M_PATH,
         "base1m": f"/tmp/laion_bench_{N_VEC}x{DIM}.parquet",
         "docs": "/tmp/laion_docs_1m.parquet",
         "docs4m": "/tmp/laion_docs_4m.parquet",
@@ -1571,7 +1652,7 @@ _CHILD_EVICT = [
     f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet",
     f"/tmp/laion_bench_{N_VEC}x{DIM}_f16p.parquet",
     f"/tmp/laion_bench_{N_VEC}x{DIM}_i8.parquet",
-    f"/tmp/laion_bench_{N_10M}x{DIM}.parquet",
+    BASE10M_PATH,
 ]
 
 
@@ -1627,7 +1708,7 @@ def main() -> None:
             f"/tmp/laion_bench_{N_VEC}x{DIM}_f16.parquet",
             f"/tmp/laion_bench_{N_VEC}x{DIM}_f16p.parquet",
             f"/tmp/laion_bench_{N_VEC}x{DIM}_i8.parquet",
-            f"/tmp/laion_bench_{N_10M}x{DIM}.parquet",
+            BASE10M_PATH,
             f"/tmp/laion_bench_{N_10M}x{DIM}_f16p.parquet",
             f"/tmp/laion_bench_{N_10M}x{DIM}_i8.parquet",
             f"/tmp/laion_bench_{N_ANN}x{DIM}_ivf256rg8.parquet",
@@ -1693,6 +1774,11 @@ def main() -> None:
     except Exception as ex:  # noqa: BLE001
         print(f"  cpu floor: FAILED {type(ex).__name__}: {ex}", file=sys.stderr)
 
+    # hypervisor fault-latency sentinel (r14) — stamped with the other
+    # suite-start floors so every row's cross-round drift is
+    # attributable to host memory weather from the artifact alone
+    fault_floor(extras)
+
     try:
         if over_budget(errors, "knn768"):
             raise _BudgetSkip
@@ -1726,6 +1812,39 @@ def main() -> None:
             extras[f"{key}_best_sec"] = ts[0]
             extras[f"{key}_rows_per_sec"] = round(N_VEC / ts[0])
             print(f"  {key}: {ts}", file=sys.stderr)
+
+        # packed-f32 layout A/B at 1M (r14, guide §6): the SAME float32
+        # values as knn768's list<float> base in the FSB layout the 10M
+        # family now defaults to — the in-artifact evidence for that
+        # switch (knn768 stays the list-layout row). Parity-checked
+        # against the list scan, then the 3 GB twin is removed.
+        try:
+            t0 = time.perf_counter()
+            synth_packed_base(spark, N_VEC, DIM, BASE1M_PK_PATH)
+            print(f"  synth_packed_base({N_VEC}x{DIM}): {time.perf_counter()-t0:.1f}s",
+                  file=sys.stderr)
+
+            def run_knn_pk():
+                return knn_search_parquet(
+                    spark, BASE1M_PK_PATH, qvec, k=10, vector_col="embedding", select=["id"]
+                ).collect()
+
+            pk_rows = [(r.id, r.score) for r in run_knn_pk()]  # warm
+            list_rows = [(r.id, r.score) for r in run_knn("scan")]
+            extras["knn768_pk_parity"] = int(pk_rows == list_rows)
+            tsp = sorted(timed(run_knn_pk) for _ in range(5))
+            queries["knn768_pk"] = tsp[2]
+            extras["knn768_pk_best_sec"] = tsp[0]
+            extras["knn768_pk_rows_per_sec"] = round(N_VEC / tsp[0])
+            print(
+                f"  knn768_pk: {tsp} parity={extras['knn768_pk_parity']}",
+                file=sys.stderr,
+            )
+        except Exception as pex:  # noqa: BLE001 — A/B row, never the family
+            errors["knn768_pk"] = f"{type(pex).__name__}: {pex}"[:500]
+            print(f"  knn768_pk: FAILED {errors['knn768_pk'].splitlines()[0]}", file=sys.stderr)
+        finally:
+            _rm(BASE1M_PK_PATH)
     except _BudgetSkip:
         pass
     except Exception as ex:  # noqa: BLE001
@@ -1750,12 +1869,12 @@ def main() -> None:
             errors["knn768_10m"] = "skipped: SPARK_GRAFT_BENCH_SKIP_10M set (smoke run)"
             print("  knn768_10m: SKIPPED (env)", file=sys.stderr)
             raise _BudgetSkip
-        path_10m = f"/tmp/laion_bench_{N_10M}x{DIM}.parquet"
+        path_10m = BASE10M_PATH
         # cold fixture build is ~80 s of generation + 30 GB write since
         # the r10 counter-hash generator (the old 5-8 min estimate kept
         # a stale 600 s gate that skipped the WHOLE 10M section in the
         # r11 all-cold run); the full cold section is ~420 s worst case
-        head = 420 if not os.path.exists(f"{path_10m}/_SUCCESS") else 120
+        head = 420 if not os.path.exists(f"{path_10m}/_DONE") else 120
         if over_budget(errors, "knn768_10m") or time.perf_counter() - _T_START > BUDGET_S - head:
             if "knn768_10m" not in errors:
                 errors["knn768_10m"] = f"skipped: < {head}s of bench budget left"
@@ -1765,7 +1884,7 @@ def main() -> None:
         # hardcoded 36 GB mis-skipped env-shrunken smoke runs
         need = (
             int(N_10M) * DIM * 4 * 12 // 10 + 2 * 1024**3
-            if not os.path.exists(f"{path_10m}/_SUCCESS")
+            if not os.path.exists(f"{path_10m}/_DONE")
             else 2 * 1024**3
         )
         # eviction order: leftover transient twins first, then the
@@ -1791,8 +1910,8 @@ def main() -> None:
             print("  knn768_10m: SKIPPED (disk)", file=sys.stderr)
             raise _BudgetSkip
         t0 = time.perf_counter()
-        synth_vectors(spark, N_10M, DIM)
-        print(f"  synth_vectors({N_10M}x{DIM}): {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        synth_packed_base(spark, N_10M, DIM, path_10m)
+        print(f"  synth_packed_base({N_10M}x{DIM}): {time.perf_counter()-t0:.1f}s", file=sys.stderr)
         # in-artifact disk calibration, measured on the very bytes the
         # 10M scans read (VERDICT r10 #1)
         probe_gbps = disk_probe(extras, path_10m)
@@ -2781,7 +2900,7 @@ def main() -> None:
                     f"/tmp/laion_bench_{N_10M}x{DIM}_i8.parquet",
                     # base before the small family fixtures (measured rows,
                     # ~80 s rebuild, 29 GB at once — see the ivf-build list)
-                    f"/tmp/laion_bench_{N_10M}x{DIM}.parquet",
+                    BASE10M_PATH,
                     # the ivf table BEFORE the family fixtures (r13 lesson:
                     # families feed the children that run after this
                     # section and rebuild at ~minutes each under hostile
@@ -3000,7 +3119,7 @@ def main() -> None:
                         f"/tmp/laion_bench_{N_VEC}x{DIM}_f16p.parquet",
                         f"/tmp/laion_bench_{N_VEC}x{DIM}_i8.parquet",
                         f"/tmp/laion_bench_{N_VEC}x{DIM}.parquet",
-                        f"/tmp/laion_bench_{N_10M}x{DIM}.parquet",
+                        BASE10M_PATH,
                     ],
                     key,
                     spark=spark,

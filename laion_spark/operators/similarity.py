@@ -457,8 +457,23 @@ class IVFIndex:
                         continue
                     mat = flat_matrix(vcol, dim)
                     cid = np.argmin(cc[None, :] - 2.0 * (mat @ C.T), axis=1)
-                    np.add.at(counts, cid, 1)
-                    np.add.at(sums, cid, mat)
+                    # segment-sum via stable sort + reduceat (r14):
+                    # np.add.at is an unbuffered per-element scatter,
+                    # ~50x slower than a vectorized pass at this shape
+                    # (it dominated the ~90 s 200k-row fit). The stable
+                    # sort preserves row order within each cluster, so
+                    # each cluster's per-batch addend order is unchanged;
+                    # only the batch -> accumulator grouping rounds
+                    # differently (~1e-16 on the means — the fit is a
+                    # clustering heuristic, nothing hash-matched depends
+                    # on centroid bits).
+                    counts += np.bincount(cid, minlength=n_c)
+                    order = np.argsort(cid, kind="stable")
+                    scid = cid[order]
+                    starts = np.concatenate(
+                        ([0], np.flatnonzero(np.diff(scid)) + 1)
+                    )
+                    sums[scid[starts]] += np.add.reduceat(mat[order], starts, axis=0)
                 pid = TaskContext.get().partitionId()
                 present = np.flatnonzero(counts)
                 if len(present) == 0:
@@ -736,19 +751,23 @@ class IVFIndex:
             raise ValueError("metric must be l2|cosine")
         if self.centroids is None:
             raise ValueError("call fit() first")
-        from laion_spark.operators.knn import _arrow_to_ddl
         from laion_spark.session import _ship_package
 
         _ship_package(spark)
         if chunk_queries:
             src = queries.select(query_id, query_vec)
+            qid_t_c = queries.schema[query_id].dataType.simpleString()
 
             def block_plan(blk: list) -> DataFrame:
-                return self.knn_join_parquet(
-                    spark, path, spark.createDataFrame(blk, src.schema), k=k,
-                    query_id=query_id, query_vec=query_vec, corpus_id=corpus_id,
-                    vector_col=vector_col, metric=metric, nprobe=nprobe,
-                    max_queries=max_queries, scale_col=scale_col,
+                # r14: plan straight from the collected Rows — the old
+                # createDataFrame(blk) round-tripped every block through
+                # a LocalRelation only for the recursive call to collect
+                # it again (one extra Spark job per block, pure fixed
+                # overhead on the serving path)
+                return self._knn_join_parquet_rows(
+                    spark, path, blk, qid_t_c, k=k, query_id=query_id,
+                    corpus_id=corpus_id, vector_col=vector_col, metric=metric,
+                    nprobe=nprobe, scale_col=scale_col, _ordered=False,
                 )
 
             # plan each block as its rows arrive so raw Rows are
@@ -777,6 +796,33 @@ class IVFIndex:
             )
         if not q_rows:
             raise ValueError("queries DataFrame is empty")
+        return self._knn_join_parquet_rows(
+            spark, path, q_rows, queries.schema[query_id].dataType.simpleString(),
+            k=k, query_id=query_id, corpus_id=corpus_id, vector_col=vector_col,
+            metric=metric, nprobe=nprobe, scale_col=scale_col,
+        )
+
+    def _knn_join_parquet_rows(
+        self,
+        spark,
+        path: str,
+        q_rows: list,
+        qid_t: str,
+        k: int = 10,
+        query_id: str = "id",
+        corpus_id: str = "id",
+        vector_col: str = "embedding",
+        metric: str = "l2",
+        nprobe: int | None = None,
+        scale_col: str | None = None,
+        _ordered: bool = True,
+    ) -> DataFrame:
+        """One ``knn_join_parquet`` block over already-collected query
+        Rows — shared by the capped single-block path and each
+        ``chunk_queries`` block (which hands its ``toLocalIterator``
+        buffer here directly instead of round-tripping it through a
+        LocalRelation; ``_ordered=False`` skips the per-block global
+        sort the union's final orderBy would redo anyway)."""
         import numpy as np
 
         q_ids = [r[0] for r in q_rows]
@@ -785,11 +831,24 @@ class IVFIndex:
         # per task; the array pickles as one buffer
         q_mat = np.asarray([list(map(float, r[1])) for r in q_rows], dtype=np.float64)
 
-        # driver-side routing: cluster -> query indices
+        # driver-side routing: cluster -> query indices. Vectorized (r14):
+        # one (queries x centroids) distance matrix via the dot identity
+        # replaces a per-query probe_clusters call (each of which
+        # allocated its own C - q temporary); the identity's rounding
+        # differs from the direct form only at ~1e-12 relative, so a
+        # routing flip needs a near-exact centroid-distance tie
+        C = np.asarray(self.centroids, dtype=np.float64)
+        n_probe_eff = self.nprobe if nprobe is None else nprobe
+        d_qc = (
+            np.einsum("ij,ij->i", C, C)[None, :]
+            - 2.0 * (q_mat @ C.T)
+            + np.einsum("ij,ij->i", q_mat, q_mat)[:, None]
+        )
+        probe_order = np.argsort(d_qc, axis=1, kind="stable")[:, :n_probe_eff]
         by_cluster: dict[int, list[int]] = {}
         for qi in range(q_mat.shape[0]):
-            for c in self.probe_clusters(q_mat[qi], nprobe):
-                by_cluster.setdefault(c, []).append(qi)
+            for c in probe_order[qi]:
+                by_cluster.setdefault(int(c), []).append(qi)
 
         # cluster -> task lists come from the CACHED one-time listing
         # (scan_plans); missing cluster = empty, skipped
@@ -821,8 +880,9 @@ class IVFIndex:
                 f"int8 codes for dim={self.dim}; pass scale_col "
                 f"(write_int8_table stores it as '{vector_col}_scale')"
             )
+        from laion_spark.operators.knn import _arrow_to_ddl
+
         cid_t = _arrow_to_ddl(arrow_schema.field(corpus_id).type)
-        qid_t = queries.schema[query_id].dataType.simpleString()
         dim = self.dim
         kk = k
         batch_rows = max(256, 196_608 // dim)  # cache-blocked, as in knn_search_parquet
@@ -834,8 +894,20 @@ class IVFIndex:
 
             from laion_spark.operators.knn import flat_matrix
 
+            # Two-stage scorer (r14, guide §4.2): float32 GEMM SELECTION
+            # over the whole (batch x cluster-queries) score matrix, then
+            # an exact float64 rescore of only the selected candidates in
+            # the direct sum((a-q)^2) form the exact paths use. Replaces
+            # a per-query Python loop (argpartition + Arrow take +
+            # to_pylist PER QUERY PER BATCH — ~500k interpreter
+            # iterations for a 2048-query join over 8M rows) with a few
+            # vectorized calls per batch. The candidate set provably
+            # contains each query's true per-batch top-k: every row whose
+            # f32 d^2 is within the forward-error margin of the f32 k-th
+            # is kept (same eps bound as knn_search_parquet).
             Qfull = np.asarray(q_mat, dtype=np.float64)
-            qn_full = np.linalg.norm(Qfull, axis=1)
+            Qfull32 = Qfull.astype(np.float32)
+            u32 = 6.0e-8
             for rb in batches:
                 # range-leaf dispatch (see knn_search_parquet): the
                 # batch holds group id(s); tasks ride the closure.
@@ -853,11 +925,16 @@ class IVFIndex:
                     if not qidx:
                         continue
                     Q = Qfull[qidx]  # (m_c, dim)
-                    qn = qn_full[qidx]
+                    Q32 = Qfull32[qidx]
                     qq = np.einsum("ij,ij->i", Q, Q)
+                    qq32 = qq.astype(np.float32)
+                    qn = np.sqrt(qq)
+                    qid_arr = np.asarray([q_ids[qi] for qi in qidx])
                     pf = pq.ParquetFile(fs.open_input_file(fpath))
                     rgs = [rg] if rg >= 0 else range(pf.metadata.num_row_groups)
-                    out_q, out_c, out_s = [], [], []
+                    out_q: list = []
+                    out_c: list = []
+                    out_s: list = []
                     read_cols = [corpus_id, vector_col] + (
                         [scale_col] if scale_col is not None else []
                     )
@@ -869,42 +946,74 @@ class IVFIndex:
                         n = len(vcol)
                         if n == 0:
                             continue
-                        X = flat_matrix(vcol, dim)
+                        raw32 = flat_matrix(vcol, dim, np.float32)
                         if scale_col is not None:  # SQ8 dequantize
-                            X = X * (
+                            scales = (
                                 b.column(b.schema.get_field_index(scale_col))
-                                .to_numpy(zero_copy_only=False)[:, None]
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.float64, copy=False)
                             )
-                        if metric == "l2":
-                            d2 = (
-                                np.einsum("ij,ij->i", X, X)[:, None]
-                                - 2.0 * (X @ Q.T)
-                                + qq[None, :]
-                            )
-                            np.maximum(d2, 0.0, out=d2)
-                            scores = np.sqrt(d2)
-                            best_first = True
+                            X32 = raw32 * scales[:, None].astype(np.float32)
                         else:
-                            xn = np.linalg.norm(X, axis=1)
-                            denom = np.outer(xn, qn)
-                            with np.errstate(divide="ignore", invalid="ignore"):
-                                scores = np.where(denom > 0, (X @ Q.T) / denom, -np.inf)
-                            best_first = False
+                            scales = None
+                            X32 = raw32
                         top = min(kk, n)
-                        ids = b.column(b.schema.get_field_index(corpus_id))
-                        for j, qi in enumerate(qidx):
-                            col = scores[:, j]
-                            sel = (
-                                np.argpartition(col, top - 1)[:top]
-                                if best_first
-                                else np.argpartition(-col, top - 1)[:top]
-                            )
-                            out_q.extend([q_ids[qi]] * top)
-                            out_c.extend(ids.take(pa.array(sel)).to_pylist())
-                            out_s.extend(col[sel].tolist())
+                        nrm32 = np.einsum("ij,ij->i", X32, X32, dtype=np.float32)
+                        if metric == "l2":
+                            d2 = nrm32[:, None] - 2.0 * (X32 @ Q32.T) + qq32[None, :]
+                            finite = np.isfinite(d2)
+                            if not finite.all():
+                                d2 = np.where(finite, d2, np.float32(np.inf))
+                            kth = np.partition(d2, top - 1, axis=0)[top - 1]  # (m_c,)
+                            fin = np.isfinite(nrm32)
+                            max_nrm = float(nrm32[fin].max()) if fin.any() else 0.0
+                            eps = dim * u32 * (np.sqrt(max_nrm) + qn) ** 2
+                            rows, qs = np.nonzero(d2 <= kth[None, :] + 4.0 * eps[None, :])
+                        else:
+                            xn32 = np.sqrt(nrm32)
+                            denom = np.outer(xn32, qn.astype(np.float32))
+                            with np.errstate(divide="ignore", invalid="ignore"):
+                                sim = np.where(denom > 0, (X32 @ Q32.T) / denom, -np.inf)
+                            if np.isnan(sim).any():
+                                sim = np.where(np.isnan(sim), -np.inf, sim)
+                            kth = -np.partition(-sim, top - 1, axis=0)[top - 1]
+                            # |cos| <= 1: a constant forward-error margin
+                            # covers the normalized f32 dot
+                            rows, qs = np.nonzero(sim >= kth[None, :] - 4.0 * dim * u32)
+                        # exact float64 rescore of the candidates only
+                        if scales is not None:
+                            Xc = raw32[rows].astype(np.float64) * scales[rows, None]
+                        else:
+                            Xc = raw32[rows].astype(np.float64)
+                        Qc = Q[qs]
+                        if metric == "l2":
+                            d = Xc - Qc
+                            s = np.sqrt(np.einsum("ij,ij->i", d, d))
+                        else:
+                            # zero-norm rows score -inf (rank last under
+                            # desc), matching the selection-stage guard
+                            dnm = np.linalg.norm(Xc, axis=1) * qn[qs]
+                            with np.errstate(divide="ignore", invalid="ignore"):
+                                s = np.where(
+                                    dnm > 0,
+                                    np.einsum("ij,ij->i", Xc, Qc) / dnm,
+                                    -np.inf,
+                                )
+                        ids_np = (
+                            b.column(b.schema.get_field_index(corpus_id))
+                            .to_numpy(zero_copy_only=False)
+                        )
+                        out_q.append(qs)
+                        out_c.append(ids_np[rows])
+                        out_s.append(s)
                     if out_q:
+                        qs_all = np.concatenate(out_q)
                         yield pa.RecordBatch.from_arrays(
-                            [pa.array(out_q), pa.array(out_c), pa.array(out_s, type=pa.float64())],
+                            [
+                                pa.array(qid_arr[qs_all]),
+                                pa.array(np.concatenate(out_c)),
+                                pa.array(np.concatenate(out_s), type=pa.float64()),
+                            ],
                             ["qid", "cid", "score"],
                         )
 
@@ -929,7 +1038,7 @@ class IVFIndex:
             F.col("score").asc_nulls_last() if asc else F.col("score").desc_nulls_last(),
             F.col("cid").asc(),
         )
-        return (
+        out = (
             partial.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
             .select(
@@ -937,8 +1046,10 @@ class IVFIndex:
                 F.col("cid").alias(corpus_id + "_c"),
                 F.round("score", 6).alias("score"),
             )
-            .orderBy(query_id + "_q", "score", corpus_id + "_c")
         )
+        if _ordered:
+            out = out.orderBy(query_id + "_q", "score", corpus_id + "_c")
+        return out
 
     # -- search ----------------------------------------------------------
 

@@ -87,17 +87,45 @@ def tune_session(spark: SparkSession, shuffle_partitions: int | None = None) -> 
     return spark
 
 
+def _tune_worker_malloc() -> None:
+    """Pin glibc so python workers KEEP freed large buffers (r14).
+
+    Measured on this sandbox: first-touch of freshly mapped anonymous
+    memory intermittently costs ~100-1100 us PER 4 KB PAGE (the
+    hypervisor backs guest pages on demand under host memory
+    overcommit), i.e. 10-17 s to touch a fresh 64 MB buffer — while
+    re-touching an already-backed buffer costs microseconds. glibc's
+    default M_MMAP_THRESHOLD (<=32 MB) mmap/munmaps every larger
+    allocation, so each numpy temporary in the scorer/generator hot
+    loops could re-fault its whole footprint every call. Disabling
+    trim and raising the mmap threshold to 256 MB keeps those buffers
+    in the arena: each worker pays first-touch once per working-set
+    byte and never again. Env must be set BEFORE a process starts
+    (glibc reads it at startup) — setting it here, before the JVM
+    spawns, propagates JVM -> python daemon -> every worker. Harmless
+    on healthy hosts (slightly higher steady-state RSS)."""
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(256 * 1024 * 1024))
+
+
 def get_session(app_name: str = "laion_spark", cpus: int | None = None) -> SparkSession:
     """Create (or fetch) a local session tuned for this engine.
 
     On a real cluster the master/memory settings come from
     spark-submit; only the runtime confs in ``tune_session`` apply.
     """
+    _tune_worker_malloc()
     n = cpus or default_parallelism()
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", mem)
+        # Xms == Xmx: G1 never uncommits heap regions, so the JVM too
+        # pays this host's slow first-touch (see _tune_worker_malloc)
+        # at most once per heap page instead of refaulting after every
+        # periodic uncommit
+        .config("spark.driver.extraJavaOptions", f"-Xms{mem}")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", str(n))
     )
