@@ -200,10 +200,19 @@ def fault_floor(extras: dict, prefix: str = "") -> None:
 
 
 def du(path: str) -> int:
-    """Recursive directory byte count (bytes-fraction metrics)."""
-    return sum(
-        os.path.getsize(os.path.join(r, f)) for r, _d, fl in os.walk(path) for f in fl
-    )
+    """Recursive directory byte count (bytes-fraction metrics).
+
+    Tolerates files vanishing mid-walk: Spark's ContextCleaner deletes
+    shuffle temp files concurrently, and a getsize on a just-removed
+    entry must not crash the bench (seen live in recycle_session)."""
+    total = 0
+    for r, _d, fl in os.walk(path):
+        for f in fl:
+            try:
+                total += os.path.getsize(os.path.join(r, f))
+            except OSError:
+                pass
+    return total
 
 
 def vec_f32(v) -> list:
