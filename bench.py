@@ -2962,6 +2962,14 @@ def main() -> None:
 
             head16 = _sh16.disk_usage("/tmp").free - raw_i8 - 2 * 1024**3
             n16 = max(1, -(-int(raw_i8 * 1.2) // max(head16, 4 * 1024**3)))
+            # wedge-exposure cap (r14 run 2): slicing by DISK headroom
+            # alone gave 2 x 16M-row slices on a roomy /tmp, and a single
+            # hung python worker then burned that slice's whole 2400 s
+            # watchdog (40 min of budget for one stuck task). Cap slices
+            # at 8M rows so a wedge costs at most ~1200 s and the
+            # downgrade ladder still has budget to retry; extra slices
+            # are near-free (each recycle also drops dead shuffle files).
+            n16 = max(n16, -(-N_BIG // 8_000_000))
             per16 = -(-N_BIG // n16)
             for sl16 in range(n16):
                 lo16, hi16 = sl16 * per16, min((sl16 + 1) * per16, N_BIG)
