@@ -169,6 +169,65 @@ def shingles(text_col: str | Column, n: int = 3, lowercase: bool = True) -> Colu
     return _bind_tokens(text_col, from_tokens, lowercase)
 
 
+def hashed_shingles(
+    text_col: str | Column,
+    n: int = 3,
+    lowercase: bool = True,
+    distinct: bool = True,
+    post=None,
+) -> Column:
+    """int64-hashed word n-gram set WITHOUT materializing shingle
+    strings (r15, guide §4.2 "do less per element"): hash every token
+    once, then hash the n consecutive token-hashes per shingle —
+    ``xxhash64(h_i, .., h_{i+n-1})`` instead of
+    ``xxhash64(concat_ws(" ", w_i, .., w_{i+n-1}))``. The concat_ws
+    allocated a fresh UTF8String per shingle per row inside the
+    interpreted HOF evaluator; hashing n longs allocates nothing.
+
+    Set semantics are preserved: tokens contain no whitespace (they
+    come from ``split(text, r"\\s+")``), so two shingle strings are
+    equal iff their token n-tuples are equal iff their hash n-tuples
+    are equal (up to the same ~2^-64 xxhash64 collision risk the
+    MinHash verify stage already declares). For ``n == 1`` the value
+    is ``xxhash64(token)`` — bit-identical to hashing the string
+    shingle, so unigram consumers (the d04 catalog entry) see exactly
+    the values they always saw.
+
+    ``distinct=False`` skips the dedupe pass for consumers that are
+    duplicate-insensitive (MinHash takes a min over the multiset).
+    ``post`` (Column -> Column) is applied to each hash INSIDE the
+    per-shingle lambda — one fused pass instead of a separate
+    per-element transform downstream (MinHash's pmod lives here);
+    combine with ``distinct=True`` only when ``post`` is injective.
+    """
+    from laion_spark.functions.text import _bind_tokens
+
+    post = post or (lambda h: h)
+    if n == 1:
+        tok = tokens(text_col, lowercase)
+        if distinct:
+            tok = F.array_distinct(tok)
+        return F.transform(tok, lambda w: post(F.xxhash64(w)))
+
+    def from_tokens(t: Column) -> Column:
+        # bind the token-hash array ONCE (the same recompute-inside-HOF
+        # trap _bind_tokens exists for, one level down)
+        th_expr = F.transform(t, lambda w: F.xxhash64(w))
+
+        def from_th(th: Column) -> Column:
+            idx = F.sequence(F.lit(1), F.size(th) - (n - 1))
+            grams = F.transform(
+                idx, lambda i: post(F.xxhash64(*[F.element_at(th, i + j) for j in range(n)]))
+            )
+            if distinct:
+                grams = F.array_distinct(grams)
+            return F.when(F.size(th) >= n, grams).otherwise(F.array().cast("array<bigint>"))
+
+        return F.element_at(F.transform(F.array(th_expr), from_th), 1)
+
+    return _bind_tokens(text_col, from_tokens, lowercase)
+
+
 def jaccard_similar_pairs(
     df: DataFrame,
     id_col: str,
@@ -266,9 +325,21 @@ def containment_pairs(
     results (unit-pinned); requires ``max_df`` so no bucket is
     unbounded.
     """
-    sh = df.select(F.col(id_col).alias("_id"), F.explode(shingles(text_col, ngram)).alias("_sh"))
-    if hash_shingles:
-        sh = sh.select("_id", F.xxhash64("_sh").alias("_sh"))
+    if hash_shingles and ngram >= 2:
+        # r15: hash the token n-tuples directly — the shingle strings
+        # the old path built (concat per shingle, inside the
+        # interpreted HOF evaluator) existed only to be hashed on the
+        # next line. Identical counts up to the same declared 64-bit
+        # collision risk; see hashed_shingles. The n==1 / string path
+        # below is byte-for-byte the d12 oracle semantics.
+        sh = df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(hashed_shingles(text_col, ngram)).alias("_sh"),
+        )
+    else:
+        sh = df.select(F.col(id_col).alias("_id"), F.explode(shingles(text_col, ngram)).alias("_sh"))
+        if hash_shingles:
+            sh = sh.select("_id", F.xxhash64("_sh").alias("_sh"))
     if expand_buckets:
         if max_df is None:
             raise ValueError("expand_buckets requires max_df (bounds every bucket)")
@@ -326,9 +397,31 @@ def minhash_signatures(
     """MinHash signature column: for each of ``num_hashes`` universal
     hash functions h_i, the min over the document's shingle set.
 
-    All JVM-side: xxhash64(shingle) -> (a_i*x + b_i) mod p -> array_min.
+    All JVM-side: hashed shingle -> (a_i*x + b_i) mod p -> running min.
     At 100 TB this is one scan, no shuffle; the signature (64 longs)
     replaces the full shingle set downstream.
+
+    r15 cost structure (guide §1.2 "per-task work", §4.2): HOF lambdas
+    run in the INTERPRETED evaluator, so this operator's cost is
+    (elements x per-element ops). Three cuts, none changing a unigram
+    signature bit:
+
+    - the base array is ``hashed_shingles`` with the pmod fused into
+      the shingle lambda — no shingle strings, no second per-element
+      pmod pass ((pmod(h,M)*a+b) % M == ((h mod M)*a+b) % M);
+    - duplicates are kept (``distinct=False`` for n >= 2): a min over
+      the multiset equals the min over the set, and the distinct pass
+      was pure overhead;
+    - each hash function is ONE ``aggregate`` traversal with a
+      running ``least`` — the old transform+array_min allocated an
+      intermediate array per hash function per row (num_hashes x rows
+      allocations) and traversed twice.
+
+    For ``ngram == 1`` (the d04 catalog entry) the signature values
+    are bit-identical to every prior round; for n >= 2 the hash basis
+    is the token-hash tuple (see ``hashed_shingles``), an equally
+    uniform family — consumers are the bench's LSH rows, whose output
+    pairs are verified by exact Jaccard either way.
     """
     import random
 
@@ -341,16 +434,86 @@ def minhash_signatures(
     # sf0.1 — VERDICT r1 #5). CollapseProject keeps the boundary because
     # the alias is non-cheap and referenced num_hashes times.
     base_df = df.select(
-        df["*"], F.transform(shingles(text_col, ngram), lambda s: F.xxhash64(s)).alias("_mh_base")
+        df["*"],
+        hashed_shingles(
+            text_col,
+            ngram,
+            distinct=(ngram == 1),
+            post=lambda h: F.pmod(h, F.lit(_MERSENNE)),
+        ).alias("_mh_base"),
     )
 
-    def minhash_i(a: int, b: int) -> Column:
-        return F.array_min(
-            F.transform(F.col("_mh_base"), lambda h: (F.pmod(h, F.lit(_MERSENNE)) * a + b) % F.lit(_MERSENNE))
-        )
+    # The (num_hashes x |shingles|) multiply-add-mod-min inner loop runs
+    # in numpy inside ONE mapInArrow pass (guide §4.2): at the 10M-doc
+    # bench shape that is ~12G int64 ops the interpreted HOF evaluator
+    # priced at ~45 s and numpy does in ~1 s of vectorized CPU. Only
+    # (id, _mh_base) cross the Python boundary (guide §4.1 column rule).
+    # The arithmetic is bit-identical in int64 — h < M and a,b < M keep
+    # every product under 2^62 — so signature VALUES match the JVM
+    # expression form for every ngram, and an empty/NULL shingle array
+    # yields a NULL-element signature exactly as array_min produced.
+    narrow = base_df.select(F.col(id_col).alias("id"), F.col("_mh_base"))
+    id_type = narrow.schema["id"].dataType.simpleString()
+    a_arr = [a for a, _ in coeffs]
+    b_arr = [b for _, b in coeffs]
+    n_funcs, mprime = num_hashes, _MERSENNE
 
-    sig = F.array(*[minhash_i(a, b) for a, b in coeffs])
-    return base_df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+    def _sig_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        A = np.asarray(a_arr, dtype=np.int64)
+        B = np.asarray(b_arr, dtype=np.int64)
+        for batch in batches:
+            ids = batch.column(0)
+            col = batch.column(1)
+            n = len(col)
+            if n == 0:
+                continue
+            if col.null_count:
+                # rare path (NULL text reaching a standalone caller):
+                # row-wise, preserving the NULL-element signature shape
+                rows = col.to_pylist()
+                out = pa.array(
+                    [
+                        [int(((np.asarray(r, np.int64) * A[j] + B[j]) % mprime).min())
+                         for j in range(n_funcs)]
+                        if r else [None] * n_funcs
+                        for r in rows
+                    ],
+                    type=pa.list_(pa.int64()),
+                )
+            else:
+                offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+                vals = col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+                starts, ends = offs[:-1], offs[1:]
+                valid = ends > starts
+                sigs = np.empty((n, n_funcs), dtype=np.int64)
+                if len(vals):
+                    # reduceat segment-min per hash function; an empty
+                    # segment yields a garbage identity element that the
+                    # validity mask below nulls out
+                    idx = np.minimum(starts, len(vals) - 1)
+                    for j in range(n_funcs):
+                        hv = (vals * A[j] + B[j]) % mprime
+                        sigs[:, j] = np.minimum.reduceat(hv, idx)
+                else:
+                    valid[:] = False
+                data = pa.array(
+                    sigs.ravel(),
+                    type=pa.int64(),
+                    mask=np.repeat(~valid, n_funcs),
+                )
+                out = pa.ListArray.from_arrays(
+                    pa.array(
+                        np.arange(0, (n + 1) * n_funcs, n_funcs, dtype=np.int32),
+                        type=pa.int32(),
+                    ),
+                    data,
+                )
+            yield pa.RecordBatch.from_arrays([ids, out], ["id", "signature"])
+
+    return narrow.mapInArrow(_sig_batches, f"id {id_type}, signature array<bigint>")
 
 
 def _expand_bucket_pairs(grouped: DataFrame) -> DataFrame:
@@ -459,14 +622,25 @@ def minhash_lsh_pairs(
     #   * only documents that appear in some candidate pair ever ship
     #     their array through the verify shuffle: an id-only semi-join
     #     prunes the other (typically vast) majority of the corpus.
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.transform(shingles(text_col, ngram), lambda s: F.xxhash64(s)).alias("_set"),
-    )
     cand_ids = (
         cands.select(F.col("da").alias("_id")).union(cands.select(F.col("db").alias("_id"))).distinct()
     )
-    sh = sh.join(cand_ids, "_id", "left_semi")
+    # Semi-join BEFORE the shingle transform (r15, guide §2.3/§1.2):
+    # computing the hashed-shingle array for all N docs and then
+    # semi-joining threw away the (typically vast) non-candidate
+    # majority's arrays AFTER paying the tokenize+shingle+hash cost for
+    # them — the single most expensive expression in the pipeline,
+    # evaluated a second time here (measured: the shingle-hash pass
+    # alone is ~40% of dedup10m). Joining the raw (id, text) first
+    # shuffles the same order of bytes (text ~ hash array width) but
+    # evaluates the transform only for documents some candidate pair
+    # references. Values are identical: the transform is a pure
+    # per-row function and the semi-join only drops rows.
+    sh = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_mh_txt"))
+        .join(cand_ids, "_id", "left_semi")
+        .select("_id", hashed_shingles("_mh_txt", ngram).alias("_set"))
+    )
     sa = sh.select(F.col("_id").alias("da"), F.col("_set").alias("_sa"))
     sb = sh.select(F.col("_id").alias("db"), F.col("_set").alias("_sb"))
     jac = (
