@@ -75,6 +75,28 @@ N_ANN = int(os.environ.get("SPARK_GRAFT_BENCH_ANN_ROWS", "8000000"))
 N_10M = int(os.environ.get("SPARK_GRAFT_BENCH_10M_ROWS", "10000000"))
 DIM = 768
 
+
+def _bench_cpus() -> int:
+    c = os.environ.get("SPARK_GRAFT_CPUS")
+    return int(c) if c and c.isdigit() else (os.cpu_count() or 8)
+
+
+#: Low-core scaling subset (VERDICT r14 next-round #5): the driver's
+#: 8-core scaling run hit its external ~3600 s kill (rc 124) in BOTH
+#: r13 and r14 while building the 30 GB 10M base / 24 GB ivf at a
+#: quarter of the cores, landing only 3 scaling keys each time. At or
+#: below this core count the suite skips the BIG-FIXTURE sections
+#: (10M vec family, 8M ivf/ANN probes, the 32M/16M SQ8 pair, the
+#: 4M/10M dedup decades) and keeps every cheap-fixture row — the 1M
+#: vector ladder, catalog heads, the events/streaming 10M family, ETL
+#: and the 1M dedup rows: ~25 keys, each also present in the
+#: full-core artifact with the SAME methodology, which is what the
+#: driver's per-query scaling ratio needs. A coverage gate keyed on
+#: the driver-set core count, not a tuning knob — no timed key's
+#: semantics change.
+LOW_CORE_CPUS = 12
+LOW_CORE = _bench_cpus() <= LOW_CORE_CPUS
+
 #: the 10M brute-force base, packed-f32 FSB layout (r14, guide §6): the
 #: SAME float32 values as the pre-r14 list<float> fixture — only the
 #: physical parquet encoding changes (one fixed_size_binary(4*dim)
@@ -226,7 +248,9 @@ def vec_f32(v) -> list:
     return [float(x) for x in v]
 
 
-def disk_probe(extras: dict, path: str, probe_bytes: int = 512 * 1024**2) -> float | None:
+def disk_probe(
+    extras: dict, path: str, probe_bytes: int = 512 * 1024**2, prefix: str = ""
+) -> float | None:
     """IO calibration sentinel (VERDICT r10 #1): TWO same-artifact
     bandwidth facts measured on ``path``'s own parquet bytes with plain
     python file IO over 16 parallel streams (the scan's split shape):
@@ -246,7 +270,13 @@ def disk_probe(extras: dict, path: str, probe_bytes: int = 512 * 1024**2) -> flo
     Returns the CACHE GiB/s, the calibrator the ``*_disk_ratio``
     fields divide by (None on failure — the sentinel must never cost a
     row, but a failure always stamps ``extras["probe_error"]`` with
-    the reason: VERDICT r11 #2)."""
+    the reason: VERDICT r11 #2).
+
+    ``prefix`` (r15, VERDICT r14 #1) stamps a PER-ROW re-probe under
+    prefixed keys (e.g. ``c10m_disk2g_floor_sec``) so a row that runs
+    minutes after the section probe — concept768_10m after
+    knn768_10m's three 30 GB scans — carries the IO weather measured
+    at ITS OWN start, not the section's."""
     try:
         files = sorted(
             os.path.join(r, f)
@@ -276,11 +306,11 @@ def disk_probe(extras: dict, path: str, probe_bytes: int = 512 * 1024**2) -> flo
             left -= take
         read = probe_bytes - left
         if read < probe_bytes // 2:  # fixture smaller than the probe
-            extras["probe_error"] = (
+            extras[f"{prefix}probe_error"] = (
                 f"fixture smaller than probe ({read / 1024**2:.0f} MB "
                 f"< {probe_bytes // 2 / 1024**2:.0f} MB at {path})"
             )
-            print(f"  io probe: SKIPPED {extras['probe_error']}", file=sys.stderr)
+            print(f"  io probe: SKIPPED {extras[f'{prefix}probe_error']}", file=sys.stderr)
             return None
 
         def pull(region):
@@ -304,16 +334,16 @@ def disk_probe(extras: dict, path: str, probe_bytes: int = 512 * 1024**2) -> flo
             read = sum(pool.map(pull, regions))
         cold_sec = time.perf_counter() - t0
         cold_gbps = read / cold_sec / 1024**3
-        extras["disk2g_floor_sec"] = round(two_g / max(read / cold_sec, 1), 4)
-        extras["disk_probe_gbps"] = round(cold_gbps, 2)
+        extras[f"{prefix}disk2g_floor_sec"] = round(two_g / max(read / cold_sec, 1), 4)
+        extras[f"{prefix}disk_probe_gbps"] = round(cold_gbps, 2)
         # warm pass over the same regions (now cached by the cold pass)
         t0 = time.perf_counter()
         with ThreadPoolExecutor(max_workers=min(16, len(regions))) as pool:
             read_w = sum(pool.map(pull, regions))
         warm_sec = time.perf_counter() - t0
         cache_gbps = read_w / warm_sec / 1024**3
-        extras["cache2g_floor_sec"] = round(two_g / max(read_w / warm_sec, 1), 4)
-        extras["cache_probe_gbps"] = round(cache_gbps, 2)
+        extras[f"{prefix}cache2g_floor_sec"] = round(two_g / max(read_w / warm_sec, 1), 4)
+        extras[f"{prefix}cache_probe_gbps"] = round(cache_gbps, 2)
         print(
             f"  io probe: cold {cold_gbps:.2f} GiB/s, cache {cache_gbps:.2f} GiB/s "
             f"({read/1024**3:.2f} GiB x2)",
@@ -325,8 +355,8 @@ def disk_probe(extras: dict, path: str, probe_bytes: int = 512 * 1024**2) -> flo
         # no disk/cache floors and no recorded reason because this
         # handler silently returned None — a probe may fail, but never
         # invisibly
-        extras["probe_error"] = f"{type(ex).__name__}: {ex}"[:300]
-        print(f"  io probe: FAILED {extras['probe_error']}", file=sys.stderr)
+        extras[f"{prefix}probe_error"] = f"{type(ex).__name__}: {ex}"[:300]
+        print(f"  io probe: FAILED {extras[f'{prefix}probe_error']}", file=sys.stderr)
         return None
 
 
@@ -889,6 +919,16 @@ def stream10m_once(spark, epath: str) -> None:
             .start()
         )
         q.awaitTermination()
+        # per-batch duration + state-store breakdown (VERDICT r14
+        # next-round #4: prove in-artifact where the streaming floor
+        # lives); overwritten every run, read after the timed loop
+        try:
+            prog = []
+            for p in q.recentProgress:
+                prog.append(p if isinstance(p, dict) else json.loads(p.json))
+            stream10m_once.progress = prog
+        except Exception:  # noqa: BLE001 — profiling only
+            pass
     finally:
         shutil.rmtree(ck, ignore_errors=True)
 
@@ -1065,6 +1105,9 @@ def dedup_family(spark, queries: dict, extras: dict, errors: dict) -> None:
     # that quietly superlinears would show here first). Budget-gated;
     # warm + best-of-2 to bound the cost.
     try:
+        if LOW_CORE:
+            errors["dedup4m"] = "skipped: low-core scaling subset (1M decade kept)"
+            raise _BudgetSkip
         if over_budget(errors, "dedup4m") or time.perf_counter() - _T_START > BUDGET_S - 300:
             if "dedup4m" not in errors:
                 errors["dedup4m"] = "skipped: < 300s of bench budget left"
@@ -1102,6 +1145,9 @@ def dedup_family(spark, queries: dict, extras: dict, errors: dict) -> None:
     try:
         import shutil as _sh
 
+        if LOW_CORE:
+            errors["dedup10m"] = "skipped: low-core scaling subset (1M decade kept)"
+            raise _BudgetSkip
         if over_budget(errors, "dedup10m") or time.perf_counter() - _T_START > BUDGET_S - 420:
             if "dedup10m" not in errors:
                 errors["dedup10m"] = "skipped: < 420s of bench budget left"
@@ -1143,6 +1189,9 @@ def dedup_family(spark, queries: dict, extras: dict, errors: dict) -> None:
     # same 1M->4M linearity evidence as the MinHash curve (VERDICT r6
     # #3 discipline). Runs after the dedup decades: lower priority.
     try:
+        if LOW_CORE:
+            errors["contain4m"] = "skipped: low-core scaling subset (1M decade kept)"
+            raise _BudgetSkip
         if over_budget(errors, "contain4m") or time.perf_counter() - _T_START > BUDGET_S - 240:
             if "contain4m" not in errors:
                 errors["contain4m"] = "skipped: < 240s of bench budget left"
@@ -1537,18 +1586,30 @@ def tail_family(spark, queries: dict, extras: dict, errors: dict) -> None:
         # delta is per-batch FIXED cost (query planning + offset/commit
         # WAL + state-store commit), amortized on a real cluster by
         # seconds-long triggers — the numbers make that claim auditable.
-        prog = getattr(stream10m_wm, "progress", None)
-        if prog:
+        for skey, sfn in (("stream10m_wm", stream10m_wm), ("stream10m", stream10m_once)):
+            prog = getattr(sfn, "progress", None)
+            if not prog:
+                continue
             dm: dict[str, int] = {}
+            st: dict[str, int] = {}
             for p in prog:
                 for k2, v in (p.get("durationMs") or {}).items():
                     dm[k2] = dm.get(k2, 0) + int(v)
-            extras["stream10m_wm_batches"] = len(prog)
+                # state-store operator metrics: the commit-bound claim's
+                # direct evidence (VERDICT r14 next-round #4)
+                for so in p.get("stateOperators") or []:
+                    for k2 in ("allUpdatesTimeMs", "commitTimeMs", "allRemovalsTimeMs"):
+                        if isinstance(so.get(k2), (int, float)):
+                            st[k2] = st.get(k2, 0) + int(so[k2])
+            extras[f"{skey}_batches"] = len(prog)
             for k2 in ("addBatch", "getBatch", "latestOffset", "walCommit",
                        "commitOffsets", "queryPlanning", "triggerExecution"):
                 if k2 in dm:
-                    extras[f"stream10m_wm_{k2}_ms"] = dm[k2]
-            print(f"  stream10m_wm breakdown: {dm} over {len(prog)} batches", file=sys.stderr)
+                    extras[f"{skey}_{k2}_ms"] = dm[k2]
+            for k2, v in st.items():
+                extras[f"{skey}_state_{k2}"] = v
+            print(f"  {skey} breakdown: {dm} state={st} over {len(prog)} batches",
+                  file=sys.stderr)
 
         # trigger-sizing curve: the 8-files point (steep end — more
         # micro-batches, more per-batch fixed cost; headline is the
@@ -1747,6 +1808,17 @@ def main() -> None:
     except Exception as dpex:  # noqa: BLE001 — planning must not cost a row
         print(f"  disk_plan: FAILED {type(dpex).__name__}: {dpex}", file=sys.stderr)
 
+    if LOW_CORE:
+        # self-describing artifact: the scaling run's subset policy and
+        # the core count that triggered it
+        extras["low_core_subset"] = 1
+        extras["bench_cpus"] = _bench_cpus()
+        print(
+            f"  LOW-CORE scaling subset active (cpus={_bench_cpus()}):"
+            " 10M family / 8M ANN / big pair / 4M+10M dedup decades skipped",
+            file=sys.stderr,
+        )
+
     # BASELINE-comparable anchor shapes: brute-force L2 top-10 over
     # N_VEC x 768; qvec is the shared out-of-distribution pattern query
     qvec = [round(((j * 13) % 17 - 8) / 8.0, 6) for j in range(DIM)]
@@ -1878,6 +1950,13 @@ def main() -> None:
             errors["knn768_10m"] = "skipped: SPARK_GRAFT_BENCH_SKIP_10M set (smoke run)"
             print("  knn768_10m: SKIPPED (env)", file=sys.stderr)
             raise _BudgetSkip
+        if LOW_CORE:
+            errors["knn768_10m"] = (
+                f"skipped: low-core scaling subset (cpus={_bench_cpus()}"
+                f" <= {LOW_CORE_CPUS}; big builds skipped)"
+            )
+            print("  knn768_10m: SKIPPED (low-core subset)", file=sys.stderr)
+            raise _BudgetSkip
         path_10m = BASE10M_PATH
         # cold fixture build is ~80 s of generation + 30 GB write since
         # the r10 counter-hash generator (the old 5-8 min estimate kept
@@ -1948,6 +2027,27 @@ def main() -> None:
             )
         print(f"  knn768_10m: {ts10}", file=sys.stderr)
 
+        # warm-pass row (VERDICT r13 ask #2 / r14 next-round #1b): two
+        # more back-to-back reps AFTER the cold-methodology trio — by
+        # now the OS page cache holds as much of the 29 GB as this host
+        # will ever hold, so this row is the cache-fed bound the 2x
+        # contract compares against under healthy IO. The cold row
+        # above keeps its exact r4-r14 methodology; this is an ADDED
+        # key (driver contract: additive only). best-of-2 (2-run key,
+        # stat_policy).
+        try:
+            tw10 = sorted(timed(run_10m) for _ in range(2))
+            queries["knn768_10m_warm"] = tw10[0]
+            extras["knn768_10m_warm_best_sec"] = tw10[0]
+            if probe_gbps:
+                extras["knn768_10m_warm_disk_ratio"] = round(
+                    tw10[0] / (du(path_10m) / 1024**3 / probe_gbps), 2
+                )
+            print(f"  knn768_10m_warm: {tw10}", file=sys.stderr)
+        except Exception as wex:  # noqa: BLE001 — added row, never the family
+            errors["knn768_10m_warm"] = f"{type(wex).__name__}: {wex}"[:300]
+            print(f"  knn768_10m_warm: FAILED {errors['knn768_10m_warm']}", file=sys.stderr)
+
         # concept math at the reference's OWN published scale: BASELINE
         # row 4 is `(Cubism + Surrealism) / 2` over laion_10m in
         # 8.837 s — this is the direct same-row-count comparison (the
@@ -1966,6 +2066,13 @@ def main() -> None:
 
             cvec10 = eval_concept("(cubism + surrealism) / 2", HashEncoder(DIM))
 
+            # per-row IO attribution (VERDICT r14 next-round #1a): this
+            # row starts after ~5 full 30 GB scans of the same fixture
+            # with no bandwidth fact of its own — the r14 driver run's
+            # 9.31 s vs knn768_10m's 7.88 s was unattributable. Re-probe
+            # the very bytes it reads, stamped under c10m_* keys.
+            c10_gbps = disk_probe(extras, path_10m, prefix="c10m_") or probe_gbps
+
             def run_c10m():
                 return knn_search_parquet(
                     spark, path_10m, cvec10, k=10, vector_col="embedding", select=["id"]
@@ -1975,6 +2082,10 @@ def main() -> None:
             tc10 = sorted(timed(run_c10m) for _ in range(3))
             queries["concept768_10m"] = tc10[1]
             extras["concept768_10m_best_sec"] = tc10[0]
+            if c10_gbps:
+                extras["concept768_10m_disk_ratio"] = round(
+                    tc10[0] / (du(path_10m) / 1024**3 / c10_gbps), 2
+                )
             print(f"  concept768_10m: {tc10} (reference laion_10m: 8.837s)", file=sys.stderr)
         except _BudgetSkip:
             pass
@@ -2030,6 +2141,11 @@ def main() -> None:
                 open(f"{packed_10m}/_DONE", "w").close()
                 print(f"  f16p 10m rewrite: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
+            # per-row probe on the twin's OWN bytes (VERDICT r14 #1a):
+            # the section probe is minutes old by now; falls back to it
+            # if the re-probe fails so the ratio is never silently lost
+            f16p_gbps = disk_probe(extras, packed_10m, prefix="f16p10m_") or probe_gbps
+
             def run_f16p_10m():
                 return knn_search_parquet(
                     spark, packed_10m, qvec, k=10, vector_col="embedding", select=["id"]
@@ -2041,9 +2157,9 @@ def main() -> None:
             extras["knn768_f16p_10m_best_sec"] = tsp10[0]
             extras["knn768_f16p_10m_rows_per_sec"] = round(N_10M / tsp10[0])
             extras["knn768_f16p_10m_bytes_fraction"] = round(du(packed_10m) / du(path_10m), 4)
-            if probe_gbps:
+            if f16p_gbps:
                 extras["knn768_f16p_10m_disk_ratio"] = round(
-                    tsp10[0] / (du(packed_10m) / 1024**3 / probe_gbps), 2
+                    tsp10[0] / (du(packed_10m) / 1024**3 / f16p_gbps), 2
                 )
             print(
                 f"  knn768_f16p_10m: {tsp10} bytes_frac="
@@ -2088,6 +2204,9 @@ def main() -> None:
                 open(f"{i8_10m}/_DONE", "w").close()
                 print(f"  i8 10m rewrite: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
+            # per-row probe on the twin's own bytes (VERDICT r14 #1a)
+            i8_gbps = disk_probe(extras, i8_10m, prefix="i810m_") or probe_gbps
+
             def run_i8_10m():
                 return knn_search_parquet(
                     spark, i8_10m, qvec, k=10, vector_col="embedding", select=["id"],
@@ -2101,9 +2220,9 @@ def main() -> None:
             extras["knn768_i8_10m_best_sec"] = tsi10[0]
             extras["knn768_i8_10m_rows_per_sec"] = round(N_10M / tsi10[0])
             extras["knn768_i8_10m_bytes_fraction"] = round(du(i8_10m) / du(path_10m), 4)
-            if probe_gbps:
+            if i8_gbps:
                 extras["knn768_i8_10m_disk_ratio"] = round(
-                    tsi10[0] / (du(i8_10m) / 1024**3 / probe_gbps), 2
+                    tsi10[0] / (du(i8_10m) / 1024**3 / i8_gbps), 2
                 )
             print(
                 f"  knn768_i8_10m: {tsi10} recall={extras['knn768_i8_10m_recall_at_10']} "
@@ -2264,6 +2383,13 @@ def main() -> None:
 
     try:
         if over_budget(errors, "ann768"):
+            raise _BudgetSkip
+        if LOW_CORE:
+            errors["ann768"] = (
+                f"skipped: low-core scaling subset (cpus={_bench_cpus()}"
+                f" <= {LOW_CORE_CPUS}; 24 GB ivf build skipped)"
+            )
+            print("  ann768: SKIPPED (low-core subset)", file=sys.stderr)
             raise _BudgetSkip
         from laion_spark.operators.similarity import IVFIndex
 
@@ -2431,6 +2557,22 @@ def main() -> None:
         extras["ann768_recall_at_10"] = round(recall, 3)
         extras["ann768_nprobe"] = ann_nprobe
 
+        # local-mode job floor: a no-op 32-task mapInArrow round-trip —
+        # the irreducible per-probe framework cost this host charges ANY
+        # Python-stage job; documents how much of the probe wall-clock
+        # is dispatch, not scan (the part a cluster scheduler amortizes).
+        # Measured ADJACENT to the headline probe timing, and re-stamped
+        # per storage-twin row below (VERDICT r14 next-round #2: the
+        # probe family drifted up two rounds running with no per-row
+        # floor to attribute it — the r14 driver's ann768 med 0.65 s sat
+        # on a 0.54 s job floor).
+        def _noop_job():
+            def _f(batches):
+                yield from batches
+            spark.range(0, 32, 1, 32).mapInArrow(_f, "id long").collect()
+        _noop_job()
+        extras["ann768_job_floor_sec"] = min(timed(_noop_job) for _ in range(3))
+
         # timing on the first query (everything warm from the recall
         # pass). ann768_speedup is BEST/BEST — the same
         # contention-resistant policy as knn768's best-of-N rows/s:
@@ -2463,16 +2605,6 @@ def main() -> None:
             )
             fracs.append(probed / tot_bytes)
         extras["ann768_bytes_fraction"] = round(sum(fracs) / len(fracs), 4)
-        # local-mode job floor: a no-op 32-task mapInArrow round-trip —
-        # the irreducible per-probe framework cost this host charges ANY
-        # Python-stage job; documents how much of the probe wall-clock
-        # is dispatch, not scan (the part a cluster scheduler amortizes)
-        def _noop_job():
-            def _f(batches):
-                yield from batches
-            spark.range(0, 32, 1, 32).mapInArrow(_f, "id long").collect()
-        _noop_job()
-        extras["ann768_job_floor_sec"] = min(timed(_noop_job) for _ in range(3))
         print(
             f"  ann768: {ts} recall={extras['ann768_recall_at_10']} nprobe={ann_nprobe} "
             f"speedup={extras['ann768_speedup']} bytes_frac={extras['ann768_bytes_fraction']} "
@@ -2646,6 +2778,8 @@ def main() -> None:
                 for qid in all_ids
             )
             extras["ann768_f16_recall_at_10"] = round(h16 / (10 * len(all_ids)), 3)
+            # adjacent job floor for THIS row (per-row drift attribution)
+            extras["ann768_f16_job_floor_sec"] = min(timed(_noop_job) for _ in range(2))
             t16 = sorted(timed(lambda: ann16_with(aq)) for _ in range(5))
             queries["ann768_f16"] = t16[2]
             extras["ann768_f16_best_sec"] = t16[0]
@@ -2708,6 +2842,7 @@ def main() -> None:
                 for qid in all_ids
             )
             extras["ann768_f16p_recall_at_10"] = round(h16p / (10 * len(all_ids)), 3)
+            extras["ann768_f16p_job_floor_sec"] = min(timed(_noop_job) for _ in range(2))
             t16p = sorted(timed(lambda: ann16p_with(aq)) for _ in range(5))
             queries["ann768_f16p"] = t16p[2]
             extras["ann768_f16p_best_sec"] = t16p[0]
@@ -2766,6 +2901,7 @@ def main() -> None:
                 for qid in all_ids
             )
             extras["ann768_i8_recall_at_10"] = round(hi8 / (10 * len(all_ids)), 3)
+            extras["ann768_i8_job_floor_sec"] = min(timed(_noop_job) for _ in range(2))
             ti8 = sorted(timed(lambda: anni8_with(aq)) for _ in range(5))
             queries["ann768_i8"] = ti8[2]
             extras["ann768_i8_best_sec"] = ti8[0]
@@ -2888,6 +3024,10 @@ def main() -> None:
             if os.environ.get("SPARK_GRAFT_BENCH_SKIP_16M"):
                 errors[kbig] = "skipped: SPARK_GRAFT_BENCH_SKIP_16M set"
                 print(f"  {kbig}: SKIPPED (env)", file=sys.stderr)
+                raise _BudgetSkip
+            if LOW_CORE:
+                errors[kbig] = "skipped: low-core scaling subset"
+                print(f"  {kbig}: SKIPPED (low-core subset)", file=sys.stderr)
                 raise _BudgetSkip
             if over_budget(errors, kbig) or time.perf_counter() - _T_START > BUDGET_S - _bighead(N_BIG):
                 if kbig not in errors:
@@ -3396,6 +3536,23 @@ def build_compact_line(
     }
     if partial:
         compact["partial"] = partial
+    # per-row disk ratios (VERDICT r14 next-round #1): wall-clock of the
+    # row's best rep as a multiple of its bytes at the bandwidth probed
+    # at THAT ROW's start — the in-artifact IO attribution for every
+    # 10M-family row. Aliases (line budget): k10=knn768_10m,
+    # w10=knn768_10m_warm, c10=concept768_10m, f16p10=knn768_f16p_10m,
+    # i810=knn768_i8_10m.
+    dr = {}
+    for fk, alias in (
+        ("knn768_10m", "k10"), ("knn768_10m_warm", "w10"),
+        ("concept768_10m", "c10"), ("knn768_f16p_10m", "f16p10"),
+        ("knn768_i8_10m", "i810"),
+    ):
+        v = extras.get(f"{fk}_disk_ratio")
+        if v is not None:
+            dr[alias] = v
+    if dr:
+        compact["dr"] = dr
     if "ann768_nprobe_sweep" in extras:
         compact["nprobe_sweep"] = extras["ann768_nprobe_sweep"]
     for ck in (
@@ -3444,13 +3601,58 @@ def build_compact_line(
         compact["vec"] = {k: v[:1] + v[2:4] for k, v in vec.items()}
         compact["vec_cols"] = [VEC_COLS[0]] + VEC_COLS[2:4]
         line = emit(compact)
+    if len(line) > 1900:  # 4.5) per-row probe floors: the dr{} ratios
+        # already embed the fresh per-row bandwidth, so the prefixed
+        # floor keys are the first attribution detail to go (the detail
+        # line keeps every one)
+        compact["floors"] = {
+            k: v for k, v in compact["floors"].items()
+            if not k.startswith(("c10m_", "f16p10m_", "i810m_"))
+        }
+        line = emit(compact)
+    if len(line) > 1900:  # 4.6) nprobe_sweep + informational *_rows are
+        # secondary (sweep is in the detail line; the big-pair scale is
+        # in its key name) — drop them before ANY catalog median is
+        # lost: a missing queries{} key reads as dropped-from-bench
+        compact.pop("nprobe_sweep", None)
+        for ck in list(compact):
+            if ck.endswith("_rows") and ck not in ("knn768_rows", "ann768_rows"):
+                compact.pop(ck)
+        line = emit(compact)
+    if len(line) > 1900:  # 4.7) floors to 3 dp (the 4th digit is noise
+        # against 5-30% host swings; detail line keeps 4 dp)
+        compact["floors"] = {k: round(v, 3) for k, v in compact["floors"].items()}
+        line = emit(compact)
+    if len(line) > 1900:  # 4.8) per-row ann probe job floors: the
+        # family-level ann768_job floor stays, the per-row twins live
+        # on in the detail line
+        compact["floors"] = {
+            k: v for k, v in compact["floors"].items()
+            if not k.startswith(("ann768_f16_job", "ann768_f16p_job", "ann768_i8_job"))
+        }
+        line = emit(compact)
+    if len(line) > 1900 and "root_error" in compact:  # 4.9) shorten the
+        # root cause BEFORE any catalog median is lost (a missing
+        # queries{} key reads as dropped-from-bench; 80 chars still
+        # names the failing section and exception class)
+        compact["root_error"] = [compact["root_error"][0], compact["root_error"][1][:80]]
+        line = emit(compact)
+    if len(line) > 1900:  # 4.95) last pre-catalog resort: the dr{}
+        # ratios (detail line keeps every one). Only reachable in an
+        # error-laden run — the error-free full board fits with dr in.
+        compact.pop("dr", None)
+        line = emit(compact)
     # 5) shrink the catalog medians to the N slowest until the line
     # fits — a fixed "keep 28" stalled at 1901 B in the r13c run (27
     # queries present, so the cap was a no-op and no later step
     # applied); the loop actually converges
     n_keep = len(plain_queries)
     while len(line) > 1900 and n_keep > 8:
-        n_keep = min(n_keep - 4, 28)
+        # r15: shed 2 keys per iteration (was: jump to 28 then -4) —
+        # a run with one real error key should lose the MINIMUM number
+        # of catalog medians, since a missing queries{} key reads as
+        # dropped-from-bench in the round diff
+        n_keep -= 2
         compact["queries"] = {
             k: round(v, 2)
             for k, v in sorted(plain_queries.items(), key=lambda kv: -kv[1])[:n_keep]

@@ -48,7 +48,11 @@ def main() -> None:
     from laion_spark.catalog import REGISTRY
     from laion_spark.session import get_session
 
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("PLANS_ROUND", "r15"),
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_session("laion_plan_capture")
