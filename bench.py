@@ -1480,8 +1480,11 @@ def tail_family(spark, queries: dict, extras: dict, errors: dict) -> None:
                 F.count(F.when(F.col("event_type") == "click", 1)).alias("c1"),
                 F.count(F.when(F.col("event_type") == "view", 1)).alias("c2"),
             )
-            r = global_prefix_sum(per_v, ["value"], "c1", "f1", exclusive=False)
-            r = global_prefix_sum(r, ["value"], "c2", "f2", exclusive=False)
+            # fused two-column prefix sum (r15): same values, one
+            # quantile+totals+window pass instead of two chained calls
+            # re-evaluating the groupBy lineage ~2 extra times (q99's
+            # oracle-checked twin fused identically)
+            r = global_prefix_sum(per_v, ["value"], ["c1", "c2"], ["f1", "f2"], exclusive=False)
             tot = per_v.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
             return (
                 r.crossJoin(F.broadcast(tot))

@@ -6946,8 +6946,12 @@ def q99_ks_test(spark, sf_dir):
         F.count(F.when(F.col("event_type") == "click", 1)).alias("c1"),
         F.count(F.when(F.col("event_type") == "view", 1)).alias("c2"),
     )
-    r = global_prefix_sum(per_v, ["value"], "c1", "f1", exclusive=False)
-    r = global_prefix_sum(r, ["value"], "c2", "f2", exclusive=False)
+    # fused two-column form (r15, guide §2.4): one quantile pass, one
+    # bucket window, one totals collect for BOTH ECDFs — the chained
+    # form re-evaluated per_v's whole lineage for the second call's
+    # quantile and totals actions and paid a second window Exchange.
+    # Values identical: each sum is an independent fold in value order.
+    r = global_prefix_sum(per_v, ["value"], ["c1", "c2"], ["f1", "f2"], exclusive=False)
     tot = per_v.agg(
         F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
     )

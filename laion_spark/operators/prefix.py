@@ -91,8 +91,8 @@ def _fresh(stem: str, taken) -> str:
 def global_prefix_sum(
     df: DataFrame,
     order_cols: Sequence[str],
-    value_col: str,
-    out_col: str = "prefix_sum",
+    value_col: str | Sequence[str],
+    out_col: str | Sequence[str] = "prefix_sum",
     exclusive: bool = True,
     num_partitions: int | None = None,
 ) -> DataFrame:
@@ -101,13 +101,33 @@ def global_prefix_sum(
     partition. ``exclusive=True`` (default) excludes the current row —
     the "count of strictly smaller" shape rank statistics need.
 
+    ``value_col``/``out_col`` may be parallel SEQUENCES (r15, guide
+    §2.4): N running sums over the SAME order share one quantile pass,
+    one bucket assignment, one window Exchange+Sort and one totals
+    collect — the chained single-column form evaluated the whole input
+    lineage ~2 extra times per added column (its quantile and totals
+    actions re-ran everything below, plus a second window shuffle).
+    Values are identical to N chained calls: each sum is a per-column
+    fold in the same global order.
+
     Raises ``ValueError`` if the first order column contains NULLs — a
     NULL has no place in a total order, so the caller must filter or
     impute first."""
+    multi = not isinstance(value_col, str)
+    vcols = list(value_col) if multi else [value_col]
+    ocols = list(out_col) if not isinstance(out_col, str) else [out_col]
+    if len(vcols) != len(ocols):
+        raise ValueError(
+            f"global_prefix_sum: {len(vcols)} value columns but {len(ocols)} output names"
+        )
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     taken = set(df.columns)
-    c_ord, c_b, c_local, c_off = (_fresh(s, taken) for s in ("_ord", "_b", "_local", "_off"))
+    c_ord, c_b = (_fresh(s, taken) for s in ("_ord", "_b"))
+    # first pair keeps the historical "_local"/"_off" stems so the
+    # single-column plan is unchanged; extras get numbered stems
+    c_locals = [_fresh("_local" if i == 0 else f"_local{i}", taken) for i in range(len(vcols))]
+    c_offs = [_fresh("_off" if i == 0 else f"_off{i}", taken) for i in range(len(vcols))]
 
     # one bounded driver action: ~n quantile boundaries of the first
     # order column, then frozen into the plan as literals
@@ -119,32 +139,42 @@ def global_prefix_sum(
     oc = [F.col(c) for c in order_cols]
     end = -1 if exclusive else 0
     w = W.partitionBy(c_b).orderBy(*oc).rowsBetween(W.unboundedPreceding, end)
-    local = parts.withColumn(c_local, F.coalesce(F.sum(value_col).over(w), F.lit(0)))
+    local = parts
+    for c_local, vc in zip(c_locals, vcols):
+        local = local.withColumn(c_local, F.coalesce(F.sum(vc).over(w), F.lit(0)))
 
-    totals = {
-        r[c_b]: r["_tot"]
-        for r in parts.groupBy(c_b).agg(F.sum(value_col).alias("_tot")).collect()
-    }
+    trows = parts.groupBy(c_b).agg(
+        *[F.sum(vc).alias(f"_tot{i}") for i, vc in enumerate(vcols)]
+    ).collect()
+    totals = {r[c_b]: tuple(r[f"_tot{i}"] for i in range(len(vcols))) for r in trows}
     if None in totals:
         raise ValueError(
             f"global_prefix_sum: first order column {order_cols[0]!r} contains NULLs; "
             "filter or impute them before computing a global running sum"
         )
-    dt = dict(df.dtypes)[value_col]
-    if dt in ("tinyint", "smallint", "int", "bigint"):
-        off_type, run = "bigint", 0
-    elif dt.startswith("decimal"):
-        # Spark widens sum(decimal(p,s)) by +10 precision — mirror that
-        off_type, run = f"decimal(38,{dt.rstrip(')').split(',')[1]})", decimal.Decimal(0)
-    else:
-        off_type, run = "double", 0.0
+    dts = dict(df.dtypes)
+    off_types, runs = [], []
+    for vc in vcols:
+        dt = dts[vc]
+        if dt in ("tinyint", "smallint", "int", "bigint"):
+            off_types.append("bigint")
+            runs.append(0)
+        elif dt.startswith("decimal"):
+            # Spark widens sum(decimal(p,s)) by +10 precision — mirror that
+            off_types.append(f"decimal(38,{dt.rstrip(')').split(',')[1]})")
+            runs.append(decimal.Decimal(0))
+        else:
+            off_types.append("double")
+            runs.append(0.0)
     offsets = []
     for b in sorted(totals):
-        offsets.append((b, run))
-        run += totals[b] or 0
-    off_df = spark.createDataFrame(offsets, f"{c_b} int, {c_off} {off_type}")
-    return (
-        local.join(F.broadcast(off_df), c_b, "left")
-        .withColumn(out_col, F.col(c_local) + F.coalesce(F.col(c_off), F.lit(0)))
-        .drop(c_b, c_local, c_off)
+        offsets.append((b, *runs))
+        runs = [run + (tot or 0) for run, tot in zip(runs, totals[b])]
+    off_schema = f"{c_b} int, " + ", ".join(
+        f"{c_off} {ot}" for c_off, ot in zip(c_offs, off_types)
     )
+    off_df = spark.createDataFrame(offsets, off_schema)
+    out = local.join(F.broadcast(off_df), c_b, "left")
+    for ocol, c_local, c_off in zip(ocols, c_locals, c_offs):
+        out = out.withColumn(ocol, F.col(c_local) + F.coalesce(F.col(c_off), F.lit(0)))
+    return out.drop(c_b, *c_locals, *c_offs)

@@ -157,3 +157,44 @@ def test_1024_buckets_log_depth_plan(spark):
         ln for ln in plan.splitlines() if "Exchange" in ln and "Broadcast" not in ln
     ]
     assert len(data_exchanges) <= 2, plan
+
+
+def test_multi_column_matches_chained_calls(df):
+    """r15 fusion contract: N value columns in ONE call must produce
+    exactly the values of N chained single-column calls (same order,
+    same exclusivity), while sharing one bucketing/window pass."""
+    chained = global_prefix_sum(df, ["k"], "vi", "pi", exclusive=False, num_partitions=7)
+    chained = global_prefix_sum(chained, ["k"], "vd", "pd", exclusive=False, num_partitions=7)
+    want = {r.k: (r.pi, r.pd) for r in chained.collect()}
+    fused = global_prefix_sum(
+        df, ["k"], ["vi", "vd"], ["pi", "pd"], exclusive=False, num_partitions=7
+    )
+    # the fusion's point: one data exchange for the bucket window (plus
+    # the fixture's own repartition), not one per value column — read
+    # the plan BEFORE execution so AQE doesn't print initial+final twice
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    data_exchanges = [
+        ln for ln in plan.splitlines() if "Exchange" in ln and "Broadcast" not in ln
+    ]
+    assert len(data_exchanges) <= 2, plan
+    got = {r.k: (r.pi, r.pd) for r in fused.collect()}
+    assert got == want
+
+
+def test_multi_column_mixed_types_and_arity_guard(spark):
+    """Per-column offset dtypes must hold in the fused form (bigint and
+    double side by side), and a value/out arity mismatch must raise."""
+    import pytest as _pytest
+
+    rows = [(k, k + 1, float(k) / 4) for k in range(50)]
+    df = spark.createDataFrame(rows, "k int, vi bigint, vd double").repartition(4)
+    out = global_prefix_sum(df, ["k"], ["vi", "vd"], ["pi", "pd"], num_partitions=5)
+    got = {r.k: (r.pi, r.pd) for r in out.collect()}
+    ri, rd = 0, 0.0
+    for k in range(50):
+        assert got[k] == (ri, rd), (k, got[k], (ri, rd))
+        ri += k + 1
+        rd += float(k) / 4
+    with _pytest.raises(ValueError, match="output names"):
+        global_prefix_sum(df, ["k"], ["vi", "vd"], ["pi"])
