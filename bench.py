@@ -75,6 +75,16 @@ N_ANN = int(os.environ.get("SPARK_GRAFT_BENCH_ANN_ROWS", "8000000"))
 N_10M = int(os.environ.get("SPARK_GRAFT_BENCH_10M_ROWS", "10000000"))
 DIM = 768
 
+#: big-pair (SQ8 ladder) build-slice sizing, named as a COUPLED pair
+#: (ADVICE r14 #1): the per-slice wedge watchdog fires at
+#: ~WATCHDOG_S_PER_MROW seconds per million slice rows (~3x a
+#: hostile-weather build pass), so capping slices at SLICE_CAP_ROWS
+#: bounds one hung worker's budget cost to
+#: SLICE_CAP_ROWS / 1e6 * WATCHDOG_S_PER_MROW ≈ 1200 s. Change either
+#: constant and the wedge-cost bound moves with it.
+SLICE_CAP_ROWS = 8_000_000
+WATCHDOG_S_PER_MROW = 150.0
+
 
 def _bench_cpus() -> int:
     c = os.environ.get("SPARK_GRAFT_CPUS")
@@ -3107,12 +3117,13 @@ def main() -> None:
             n16 = max(1, -(-int(raw_i8 * 1.2) // max(head16, 4 * 1024**3)))
             # wedge-exposure cap (r14 run 2): slicing by DISK headroom
             # alone gave 2 x 16M-row slices on a roomy /tmp, and a single
-            # hung python worker then burned that slice's whole 2400 s
+            # hung python worker then burned that slice's whole scaled
             # watchdog (40 min of budget for one stuck task). Cap slices
-            # at 8M rows so a wedge costs at most ~1200 s and the
+            # at SLICE_CAP_ROWS so a wedge costs at most
+            # SLICE_CAP_ROWS/1M x WATCHDOG_S_PER_MROW ≈ 1200 s and the
             # downgrade ladder still has budget to retry; extra slices
             # are near-free (each recycle also drops dead shuffle files).
-            n16 = max(n16, -(-N_BIG // 8_000_000))
+            n16 = max(n16, -(-N_BIG // SLICE_CAP_ROWS))
             per16 = -(-N_BIG // n16)
             for sl16 in range(n16):
                 lo16, hi16 = sl16 * per16, min((sl16 + 1) * per16, N_BIG)
@@ -3127,7 +3138,7 @@ def main() -> None:
                 # wedge watchdog scaled to THIS slice's rows (r14 run a:
                 # a fixed 900 s killed a healthy 32M-scale slice under
                 # 0.1 GiB/s disk weather) — ~3x a hostile-weather pass
-                dog_s = max(900.0, 150.0 * (hi16 - lo16) / 1_000_000)
+                dog_s = max(900.0, WATCHDOG_S_PER_MROW * (hi16 - lo16) / 1_000_000)
                 dog = threading.Timer(dog_s, lambda sc=sc: sc.cancelJobGroup("i8_big_build"))
                 dog.daemon = True
                 dog.start()
