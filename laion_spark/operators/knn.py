@@ -213,6 +213,25 @@ def _codegen_scored(
     return step1.select(*cols, raw.alias("_raw"))
 
 
+def _scale_rows(mat, scales):
+    """Per-row dequantize ``mat * scales[:, None]`` IN PLACE when the
+    matrix owns its buffer (r15, guide §5): an SQ8/f16 source always
+    decodes through an ``astype`` copy (owned, writeable), so mutating
+    it saves a second (rows x dim) temporary per Arrow batch — on this
+    host fresh large allocations are the measured first-touch-fault
+    surface, and at 10M x 768 the out-of-place form wrote an extra
+    ~30 GB per scan. Zero-copy views (packed f32 reinterpreting the
+    Arrow buffer — never paired with scales in practice, but callers
+    may pass any table) fall back to the allocating form rather than
+    corrupt a shared buffer. Values are identical either way: the same
+    element-wise multiply, rounded once."""
+    sc = scales.astype(mat.dtype, copy=False)[:, None]
+    if mat.flags.owndata and mat.flags.writeable:
+        mat *= sc
+        return mat
+    return mat * sc
+
+
 def flat_matrix(vcol, dim: int, dtype=None):
     """Arrow list column -> (n, dim) matrix (float64 by default), with a
     clear error on NULL or ragged vectors — a bare ``flatten().reshape``
@@ -746,7 +765,7 @@ def knn_search_parquet(
                         # (|fl(x.y) - x.y| <= ~n*u*sum|x_i y_i|).
                         mat32 = flat_matrix(vcol, dim, np.float32)
                         if scales is not None:  # SQ8 dequantize: codes * scale
-                            mat32 = mat32 * scales[:, None]
+                            mat32 = _scale_rows(mat32, scales)
                         q32 = q.astype(np.float32)
                         nrm = np.einsum("ij,ij->i", mat32, mat32, dtype=np.float32)
                         raw32 = nrm - 2.0 * (mat32 @ q32) + np.float32(qq)
@@ -768,14 +787,14 @@ def knn_search_parquet(
                     elif metric == "dot":
                         mat = flat_matrix(vcol, dim)
                         if scales is not None:
-                            mat = mat * scales[:, None]
+                            mat = _scale_rows(mat, scales)
                         raw = mat @ q
                         idx = pa.array(np.argpartition(-raw, top - 1)[:top])
                         raw = raw[idx.to_numpy()]
                     else:
                         mat = flat_matrix(vcol, dim)
                         if scales is not None:
-                            mat = mat * scales[:, None]
+                            mat = _scale_rows(mat, scales)
                         norms = np.sqrt(np.einsum("ij,ij->i", mat, mat)) * np.sqrt(qq)
                         with np.errstate(divide="ignore", invalid="ignore"):
                             raw = np.where(norms != 0.0, (mat @ q) / norms, np.nan)
