@@ -1635,6 +1635,41 @@ def tail_family(spark, queries: dict, extras: dict, errors: dict) -> None:
                 print(f"  stream10m_wm trigger=8: {t8s}", file=sys.stderr)
             except Exception as ex:  # noqa: BLE001
                 errors["stream10m_wm8"] = f"{type(ex).__name__}: {ex}"[:300]
+
+        # stream10m_p8 (ADDED key, r15, VERDICT r14 #4): the same
+        # availableNow replay with state/shuffle partitions sized to the
+        # STATE (8) instead of the core count. The HDFS-backed state
+        # store pays a per-partition-per-batch commit file; at ~3.6k
+        # state rows, 32 partitions is pure commit overhead — measured
+        # sum(commitTimeMs) 14.0 s @ 32 parts vs 0.78 s @ 8 parts, wall
+        # 1.9-2.3 s vs 1.23-1.29 s solo — and it is WHY stream10m
+        # anti-scales 8->32 cores (the 8-core run's default partitions
+        # are already 8). On a cluster, partitions should track state
+        # size, not cores; stream10m keeps the partitions=cores
+        # methodology for round comparability, this row carries the
+        # state-proportional number. Same computation, same batch count
+        # (availableNow single pass), fresh checkpoint per run.
+        if "stream10m" in queries and not over_budget(errors, "stream10m_p8"):
+            old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+            try:
+                spark.conf.set("spark.sql.shuffle.partitions", "8")
+                stream10m()  # warm (state partitioning re-derives per fresh checkpoint)
+                tp8 = sorted(timed(stream10m) for _ in range(3))
+                queries["stream10m_p8"] = tp8[1]
+                extras["stream10m_p8_best_sec"] = tp8[0]
+                prog = getattr(stream10m_once, "progress", None) or []
+                cms = sum(
+                    int(so.get("commitTimeMs") or 0)
+                    for p in prog
+                    for so in (p.get("stateOperators") or [])
+                )
+                if cms:
+                    extras["stream10m_p8_state_commitTimeMs"] = cms
+                print(f"  stream10m_p8: {tp8}", file=sys.stderr)
+            except Exception as ex:  # noqa: BLE001
+                errors["stream10m_p8"] = f"{type(ex).__name__}: {ex}"[:300]
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     except _BudgetSkip:
         pass
     except Exception as ex:  # noqa: BLE001
