@@ -86,6 +86,20 @@ SLICE_CAP_ROWS = 8_000_000
 WATCHDOG_S_PER_MROW = 150.0
 
 
+def _done_flush(path: str) -> None:
+    """Stamp a fixture's completion marker and flush dirty pages
+    (os.sync) BEFORE any timed row runs against it (r15, guide §1.4
+    measurement hygiene): a multi-GB rewrite otherwise leaves kernel
+    writeback competing with the immediately following timed scan —
+    the per-row disk_ratio stamps flagged exactly that on the f16p/i8
+    10M rows (dr 3.4 / 1.9–5.8 across runs, always right after their
+    rewrite). The flush is fixture-build work, outside every timed
+    region; it shifts writeback cost into the build where the budget
+    gates already account for it."""
+    open(f"{path}/_DONE", "w").close()
+    os.sync()
+
+
 def _bench_cpus() -> int:
     c = os.environ.get("SPARK_GRAFT_CPUS")
     return int(c) if c and c.isdigit() else (os.cpu_count() or 8)
@@ -510,7 +524,7 @@ def synth_packed_base(spark, n: int, dim: int, path: str) -> None:
     gen = synth_df(spark, n, dim, packed=True).withColumn("c0", F.lit(0))
     sink = _flba_sink(path, 4 * dim, "c0", "embedding", 32 * 1024 * 1024, "snappy", "")
     gen.mapInArrow(sink, "path string, rows long").collect()
-    open(f"{path}/_DONE", "w").close()
+    _done_flush(path)
 
 
 # ---- /tmp fixture budget (VERDICT r8 #1) -----------------------------
@@ -895,7 +909,7 @@ def ensure_etl_fixture() -> str:
                     f"{etl_in}/text_emb/text_emb_{sid}.npy",
                     rng.random((n, ETL_DIM), dtype=np.float32),
                 )
-        open(f"{etl_in}/_DONE", "w").close()
+        _done_flush(etl_in)
         print(f"  etl fixture build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
     return etl_in
 
@@ -2186,7 +2200,7 @@ def main() -> None:
                 write_half_table(
                     spark, path_10m, packed_10m, vector_cols=("embedding",), layout="packed"
                 ).collect()
-                open(f"{packed_10m}/_DONE", "w").close()
+                _done_flush(packed_10m)
                 print(f"  f16p 10m rewrite: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
             # per-row probe on the twin's OWN bytes (VERDICT r14 #1a):
@@ -2249,7 +2263,7 @@ def main() -> None:
 
                 t0 = time.perf_counter()
                 write_int8_table(spark, path_10m, i8_10m, vector_cols=("embedding",)).collect()
-                open(f"{i8_10m}/_DONE", "w").close()
+                _done_flush(i8_10m)
                 print(f"  i8 10m rewrite: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
             # per-row probe on the twin's own bytes (VERDICT r14 #1a)
@@ -2349,7 +2363,7 @@ def main() -> None:
             write_half_table(
                 spark, bench_path, half_path, vector_cols=("embedding",), layout="list"
             ).collect()
-            open(f"{half_path}/_DONE", "w").close()
+            _done_flush(half_path)
             print(f"  f16 rewrite: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
         def run_f16():
@@ -2375,7 +2389,7 @@ def main() -> None:
             write_half_table(
                 spark, bench_path, packed_path, vector_cols=("embedding",), layout="packed"
             ).collect()
-            open(f"{packed_path}/_DONE", "w").close()
+            _done_flush(packed_path)
             print(f"  f16 packed rewrite: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
         def run_f16p():
@@ -2399,7 +2413,7 @@ def main() -> None:
         if not os.path.exists(f"{i8_path}/_DONE"):
             t0 = time.perf_counter()
             write_int8_table(spark, bench_path, i8_path, vector_cols=("embedding",)).collect()
-            open(f"{i8_path}/_DONE", "w").close()
+            _done_flush(i8_path)
             print(f"  i8 rewrite: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
         def run_i8():
@@ -2538,7 +2552,7 @@ def main() -> None:
             # completeness marker (the python sink writes no _SUCCESS);
             # written AFTER the last slice so a crash mid-build leaves
             # no marker and the next run rebuilds from slice 0
-            open(f"{ivf_path}/_DONE", "w").close()
+            _done_flush(ivf_path)
             idx._scan_cache = None  # table just (re)written
             # in-artifact build cost; also the big pair's measured-rate
             # headroom input (same-weather ~24.6 GB packed write)
@@ -2807,7 +2821,7 @@ def main() -> None:
                     raise _BudgetSkip
                 t0 = time.perf_counter()
                 write_half_table(spark, ivf_path, ivf16_path, ["embedding"], layout="list").collect()
-                open(f"{ivf16_path}/_DONE", "w").close()
+                _done_flush(ivf16_path)
                 print(f"  ivf f16 twin build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
             idx16 = IVFIndex(dim=DIM, n_clusters=C, nprobe=NPROBE)
             idx16.centroids = idx.centroids  # same quantizer, own plan cache
@@ -2874,7 +2888,7 @@ def main() -> None:
                     raise _BudgetSkip
                 t0 = time.perf_counter()
                 write_half_table(spark, ivf_path, ivf16p_path, ["embedding"], layout="packed").collect()
-                open(f"{ivf16p_path}/_DONE", "w").close()
+                _done_flush(ivf16p_path)
                 print(f"  ivf f16p twin build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
             idx16p = IVFIndex(dim=DIM, n_clusters=C, nprobe=NPROBE)
             idx16p.centroids = idx.centroids  # same quantizer, own plan cache
@@ -2933,7 +2947,7 @@ def main() -> None:
                     raise _BudgetSkip
                 t0 = time.perf_counter()
                 write_int8_table(spark, ivf_path, ivfi8_path, ["embedding"]).collect()
-                open(f"{ivfi8_path}/_DONE", "w").close()
+                _done_flush(ivfi8_path)
                 print(f"  ivf i8 twin build: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
             idxi8 = IVFIndex(dim=DIM, n_clusters=C, nprobe=NPROBE)
             idxi8.centroids = idx.centroids
